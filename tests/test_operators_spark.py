@@ -1,0 +1,258 @@
+"""Spark-side operator tests: canonicalize UDF parity, bloom + anti-join
+dedup, scheduler budget/robots/ordering, content dedup, fuzzy dedup."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import CrawlConfig
+from webcrawler_spark.functions import columns as C
+from webcrawler_spark.functions import urlnorm
+from webcrawler_spark.operators import dedup as D
+from webcrawler_spark.operators import scheduler as S
+
+
+# ---- canonicalize UDF == pure-python core -------------------------------------
+
+
+def test_canonicalize_udf_parity(spark, web):
+    urls = [p["url"] for p in web["pages"]][:50] + [
+        "http://EXAMPLE.COM/Path/",
+        "https://www.example.com:443/page?b=2&a=1&utm_source=x",
+        "https://example.com/img.png",
+        "bad",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {r["url"]: (r["url_norm"], r["host"]) for r in D.canonicalize(df).collect()}
+    for u in urls:
+        expected = urlnorm.normalize_url(u)
+        if expected is None:
+            assert u not in got
+        else:
+            assert got[u][0] == expected
+            assert got[u][1] == urlnorm.extract_host(expected)
+
+
+def test_priority_column_parity(spark):
+    urls = [
+        "https://example.com/",
+        "https://example.com/news",
+        "https://example.com/archive/x",
+        "https://example.com/deep/a/b/c",
+        "https://example.com/blog/post-7",
+        "https://example.com/tag/topic-3",
+        "https://example.com/x?page=2",
+    ]
+    rows = [(u, d, sp) for u in urls for d in (0, 2, 20) for sp in (0, 10)]
+    df = spark.createDataFrame(rows, ["url", "depth", "source_priority"])
+    out = df.withColumn(
+        "p", C.url_priority(F.col("url"), F.col("depth"), F.col("source_priority"))
+    ).collect()
+    for r in out:
+        assert r["p"] == urlnorm.url_priority(r["url"], r["depth"], r["source_priority"]), r
+
+
+# ---- dedup -----------------------------------------------------------------------
+
+
+def _cand_df(spark, fps):
+    return spark.createDataFrame([Row(url_fp=f, url_norm=f"u{f}", host="h") for f in fps])
+
+
+def test_anti_join_dedup(spark):
+    seen = _cand_df(spark, [1, 2, 3])
+    cands = _cand_df(spark, [2, 3, 4, 5])
+    out = D.dedupe_new_urls(cands, seen)
+    assert sorted(r["url_fp"] for r in out.collect()) == [4, 5]
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    import random
+
+    rng = random.Random(7)
+    seen_fps = [rng.getrandbits(63) for _ in range(5000)]
+    seen = spark.createDataFrame([Row(url_fp=f) for f in seen_fps])
+    bloom = D.build_bloom(seen, n_buckets=8, capacity=10000, fp_rate=0.001).cache()
+
+    # every seen fp must hit (no false negatives)
+    probe_seen = D.bloom_might_contain(
+        spark.createDataFrame([Row(url_fp=f) for f in seen_fps[:1000]]), bloom
+    )
+    assert probe_seen.filter(~F.col("might_contain")).count() == 0
+
+    # unseen fps should mostly miss (FP rate well under 1%)
+    unseen = [rng.getrandbits(62) + (1 << 62) for _ in range(5000)]
+    probe_unseen = D.bloom_might_contain(
+        spark.createDataFrame([Row(url_fp=f) for f in unseen]), bloom
+    )
+    fp = probe_unseen.filter(F.col("might_contain")).count()
+    assert fp / 5000 < 0.01, f"bloom FP rate too high: {fp}/5000"
+
+
+def test_two_tier_equals_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    seen_fps = [rng.getrandbits(63) for _ in range(2000)]
+    cand_fps = seen_fps[:500] + [rng.getrandbits(63) for _ in range(1500)]
+    seen = spark.createDataFrame([Row(url_fp=f, url_norm=f"u{f}", host="h") for f in seen_fps])
+    cands = spark.createDataFrame([Row(url_fp=f, url_norm=f"u{f}", host="h") for f in cand_fps])
+    bloom = D.build_bloom(seen, n_buckets=4, capacity=4000, fp_rate=0.001)
+    with_bloom = sorted(r["url_fp"] for r in D.dedupe_new_urls(cands, seen, bloom=bloom).collect())
+    without = sorted(r["url_fp"] for r in D.dedupe_new_urls(cands, seen).collect())
+    assert with_bloom == without
+
+
+def test_content_dedup(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(url="https://a.com/1", content_hash="h1"),
+            Row(url="https://a.com/2", content_hash="h1"),
+            Row(url="https://b.com/3", content_hash="h2"),
+        ]
+    )
+    out = {r["url"]: (r["action"], r["original_url"]) for r in D.content_dedup(docs).collect()}
+    assert out["https://a.com/1"] == ("indexed", None)
+    assert out["https://a.com/2"] == ("deduplicated", "https://a.com/1")
+    assert out["https://b.com/3"] == ("indexed", None)
+
+
+def test_fuzzy_dedupe(spark):
+    seen = spark.createDataFrame(
+        [Row(url_fp=1, url_norm="https://example.com/page1", host="example.com", epoch=0)]
+    )
+    cands = spark.createDataFrame(
+        [
+            Row(url_fp=2, url_norm="https://example.com/page-1", host="example.com"),
+            Row(url_fp=3, url_norm="https://example.com/totally/different/zzz", host="example.com"),
+            Row(url_fp=4, url_norm="https://other.com/page-1", host="other.com"),
+        ]
+    )
+    out = sorted(r["url_fp"] for r in D.fuzzy_dedupe(cands, seen).collect())
+    # page-1 is a fuzzy dup (>=85); different path and different host survive
+    assert out == [3, 4]
+
+
+# ---- scheduler --------------------------------------------------------------------
+
+
+_PENDING_SCHEMA = (
+    "url string, url_norm string, url_fp long, host string, path string, "
+    "priority int, depth int, source_url string, discovered_epoch int, attempts int"
+)
+
+
+def _pending_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (
+                u,
+                u,
+                hash(u),
+                h,
+                "/" + u.split("/", 3)[-1] if u.count("/") > 2 else "/",
+                p,
+                0,
+                None,
+                e,
+                a,
+            )
+            for (u, h, p, e, a) in rows
+        ],
+        _PENDING_SCHEMA,
+    )
+
+
+def test_scheduler_budget_and_order(spark):
+    cfg = CrawlConfig(epoch_seconds=3, hot_host_salt=1)  # budget 3/host @ delay 1.0
+    rows = [(f"https://h1.com/p{i}", "h1.com", 50 + i, 0, 0) for i in range(5)]
+    rows += [(f"https://h2.com/p{i}", "h2.com", 10, 0, 0) for i in range(2)]
+    pending = _pending_df(spark, rows)
+    schedule, deferred, rejected = S.schedule_epoch(pending, None, None, epoch=0, cfg=cfg)
+    sched = schedule.orderBy("host", "rank_in_host").collect()
+    h1 = [r for r in sched if r["host"] == "h1.com"]
+    assert [r["url"] for r in h1] == [
+        "https://h1.com/p4",
+        "https://h1.com/p3",
+        "https://h1.com/p2",
+    ]  # priority desc
+    assert [r["rank_in_host"] for r in h1] == [1, 2, 3]
+    assert deferred.count() == 2  # p0,p1 overflow
+    d = deferred.collect()[0]
+    assert d["ready_epoch"] == 1 and d["attempts"] == 1 and d["reason"] == "politeness_budget"
+    assert rejected.count() == 0
+
+
+def test_scheduler_salted_equals_unsalted(spark):
+    cfg_plain = CrawlConfig(epoch_seconds=4, hot_host_salt=1)
+    cfg_salted = CrawlConfig(epoch_seconds=4, hot_host_salt=4)
+    rows = [(f"https://hot.com/p{i:03d}", "hot.com", i % 7, 0, 0) for i in range(60)]
+    pending = _pending_df(spark, rows)
+    a, _, _ = S.schedule_epoch(pending, None, None, 0, cfg_plain)
+    b, _, _ = S.schedule_epoch(pending, None, None, 0, cfg_salted)
+    ka = [(r["host"], r["rank_in_host"], r["url_norm"]) for r in a.orderBy("host", "rank_in_host").collect()]
+    kb = [(r["host"], r["rank_in_host"], r["url_norm"]) for r in b.orderBy("host", "rank_in_host").collect()]
+    assert ka == kb
+
+
+def test_scheduler_robots_gate(spark):
+    cfg = CrawlConfig(hot_host_salt=1)
+    pending = _pending_df(
+        spark,
+        [
+            ("https://open.com/a", "open.com", 10, 0, 0),
+            ("https://closed.com/a", "closed.com", 10, 0, 0),
+            ("https://partial.com/private/x", "partial.com", 10, 0, 0),
+            ("https://partial.com/public/x", "partial.com", 10, 0, 0),
+        ],
+    )
+    robots = spark.createDataFrame(
+        [
+            Row(host="closed.com", disallow_prefixes=["/"], crawl_delay=1.0),
+            Row(host="partial.com", disallow_prefixes=["/private"], crawl_delay=1.0),
+        ]
+    )
+    schedule, _, rejected = S.schedule_epoch(pending, robots, None, 0, cfg)
+    scheduled_urls = {r["url"] for r in schedule.collect()}
+    assert scheduled_urls == {"https://open.com/a", "https://partial.com/public/x"}
+    rej = {r["url"]: r["reject_reason"] for r in rejected.collect()}
+    assert rej == {
+        "https://closed.com/a": "robots_disallowed",
+        "https://partial.com/private/x": "robots_disallowed",
+    }
+
+
+def test_scheduler_attempt_cap(spark):
+    cfg = CrawlConfig(hot_host_salt=1)
+    pending = _pending_df(spark, [("https://h.com/a", "h.com", 10, 0, 6)])
+    schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
+    assert schedule.count() == 0
+    assert rejected.collect()[0]["reject_reason"] == "max_attempts"
+
+
+def test_scheduler_crawl_delay_budget(spark):
+    cfg = CrawlConfig(epoch_seconds=10, hot_host_salt=1)
+    pending = _pending_df(
+        spark, [(f"https://slow.com/p{i}", "slow.com", 10, 0, 0) for i in range(8)]
+    )
+    robots = spark.createDataFrame(
+        [("slow.com", [], 5.0)],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    schedule, deferred, _ = S.schedule_epoch(pending, robots, None, 0, cfg)
+    assert schedule.count() == 2  # floor(10/5)
+    assert deferred.count() == 6
+
+
+def test_shard_assignment_deterministic(spark):
+    df = spark.createDataFrame([Row(host=f"h{i}.com") for i in range(100)])
+    out = df.withColumn("s", C.shard_id(F.col("host"), 4))
+    a = {r["host"]: r["s"] for r in out.collect()}
+    b = {r["host"]: r["s"] for r in out.collect()}
+    assert a == b
+    assert set(a.values()) <= {0, 1, 2, 3}
+    # reasonably balanced (hash-based)
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert max(counts.values()) < 2.5 * min(counts.values())

@@ -1,0 +1,51 @@
+"""Engine configuration.
+
+Defaults mirror the reference's constants:
+- default_crawl_delay = 1.0 s      (politeness_manager.py:30)
+- max_concurrent_per_domain = 2    (politeness_manager.py:31)
+- max_requests_per_minute = 60     (politeness_manager.py:43)
+- rate-limit defer delay = 10 s    (politeness_manager.py:72)
+- fuzzy threshold = 85             (deduplicator.py:33)
+- bloom: 10M capacity @ 0.1% FP    (deduplicator.py:42-43)
+- max scheduling attempts = 5      (url-scheduler/app.py:419-425)
+- delay bucket = 30 s              (url-scheduler/app.py:45-53)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness (batch-epoch formulation)
+    epoch_seconds: int = 60           # wall-clock each epoch "represents"
+    default_crawl_delay: float = 1.0
+    max_requests_per_minute: int = 60
+    max_concurrent_per_domain: int = 2
+    max_attempts: int = 5
+    delay_bucket_seconds: int = 30
+
+    # dedup
+    fuzzy_threshold: int = 85
+    use_fuzzy: bool = False           # fuzzy tier is off the hot path (deduplicator.py:188 use_fuzzy flag)
+    fuzzy_recent_per_host: int = 100  # deduplicator.py:144-150
+    bloom_capacity: int = 10_000_000
+    bloom_fp_rate: float = 0.001
+    bloom_buckets: int = 32           # per-host-hash bloom partitions; 2048 at 10^10 scale
+
+    # scale knobs
+    shuffle_partitions: int = 32
+    n_shards: int = 4                 # docker-compose has 4 fetcher shards
+    hot_host_salt: int = 8            # sub-partitions for skewed hosts in the top-k window
+    hot_host_threshold: int = 100_000 # pending rows per host above which salting engages
+
+    # parser gates (parser/app.py:453,515,534; url_normalizer.py:51)
+    min_content_length: int = 100
+    min_url_length: int = 10
+
+    # frontier priority defaults
+    discovered_priority: int = 5      # parser/app.py:636
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,179 @@
+"""Native Column expressions — JVM-side, whole-stage-codegen friendly.
+
+Everything here compiles to built-in Catalyst expressions (no Python), so it
+stays inside WholeStageCodegen spans at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---- fingerprints & hashes (SURVEY §2.2 F3-F8) -------------------------------
+
+
+def url_fp(url_norm: Column) -> Column:
+    """64-bit URL fingerprint — the engine's join/dedup key (north star).
+
+    The reference uses sha256 hex strings (deduplicator.py:76-78); a 64-bit
+    xxhash is 4x smaller shuffle payload and Catalyst-native."""
+    return F.xxhash64(url_norm)
+
+
+def url_hash_sha256(url_norm: Column) -> Column:
+    """Exact-parity hash with the reference (deduplicator.py:76-78)."""
+    return F.sha2(url_norm, 256)
+
+
+def fuzzy_hash(host: Column, path: Column) -> Column:
+    """md5(lower(netloc+path)) (deduplicator.py:80-86)."""
+    return F.md5(F.lower(F.concat(host, path)))
+
+
+def content_hash(text: Column) -> Column:
+    """sha256 of extracted clean text (parser/app.py:550)."""
+    return F.sha2(F.encode(text, "UTF-8"), 256)
+
+
+def raw_content_hash(html: Column) -> Column:
+    """sha256 of raw bytes (fetcher/app.py:446)."""
+    return F.sha2(html, 256)
+
+
+def link_id(source_url: Column, target_url: Column) -> Column:
+    """md5('source-target') (indexer/app.py:479)."""
+    return F.md5(F.concat_ws("-", source_url, target_url))
+
+
+def shard_id(host: Column, n_shards: int) -> Column:
+    """Deterministic host shard; hash-based like domain_sharding.py:112-122
+    but xxhash64 instead of md5 (idiomatic / codegen-friendly)."""
+    return F.pmod(F.xxhash64(host), F.lit(n_shards)).cast("int")
+
+
+def shard_id_md5_parity(host: Column, n_shards: int) -> Column:
+    """Exact-parity variant: int(md5(domain),16) % n via the top 15 hex chars
+    (domain_sharding.py:112-122)."""
+    return F.pmod(F.conv(F.substring(F.md5(host), 1, 15), 16, 10).cast("long"), F.lit(n_shards)).cast(
+        "int"
+    )
+
+
+# ---- priority scoring (W2, url_normalizer.py:167-200) -------------------------
+
+
+def url_priority(url: Column, depth: Column, source_priority: Column) -> Column:
+    u = F.lower(url)
+    slash_count = F.length(u) - F.length(F.regexp_replace(u, "/", ""))
+    bonus = (
+        F.when(u.endswith("/") | (slash_count <= 3), F.lit(20)).otherwise(F.lit(0))
+        + F.when(u.rlike("news|blog|article|post"), F.lit(10)).otherwise(F.lit(0))
+        + F.when(u.rlike("archive|tag|category|page="), F.lit(-15)).otherwise(F.lit(0))
+    )
+    return F.greatest(
+        F.lit(1), F.lit(100) + source_priority + bonus - depth * F.lit(10)
+    ).cast("int")
+
+
+# ---- quality scoring (F14, parser/app.py:353-397) -----------------------------
+
+_WORD_SPLIT = "\\s+"
+
+
+def word_count(text: Column) -> Column:
+    """len(content.split()) equivalent: split on whitespace runs, drop empties."""
+    return F.size(F.filter(F.split(text, _WORD_SPLIT), lambda w: w != ""))
+
+
+def sentence_count(text: Column) -> Column:
+    """Sentence count approximation: terminal-punctuation runs."""
+    trimmed = F.trim(text)
+    n = F.size(F.filter(F.split(trimmed, "[.!?]+"), lambda s: F.trim(s) != ""))
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(n)
+
+
+def paragraph_count(text: Column) -> Column:
+    """len([p for p in content.split('\\n\\n') if p.strip()])
+    (parser/app.py:300)."""
+    return F.size(F.filter(F.split(text, "\n\n"), lambda p: F.trim(p) != ""))
+
+
+def uniqueness_ratio(text: Column) -> Column:
+    words = F.filter(F.split(F.lower(text), _WORD_SPLIT), lambda w: w != "")
+    total = F.size(words)
+    return F.when(total > 0, F.size(F.array_distinct(words)) / total).otherwise(F.lit(0.0))
+
+
+def quality_score(
+    text: Column,
+    title: Column,
+    description: Column,
+    flesch: Column | None = None,
+) -> Column:
+    """0-100 quality ladder (parser/app.py:353-397). ``flesch`` defaults to 0
+    (reference scores 0 readability points when textstat fails,
+    parser/app.py:308-314)."""
+    wc = word_count(text)
+    length_score = (
+        F.when(wc >= 300, F.lit(25.0))
+        .when(wc >= 150, F.lit(15.0))
+        .when(wc >= 50, F.lit(10.0))
+        .otherwise(F.lit(0.0))
+    )
+    structure_score = F.when(paragraph_count(text) >= 3, F.lit(10.0)).otherwise(
+        F.lit(0.0)
+    ) + F.when(sentence_count(text) >= 5, F.lit(10.0)).otherwise(F.lit(0.0))
+    fl = flesch if flesch is not None else F.lit(0.0)
+    readability_score = (
+        F.when((fl >= 60) & (fl <= 80), F.lit(20.0))
+        .when((fl >= 40) & (fl <= 90), F.lit(15.0))
+        .when(fl > 0, F.lit(10.0))
+        .otherwise(F.lit(0.0))
+    )
+    meta_score = F.when(
+        title.isNotNull() & (F.length(title) > 10), F.lit(8.0)
+    ).otherwise(F.lit(0.0)) + F.when(
+        description.isNotNull() & (F.length(description) > 20), F.lit(7.0)
+    ).otherwise(F.lit(0.0))
+    uniq_score = F.least(F.lit(20.0), uniqueness_ratio(text) * 25)
+    return F.least(
+        F.lit(100.0),
+        length_score + structure_score + readability_score + meta_score + uniq_score,
+    )
+
+
+def classify_content_type(text: Column, title: Column) -> Column:
+    """Keyword-indicator content classifier (parser/app.py:399-424).
+    Order matters: news > blog > product > documentation > article."""
+    c = F.lower(F.coalesce(text, F.lit("")))
+    t = F.lower(F.coalesce(title, F.lit("")))
+    news = "published|reporter|breaking|news|update"
+    blog = "posted by|author:|blog|opinion|thoughts"
+    product = "price|buy now|add to cart|product|review"
+    doc = "documentation|api|tutorial|guide|how to"
+    return (
+        F.when(c.rlike(news) | t.rlike(news), F.lit("news"))
+        .when(c.rlike(blog) | t.rlike(blog), F.lit("blog"))
+        .when(c.rlike(product), F.lit("product"))
+        .when(c.rlike(doc) | t.rlike(doc), F.lit("documentation"))
+        .otherwise(F.lit("article"))
+    )
+
+
+# ---- robots gate (P5, politeness_manager.py:76-149) ---------------------------
+
+
+def robots_allows(disallow_prefixes: Column, path: Column) -> Column:
+    """NOT exists(prefixes, p -> startswith(path, p)); null rules => allowed
+    (fetch-failure => allowed, politeness_manager.py:140-149)."""
+    return F.when(
+        disallow_prefixes.isNull(), F.lit(True)
+    ).otherwise(~F.exists(disallow_prefixes, lambda p: path.startswith(p)))
+
+
+# ---- misc ---------------------------------------------------------------------
+
+
+def ready_bucket(ts: Column, bucket_seconds: int = 30) -> Column:
+    """30-second delay bucket (url-scheduler/app.py:45-53) as a column."""
+    return F.floor(F.unix_timestamp(ts) / F.lit(bucket_seconds)).cast("long")

@@ -1,0 +1,225 @@
+"""URL + content deduplication operators.
+
+- canonicalize: F1/F2 projection (vectorized UDF) + 64-bit fingerprint.
+- dedupe_new_urls: the two-tier seen-set check (deduplicator.py:88-121)
+  re-expressed as [optional bloom prefilter] -> left-anti join. The anti-join
+  is the authoritative tier (the reference's Postgres UNIQUE url_hash); the
+  partitioned bloom is the cross-epoch persistent prefilter (the reference's
+  Redis set, deduplicator.py:97-103). At 10^10 URLs the bloom table is ~17 GB
+  of bits split across buckets (SURVEY §7 hard-part 3); each bucket blob stays
+  well under the 2 GB Arrow limit.
+- fuzzy_dedupe: same-domain last-100 fuzzy match (deduplicator.py:123-186),
+  off the hot path, gated by config.use_fuzzy.
+- content_dedup: content-hash window dedup (indexer/app.py:216-253) — first
+  writer by (first_seen, url) wins, losers are marked duplicates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig, DEFAULT_CONFIG
+from ..functions import columns as C
+from ..functions.udfs import canonicalize_udf, fuzz_max_score_udf
+
+# ---- canonicalize + fingerprint ------------------------------------------------
+
+
+def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds url_norm/host/path/url_fp; drops rows the normalizer rejects
+    (url_normalizer.py:35-88 reject rules)."""
+    out = df.withColumn("_canon", canonicalize_udf(F.col(url_col)))
+    out = (
+        out.withColumn("url_norm", F.col("_canon.url_norm"))
+        .withColumn("host", F.col("_canon.host"))
+        .withColumn("path", F.col("_canon.path"))
+        .drop("_canon")
+        .filter(F.col("url_norm").isNotNull())
+        .withColumn("url_fp", C.url_fp(F.col("url_norm")))
+    )
+    return out
+
+
+# ---- partitioned persistent bloom filter ---------------------------------------
+
+_BLOOM_SALT1 = -7046029254386353131  # golden-ratio odd constant (public Kirsch-Mitzenmacher double hashing)
+_BLOOM_SALT2 = -4417276706812531889
+
+
+def _bloom_params(capacity_per_bucket: int, fp_rate: float) -> tuple[int, int]:
+    """Classic bloom sizing: m = -n ln p / ln2^2 bits, k = m/n ln2."""
+    import math
+
+    n = max(capacity_per_bucket, 1)
+    m = int(-n * math.log(fp_rate) / (math.log(2) ** 2))
+    m = max(64, (m + 63) // 64 * 64)  # round to whole words
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_indices(fps, m: int, k: int):
+    """Vectorized double-hashing index set for an array of int64 fps."""
+    import numpy as np
+
+    x = fps.astype(np.uint64)
+    h1 = x * np.uint64(_BLOOM_SALT1 & 0xFFFFFFFFFFFFFFFF)
+    h1 ^= h1 >> np.uint64(33)
+    h2 = x * np.uint64(_BLOOM_SALT2 & 0xFFFFFFFFFFFFFFFF)
+    h2 ^= h2 >> np.uint64(29)
+    h2 |= np.uint64(1)
+    idx = np.empty((k, len(x)), dtype=np.uint64)
+    for i in range(k):
+        idx[i] = (h1 + np.uint64(i) * h2) % np.uint64(m)
+    return idx
+
+
+def build_bloom(
+    seen: DataFrame, n_buckets: int, capacity: int, fp_rate: float
+) -> DataFrame:
+    """Build per-bucket bloom blobs from the seen set's fingerprints.
+
+    Grouped-map pandas UDF: one blob per pmod(url_fp, n_buckets) bucket.
+    Returns DataFrame(bucket INT, blob BINARY, m INT, k INT)."""
+    m, k = _bloom_params(max(capacity // n_buckets, 1), fp_rate)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        idx = _bloom_indices(pdf["url_fp"].to_numpy(), m, k)
+        flat = idx.reshape(-1)
+        np.bitwise_or.at(bits, (flat // 64).astype(np.int64), np.uint64(1) << (flat % np.uint64(64)))
+        return pd.DataFrame(
+            {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [bits.tobytes()], "m": [m], "k": [k]}
+        )
+
+    bucketed = seen.withColumn("bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int"))
+    return bucketed.groupBy("bucket").applyInPandas(
+        _build, schema="bucket int, blob binary, m int, k int"
+    )
+
+
+def bloom_might_contain(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
+    """Probe: broadcast-join blobs by bucket, vectorized membership test.
+    Adds boolean column ``might_contain`` (false => definitely new)."""
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def _probe(fp: pd.Series, blob: pd.Series, m: pd.Series, k: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(fp), dtype=bool)
+        if len(fp) == 0:
+            return pd.Series(out)
+        # group rows by identical blob (usually one per batch after the join)
+        fps = fp.to_numpy()
+        for key in blob.drop_duplicates().index:
+            b = blob[key]
+            if b is None:
+                continue
+            mask = (blob == b).to_numpy()
+            bits = np.frombuffer(b, dtype=np.uint64)
+            mm, kk = int(m[key]), int(k[key])
+            idx = _bloom_indices(fps[mask].astype("int64"), mm, kk)
+            hit = np.ones(mask.sum(), dtype=bool)
+            for i in range(kk):
+                word = (idx[i] // 64).astype(np.int64)
+                bit = np.uint64(1) << (idx[i] % np.uint64(64))
+                hit &= (bits[word] & bit) != 0
+            out[mask] = hit
+        return pd.Series(out)
+
+    n_buckets = bloom.agg(F.max("bucket")).first()[0]
+    n_buckets = (n_buckets or 0) + 1
+    probed = candidates.withColumn(
+        "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
+    ).join(F.broadcast(bloom), "bucket", "left")
+    probed = probed.withColumn(
+        "might_contain",
+        F.when(F.col("blob").isNull(), F.lit(False)).otherwise(
+            _probe(F.col("url_fp"), F.col("blob"), F.col("m"), F.col("k"))
+        ),
+    )
+    return probed.drop("bucket", "blob", "m", "k")
+
+
+def dedupe_new_urls(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Two-tier exact dedup (deduplicator.py:88-121 as joins).
+
+    Tier 1 (optional): bloom prefilter — rows whose bucket blob says
+    "definitely not seen" skip the shuffle entirely.
+    Tier 2 (authoritative): left-anti join on url_fp against the seen table.
+    """
+    if seen is None:
+        return candidates
+    if bloom is not None:
+        probed = bloom_might_contain(candidates, bloom)
+        definite_new = probed.filter(~F.col("might_contain")).drop("might_contain")
+        maybe = probed.filter(F.col("might_contain")).drop("might_contain")
+        checked = maybe.join(seen.select("url_fp"), "url_fp", "left_anti")
+        return definite_new.unionByName(checked)
+    return candidates.join(seen.select("url_fp"), "url_fp", "left_anti")
+
+
+# ---- fuzzy dedup (J3) ------------------------------------------------------------
+
+
+def fuzzy_dedupe(
+    candidates: DataFrame,
+    seen: DataFrame,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Drop candidates fuzzy-similar (>= threshold) to one of the most recent
+    ``fuzzy_recent_per_host`` seen URLs of the same host
+    (deduplicator.py:123-186: fuzz max(ratio, token_sort, partial) >= 85).
+
+    Implementation: window top-100 per host on the seen side, host-equi join,
+    vectorized difflib scores, anti-filter on max score. The host join is
+    bounded: |candidates_h| x min(|seen_h|, 100)."""
+    w = Window.partitionBy("host").orderBy(F.desc("epoch"), F.desc("url_fp"))
+    recent = (
+        seen.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cfg.fuzzy_recent_per_host)
+        .select(F.col("host").alias("_h"), F.col("url_norm").alias("_seen_norm"))
+    )
+    pairs = candidates.join(recent, candidates["host"] == recent["_h"], "left")
+    scored = pairs.withColumn(
+        "_score",
+        F.when(F.col("_seen_norm").isNull(), F.lit(0)).otherwise(
+            fuzz_max_score_udf(F.col("url_norm"), F.col("_seen_norm"))
+        ),
+    )
+    best = scored.groupBy(*[c for c in candidates.columns]).agg(
+        F.max("_score").alias("_best")
+    )
+    return best.filter(F.col("_best") < cfg.fuzzy_threshold).drop("_best")
+
+
+# ---- content dedup (J4) ----------------------------------------------------------
+
+
+def content_dedup(docs: DataFrame, hash_col: str = "content_hash", order_col: str = "url") -> DataFrame:
+    """Window dedup on content hash (indexer/app.py:216-253): first URL wins;
+    losers carry action='deduplicated' + original_url (README flow)."""
+    w = Window.partitionBy(hash_col).orderBy(F.asc(order_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_first", F.first(order_col).over(w))
+        .withColumn(
+            "action",
+            F.when(F.col("_rn") == 1, F.lit("indexed")).otherwise(F.lit("deduplicated")),
+        )
+        .withColumn(
+            "original_url",
+            F.when(F.col("_rn") == 1, F.lit(None).cast("string")).otherwise(F.col("_first")),
+        )
+        .drop("_rn", "_first")
+    )

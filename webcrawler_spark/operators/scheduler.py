@@ -1,0 +1,218 @@
+"""Priority + politeness scheduler — the engine's flagship operator (W1).
+
+Replaces the reference's Kafka/Redis scheduling loop
+(services/url-scheduler/app.py:242-348 + politeness_manager.py:45-74) with a
+single declarative plan per epoch:
+
+    pending ∪ deferred-ready
+      → broadcast-join robots          (P5 gate; J6)
+      → join host_stats → crawl_delay  (A4 adaptive state)
+      → per-host budget = floor(epoch_seconds / crawl_delay), rate-capped (P6/P8)
+      → rank = row_number over (host | priority desc, discovered asc, url_norm asc)
+      → rank <= budget  ⇒ scheduled (+ shard)     (W1 + F5)
+      → rank >  budget  ⇒ deferred (attempts+1)   (P8/P10, delay buckets W3)
+
+The ordering is *total* (url_norm final tiebreak) so the crawl order is a
+pure function of (seeds, pages, budget) — the determinism the reference
+lacks (its order depends on Kafka interleaving) and the property the parity
+oracle checks.
+
+Scale: exactly one shuffle (hash by host) for the politeness+priority stage.
+Hot-host skew is handled with two-phase top-k — rank within (host, salt)
+first, keep <= budget per salt, then the final per-host window runs over at
+most salt_factor x budget rows per host (bounded sort), mirroring the
+reference's shard-rebalancing intent (domain_sharding.py:213-276) without a
+coordinator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CrawlConfig, DEFAULT_CONFIG
+from ..functions import columns as C
+
+_ORDER = lambda: [  # noqa: E731 - shared total ordering (W1)
+    F.desc("priority"),
+    F.asc("discovered_epoch"),
+    F.asc("url_norm"),
+]
+
+
+def schedule_epoch(
+    pending: DataFrame,
+    robots: DataFrame | None,
+    host_stats: DataFrame | None,
+    epoch: int,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+    salt_factor: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (schedule, deferred_next, rejected).
+
+    ``pending`` columns: url, url_norm, url_fp, host, path, priority, depth,
+    source_url, discovered_epoch, attempts (0 for fresh frontier rows).
+    """
+    # ---- P10: attempt cap (url-scheduler/app.py:419-425)
+    overdrawn = pending.filter(F.col("attempts") > cfg.max_attempts).withColumn(
+        "reject_reason", F.lit("max_attempts")
+    )
+    pending = pending.filter(F.col("attempts") <= cfg.max_attempts)
+
+    # ---- P5: robots gate via broadcast join (politeness_manager.py:76-149)
+    if robots is not None:
+        rb = F.broadcast(robots.select("host", "disallow_prefixes", "crawl_delay"))
+        pending = pending.join(rb, "host", "left")
+        allowed = C.robots_allows(F.col("disallow_prefixes"), F.col("path"))
+        robots_rejected = pending.filter(~allowed).withColumn(
+            "reject_reason", F.lit("robots_disallowed")
+        )
+        pending = pending.filter(allowed).drop("disallow_prefixes")
+        pending = pending.withColumnRenamed("crawl_delay", "robots_delay")
+    else:
+        robots_rejected = None
+        pending = pending.withColumn("robots_delay", F.lit(None).cast("double"))
+
+    # ---- P6/A4: effective crawl delay = adaptive host_stats > robots > default
+    if host_stats is not None:
+        hs = F.broadcast(host_stats.select("host", F.col("crawl_delay").alias("adaptive_delay")))
+        pending = pending.join(hs, "host", "left")
+    else:
+        pending = pending.withColumn("adaptive_delay", F.lit(None).cast("double"))
+    pending = pending.withColumn(
+        "effective_delay",
+        F.coalesce("adaptive_delay", "robots_delay", F.lit(cfg.default_crawl_delay)),
+    ).drop("adaptive_delay", "robots_delay")
+
+    # ---- per-host epoch budget (P6 delay + P8 rate limit, batch form)
+    rate_cap = cfg.max_requests_per_minute * cfg.epoch_seconds // 60
+    pending = pending.withColumn(
+        "host_budget",
+        F.least(
+            F.floor(F.lit(float(cfg.epoch_seconds)) / F.col("effective_delay")).cast("int"),
+            F.lit(int(rate_cap)),
+        ),
+    ).drop("effective_delay")
+
+    # ---- W1: per-host top-k under total ordering, optionally salted (skew)
+    salt = salt_factor if salt_factor is not None else cfg.hot_host_salt
+    if salt and salt > 1:
+        pre_w = Window.partitionBy("host", "salt").orderBy(*_ORDER())
+        pending = (
+            pending.withColumn("salt", F.pmod(F.xxhash64("url_norm"), F.lit(salt)).cast("int"))
+            .withColumn("_pre_rank", F.row_number().over(pre_w))
+            # each salt keeps at most the full budget — union is a superset of
+            # the true per-host top-budget, so phase 2 is exact
+            .filter(F.col("_pre_rank") <= F.col("host_budget"))
+            .drop("salt", "_pre_rank")
+        )
+    w = Window.partitionBy("host").orderBy(*_ORDER())
+    ranked = pending.withColumn("rank_in_host", F.row_number().over(w))
+
+    schedule = (
+        ranked.filter(F.col("rank_in_host") <= F.col("host_budget"))
+        .withColumn("shard_id", C.shard_id(F.col("host"), cfg.n_shards))
+        .withColumn("epoch", F.lit(epoch))
+        .drop("host_budget")
+    )
+
+    deferred_next = (
+        ranked.filter(F.col("rank_in_host") > F.col("host_budget"))
+        .withColumn("ready_epoch", F.lit(epoch + 1))
+        .withColumn("reason", F.lit("politeness_budget"))
+        .withColumn("attempts", F.col("attempts") + 1)
+        .drop("rank_in_host", "host_budget")
+    )
+
+    rejected = overdrawn
+    if robots_rejected is not None:
+        rejected = overdrawn.unionByName(
+            robots_rejected.drop("disallow_prefixes", "crawl_delay"),
+            allowMissingColumns=True,
+        )
+    return schedule, deferred_next, rejected
+
+
+def crawl_order(schedule: DataFrame) -> DataFrame:
+    """The reproducible crawl order: (epoch, host, rank_in_host)."""
+    return schedule.orderBy("epoch", "host", "rank_in_host")
+
+
+def adaptive_host_stats(
+    fetch_results: DataFrame,
+    prev_stats: DataFrame | None,
+    epoch: int,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """A3/A4: per-host stats recompute + adaptive crawl-delay ladder
+    (politeness_manager.py:272-315).
+
+    ``fetch_results`` columns: host, success (boolean), response_time (double).
+    Batch recompute replaces the reference's incremental Redis means."""
+    agg = fetch_results.groupBy("host").agg(
+        F.count(F.lit(1)).alias("d_total"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("d_success"),
+        F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("d_failed"),
+        F.avg(F.when(F.col("response_time") > 0, F.col("response_time"))).alias("d_avg_rt"),
+    )
+    if prev_stats is not None:
+        merged = agg.join(prev_stats, "host", "full")
+    else:
+        merged = (
+            agg.withColumn("total_requests", F.lit(None).cast("long"))
+            .withColumn("successful_requests", F.lit(None).cast("long"))
+            .withColumn("failed_requests", F.lit(None).cast("long"))
+            .withColumn("avg_response_time", F.lit(None).cast("double"))
+            .withColumn("crawl_delay", F.lit(None).cast("double"))
+            .withColumn("last_epoch", F.lit(None).cast("int"))
+        )
+    z = F.lit(0)
+    total0 = F.coalesce("total_requests", z.cast("long"))
+    merged = (
+        merged.withColumn("_dt", F.coalesce("d_total", z.cast("long")))
+        .withColumn("total_requests_n", total0 + F.col("_dt"))
+        .withColumn(
+            "successful_requests_n",
+            F.coalesce("successful_requests", z.cast("long")) + F.coalesce("d_success", z.cast("long")),
+        )
+        .withColumn(
+            "failed_requests_n",
+            F.coalesce("failed_requests", z.cast("long")) + F.coalesce("d_failed", z.cast("long")),
+        )
+        # weighted mean of old mean and epoch mean ≙ the reference's running mean
+        .withColumn(
+            "avg_response_time_n",
+            F.when(F.col("total_requests_n") > 0,
+                (F.coalesce("avg_response_time", F.lit(0.0)) * total0
+                 + F.coalesce("d_avg_rt", F.lit(0.0)) * F.col("_dt"))
+                / F.col("total_requests_n"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("crawl_delay_0", F.coalesce("crawl_delay", F.lit(cfg.default_crawl_delay)))
+    )
+    # adaptive ladder (politeness_manager.py:306-315): only after >=10 requests
+    success_rate = F.col("successful_requests_n") / F.col("total_requests_n")
+    merged = merged.withColumn(
+        "crawl_delay_n",
+        F.when(
+            F.col("total_requests_n") >= 10,
+            F.when(
+                (success_rate < 0.8) | (F.col("avg_response_time_n") > 5.0),
+                F.least(F.col("crawl_delay_0") * 1.5, F.lit(10.0)),
+            )
+            .when(
+                (success_rate > 0.95) & (F.col("avg_response_time_n") < 1.0),
+                F.greatest(F.col("crawl_delay_0") * 0.8, F.lit(0.5)),
+            )
+            .otherwise(F.col("crawl_delay_0")),
+        ).otherwise(F.col("crawl_delay_0")),
+    )
+    return merged.select(
+        "host",
+        F.col("total_requests_n").alias("total_requests"),
+        F.col("successful_requests_n").alias("successful_requests"),
+        F.col("failed_requests_n").alias("failed_requests"),
+        F.col("avg_response_time_n").alias("avg_response_time"),
+        F.col("crawl_delay_n").alias("crawl_delay"),
+        F.when(F.col("_dt") > 0, F.lit(epoch)).otherwise(F.coalesce("last_epoch", F.lit(epoch))).alias("last_epoch"),
+    )

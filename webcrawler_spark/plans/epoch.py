@@ -1,0 +1,340 @@
+"""The batch-epoch crawl driver.
+
+Each epoch is one Spark job implementing the reference's full pipeline
+(SURVEY §3): ingest -> canonicalize -> dedup -> score -> schedule ->
+fetch(join) -> parse -> link-discover -> index -> checkpoint. Kafka topics
+become DataFrames; the crawl loop becomes ``for epoch in range(E)``; Redis
+state becomes catalog tables committed per epoch.
+
+Determinism: no wall clock, no uuids — timestamps are the epoch number,
+orderings are total (url_norm tiebreak), so the crawl order and the final
+seen set are exact functions of (seeds, pages, robots, budget). The pure
+Python oracle (webcrawler_spark/oracle.py) replays the same semantics and
+the tests diff them epoch by epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StringType, StructField, StructType
+
+from ..config import CrawlConfig, DEFAULT_CONFIG
+from ..functions import columns as C
+from ..functions.udfs import extract_metadata_udf
+from ..operators import dedup as D
+from ..operators import links as L
+from ..operators import scheduler as S
+from ..storage.catalog import Catalog
+
+_CAND_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("source_url", StringType(), True),
+        StructField("depth", IntegerType(), True),
+        StructField("source_priority", IntegerType(), True),
+    ]
+)
+
+
+def _empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("url_fp", LongType(), False),
+                StructField("url_norm", StringType(), False),
+                StructField("host", StringType(), False),
+            ]
+        ),
+    )
+
+
+def prepare_pages(pages: DataFrame) -> DataFrame:
+    """Canonicalize the page table once (url_norm is the fetch-join key) and
+    keep only the columns the epoch loop touches. On a cluster this is a
+    one-time materialization bucketed by host."""
+    return D.canonicalize(pages).select(
+        "url_norm",
+        F.col("host").alias("page_host"),
+        "html",
+        "text",
+        "lang",
+        "warc_ts",
+    )
+
+
+def ingest_candidates(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    epoch: int,
+    cfg: CrawlConfig,
+    bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Entry point A (SURVEY §3.1): normalize -> batch-dedup -> seen anti-join
+    -> priority. Returns new frontier rows."""
+    canon = D.canonicalize(candidates)
+    # within-batch dedup by url_norm: deterministic merge (min depth, max
+    # source priority, lexicographically-first raw url/source)
+    merged = canon.groupBy("url_norm", "url_fp", "host", "path").agg(
+        F.min("url").alias("url"),
+        F.min("depth").alias("depth"),
+        F.max("source_priority").alias("source_priority"),
+        F.min("source_url").alias("source_url"),
+    )
+    new = D.dedupe_new_urls(merged, seen, bloom=bloom)
+    return (
+        new.withColumn(
+            "priority",
+            C.url_priority(F.col("url_norm"), F.col("depth"), F.col("source_priority")),
+        )
+        .withColumn("status", F.lit("pending"))
+        .withColumn("discovered_epoch", F.lit(epoch))
+        .drop("source_priority")
+    )
+
+
+def run_epoch(
+    spark: SparkSession,
+    cat: Catalog,
+    pages_prepared: DataFrame,
+    robots: DataFrame | None,
+    epoch: int,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+    seeds: DataFrame | None = None,
+    verify_extraction: bool = False,
+) -> dict:
+    """Run one crawl epoch and commit its snapshot. Returns the counters."""
+    prev = epoch - 1
+    seen_prev = cat.read_delta_union("seen", prev)
+    frontier_prev = cat.read_snapshot("frontier", prev)
+    deferred_prev = cat.read_snapshot("deferred", prev)
+    host_stats_prev = cat.read_snapshot("host_stats", prev)
+
+    # ---- 1. candidates: seeds at epoch 0, else links discovered last epoch (U1)
+    if seeds is not None:
+        candidates = seeds.select(
+            "url",
+            F.lit(None).cast("string").alias("source_url"),
+            F.col("depth").cast("int"),
+            F.col("priority").cast("int").alias("source_priority"),
+        )
+    else:
+        links_prev = cat.read_delta_union("links", prev)
+        if links_prev is not None:
+            links_prev = links_prev.filter(F.col("discovered_epoch") == prev)
+            candidates = L.discovered_candidates(links_prev, cfg)
+        else:
+            candidates = spark.createDataFrame([], _CAND_SCHEMA)
+
+    new_frontier_rows = ingest_candidates(spark, candidates, seen_prev, epoch, cfg)
+
+    # ---- 2. pending = prior pending frontier ∪ new rows ∪ ready deferred
+    cols = [
+        "url", "url_norm", "url_fp", "host", "path", "priority", "depth",
+        "source_url", "discovered_epoch",
+    ]
+    new_pending = new_frontier_rows.select(*cols).withColumn("attempts", F.lit(0))
+    if frontier_prev is not None:
+        old_pending = (
+            frontier_prev.filter(F.col("status") == "pending")
+            .withColumn("path", F.expr("parse_url(url_norm, 'PATH')"))
+            .select(*cols)
+            .withColumn("attempts", F.lit(0))
+        )
+        pending = old_pending.unionByName(new_pending)
+    else:
+        pending = new_pending
+    if deferred_prev is not None:
+        ready = (
+            deferred_prev.filter(F.col("ready_epoch") <= epoch)
+            .withColumn("path", F.expr("parse_url(url_norm, 'PATH')"))
+            .select(*cols, "attempts")
+        )
+        not_ready = deferred_prev.filter(F.col("ready_epoch") > epoch)
+        pending = pending.unionByName(ready)
+    else:
+        not_ready = None
+
+    # ---- 3. schedule under politeness budget (flagship, W1)
+    schedule, deferred_new, rejected = S.schedule_epoch(
+        pending, robots, host_stats_prev, epoch, cfg
+    )
+    schedule = schedule.persist()
+
+    # ---- 4. "fetch" = equi join against the page table (J5 replaces S10 HTTP)
+    fetched = schedule.join(pages_prepared, "url_norm", "left").persist()
+    ok = fetched.filter(F.col("html").isNotNull())
+
+    if verify_extraction:
+        from ..functions.udfs import extract_text_udf
+
+        mismatches = ok.withColumn("_ext", extract_text_udf(F.col("html"))).filter(
+            F.col("_ext") != F.col("text")
+        )
+        n_bad = mismatches.count()
+        if n_bad:
+            raise AssertionError(f"extract_text != text for {n_bad} rows (byte-identity broken)")
+
+    # ---- 5. parse: links (F16/P2-P4/U2) + docs (F7/F11/F14/F15)
+    links_df = L.extract_all_links(
+        ok.select("url_norm", "html", "depth"), epoch
+    ).dropDuplicates(["source_url", "target_url"])
+
+    meta = ok.withColumn("_meta", extract_metadata_udf(F.col("html"), F.col("url_norm")))
+    docs = (
+        meta.withColumn("content_hash", C.content_hash(F.col("text")))
+        .withColumn("title", F.col("_meta.title"))
+        .withColumn("description", F.col("_meta.description"))
+        .withColumn(
+            "quality_score",
+            C.quality_score(F.col("text"), F.col("title"), F.col("description")),
+        )
+        .withColumn("content_type", C.classify_content_type(F.col("text"), F.col("title")))
+        .withColumn("word_count", C.word_count(F.col("text")).cast("int"))
+    )
+
+    # content-hash dedup across everything indexed so far (J4)
+    web_prev = cat.read_delta_union("web_content", prev)
+    fresh_docs = D.content_dedup(docs, "content_hash", "url_norm")
+    if web_prev is not None:
+        fresh_docs = fresh_docs.join(
+            web_prev.select(F.col("content_hash").alias("_ch")).distinct(),
+            fresh_docs["content_hash"] == F.col("_ch"),
+            "left_anti",
+        )
+    web_delta = fresh_docs.filter(F.col("action") == "indexed").select(
+        F.col("url").alias("url"),
+        "url_norm",
+        "host",
+        "title",
+        "description",
+        F.col("text").alias("content"),
+        "content_hash",
+        F.col("lang").alias("language"),
+        "content_type",
+        "quality_score",
+        "word_count",
+        F.lit(None).cast("array<string>").alias("keywords"),
+        F.lit(epoch).alias("crawled_epoch"),
+    )
+
+    # ---- 6. adaptive host stats (A3/A4); synthetic deterministic response time
+    fetch_results = fetched.select(
+        "host",
+        F.col("html").isNotNull().alias("success"),
+        # deterministic stand-in for response_time: content size in MB
+        (F.coalesce(F.length("html"), F.lit(0)) / F.lit(1e6)).alias("response_time"),
+    )
+    host_stats_new = S.adaptive_host_stats(fetch_results, host_stats_prev, epoch, cfg)
+
+    # ---- 7. next frontier snapshot: status transitions
+    fr_cols = [
+        "url", "url_norm", "url_fp", "host", "priority", "depth",
+        "source_url", "status", "discovered_epoch",
+    ]
+    frontier_all = (
+        frontier_prev.select(*fr_cols)
+        if frontier_prev is not None
+        else spark.createDataFrame([], _frontier_schema())
+    ).unionByName(new_frontier_rows.select(*fr_cols))
+    fetched_fps = ok.select("url_fp").withColumn("_f", F.lit(True))
+    scheduled_fps = schedule.select("url_fp").withColumn("_sch", F.lit(True))
+    deferred_fps = deferred_new.select("url_fp").withColumn("_d", F.lit(True))
+    rejected_fps = rejected.select("url_fp").withColumn("_r", F.lit(True))
+    frontier_next = (
+        frontier_all.join(scheduled_fps, "url_fp", "left")
+        .join(fetched_fps, "url_fp", "left")
+        .join(deferred_fps, "url_fp", "left")
+        .join(rejected_fps, "url_fp", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("_f").isNotNull(), F.lit("fetched"))
+            .when(F.col("_sch").isNotNull(), F.lit("failed"))
+            # deferred rows leave the pending pool; they re-enter via the
+            # deferred table when their ready_epoch arrives (W3)
+            .when(F.col("_d").isNotNull(), F.lit("deferred"))
+            # robots/attempt rejections are terminal (P5/P10)
+            .when(F.col("_r").isNotNull(), F.lit("rejected"))
+            .otherwise(F.col("status")),
+        )
+        .drop("_sch", "_f", "_d", "_r")
+    )
+
+    # ---- 8. seen delta = the new URLs admitted this epoch (U3)
+    seen_delta = new_frontier_rows.select(
+        "url_fp", "url_norm", "host", F.lit(epoch).alias("epoch")
+    )
+
+    # deferred snapshot = not-ready leftovers ∪ new deferrals (U4)
+    deferred_cols = [
+        "url", "url_norm", "url_fp", "host", "priority", "depth", "source_url",
+        "discovered_epoch", "ready_epoch", "reason", "attempts",
+    ]
+    deferred_out = deferred_new.select(*deferred_cols)
+    if not_ready is not None:
+        deferred_out = deferred_out.unionByName(not_ready.select(*deferred_cols))
+
+    # ---- 9. commit: stage tables, then atomically publish the manifest (S14)
+    counts = {}
+    counts["schedule"] = cat.stage("schedule", epoch, schedule.drop("path"))
+    counts["seen"] = cat.stage("seen", epoch, seen_delta)
+    counts["frontier"] = cat.stage("frontier", epoch, frontier_next)
+    counts["deferred"] = cat.stage("deferred", epoch, deferred_out)
+    counts["links"] = cat.stage("links", epoch, links_df)
+    counts["web_content"] = cat.stage("web_content", epoch, web_delta)
+    counts["host_stats"] = cat.stage("host_stats", epoch, host_stats_new)
+
+    counters = {
+        "epoch": epoch,
+        "urls_new": counts["seen"],
+        "urls_scheduled": counts["schedule"],
+        "urls_deferred": counts["deferred"],
+        "pages_fetched": counts["web_content"],
+        "links_discovered": counts["links"],
+    }
+    cat.commit_epoch(epoch, counts, counters)
+    schedule.unpersist()
+    fetched.unpersist()
+    return counters
+
+
+def _frontier_schema() -> StructType:
+    from .. import schemas
+
+    return schemas.FRONTIER
+
+
+def run_epochs(
+    spark: SparkSession,
+    cat: Catalog,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame | None,
+    n_epochs: int,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+    start_epoch: int | None = None,
+    verify_extraction: bool = False,
+) -> list[dict]:
+    """Run epochs [start..start+n). ``start_epoch=None`` resumes after the
+    last committed epoch (S14: the manifest IS the offset)."""
+    pages_prepared = prepare_pages(pages).persist()
+    last = cat.last_committed_epoch()
+    start = start_epoch if start_epoch is not None else (0 if last is None else last + 1)
+    out = []
+    for epoch in range(start, start + n_epochs):
+        out.append(
+            run_epoch(
+                spark,
+                cat,
+                pages_prepared,
+                robots,
+                epoch,
+                cfg,
+                seeds=seeds if epoch == 0 else None,
+                verify_extraction=verify_extraction,
+            )
+        )
+    pages_prepared.unpersist()
+    return out
