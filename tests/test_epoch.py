@@ -1,0 +1,127 @@
+"""End-to-end multi-epoch crawl: oracle parity + resume round-trip.
+
+The north rule: crawl ordering and the final URL-seen set must match the
+deterministic reference oracle under the same seed list + politeness budget;
+any epoch must be resumable from its checkpoint.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import CrawlConfig
+from webcrawler_spark.oracle import run_oracle
+from webcrawler_spark.plans import epoch as E
+from webcrawler_spark.storage.catalog import Catalog
+
+# small budget so deferral paths are exercised
+CFG = CrawlConfig(epoch_seconds=6, hot_host_salt=2)
+N_EPOCHS = 3
+
+
+def _spark_schedules(cat, n_epochs):
+    out = []
+    for e in range(n_epochs):
+        df = cat.read_delta_union("schedule", e)
+        rows = df.filter(F.col("epoch") == e).orderBy("host", "rank_in_host").collect()
+        out.append([(r["host"], r["rank_in_host"], r["url_norm"]) for r in rows])
+    return out
+
+
+@pytest.fixture(scope="module")
+def crawl_run(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl")
+    cat = Catalog(spark, str(root))
+    counters = E.run_epochs(
+        spark, cat, pages_df, seeds_df, robots_df, N_EPOCHS, CFG, verify_extraction=True
+    )
+    return cat, counters
+
+
+@pytest.fixture(scope="module")
+def oracle_run(web):
+    return run_oracle(web["pages"], web["seeds"], web["robots"], N_EPOCHS, CFG)
+
+
+def test_crawl_order_parity(crawl_run, oracle_run):
+    cat, _ = crawl_run
+    spark_scheds = _spark_schedules(cat, N_EPOCHS)
+    for e in range(N_EPOCHS):
+        assert spark_scheds[e] == oracle_run.schedules[e], f"epoch {e} order mismatch"
+
+
+def test_seen_set_parity(spark, crawl_run, oracle_run):
+    cat, _ = crawl_run
+    seen = cat.read_delta_union("seen", N_EPOCHS - 1)
+    spark_seen = {r["url_norm"] for r in seen.collect()}
+    assert spark_seen == oracle_run.seen
+
+
+def test_counters_parity(crawl_run, oracle_run):
+    _, counters = crawl_run
+    for e in range(N_EPOCHS):
+        got = counters[e]
+        want = oracle_run.counters[e]
+        assert got["urls_new"] == want["urls_new"], f"epoch {e} urls_new"
+        assert got["urls_scheduled"] == want["urls_scheduled"], f"epoch {e} scheduled"
+        assert got["urls_deferred"] == want["urls_deferred"], f"epoch {e} deferred"
+        assert got["links_discovered"] == want["links_discovered"], f"epoch {e} links"
+
+
+def test_deferred_rows_eventually_scheduled(crawl_run, oracle_run):
+    """Deferral actually happened (budget small enough) and deferred rows
+    re-entered later epochs."""
+    _, counters = crawl_run
+    assert any(c["urls_deferred"] > 0 for c in counters)
+    # something got scheduled after epoch 0 (discovered or deferred re-entry)
+    assert counters[1]["urls_scheduled"] > 0
+
+
+def test_resume_round_trip(spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run):
+    """Run 0..2 in one go vs run 0..1, reopen catalog, run 2 — identical."""
+    cat_full, _ = crawl_run
+
+    root2 = tmp_path_factory.mktemp("crawl_resume")
+    cat2 = Catalog(spark, str(root2))
+    E.run_epochs(spark, cat2, pages_df, seeds_df, robots_df, 2, CFG)
+    # simulate a restart: new Catalog object over the same root
+    cat2b = Catalog(spark, str(root2))
+    assert cat2b.last_committed_epoch() == 1
+    E.run_epochs(spark, cat2b, pages_df, seeds_df, robots_df, 1, CFG)
+
+    assert _spark_schedules(cat2b, N_EPOCHS) == _spark_schedules(cat_full, N_EPOCHS)
+    seen_a = {r["url_norm"] for r in cat_full.read_delta_union("seen", 2).collect()}
+    seen_b = {r["url_norm"] for r in cat2b.read_delta_union("seen", 2).collect()}
+    assert seen_a == seen_b
+    # frontier snapshots identical
+    fa = {(r["url_norm"], r["status"]) for r in cat_full.read_snapshot("frontier", 2).collect()}
+    fb = {(r["url_norm"], r["status"]) for r in cat2b.read_snapshot("frontier", 2).collect()}
+    assert fa == fb
+
+
+def test_uncommitted_epoch_invisible(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    """Snapshot isolation: data staged without a manifest commit is unread."""
+    root = tmp_path_factory.mktemp("crawl_iso")
+    cat = Catalog(spark, str(root))
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 1, CFG)
+    # stage epoch-1 data but do NOT commit
+    df = spark.range(5).select(
+        F.lit(99).cast("long").alias("url_fp"),
+        F.lit("x").alias("url_norm"),
+        F.lit("h").alias("host"),
+        F.lit(1).alias("epoch"),
+    )
+    cat.stage("seen", 1, df)
+    assert cat.last_committed_epoch() == 0
+    seen = cat.read_delta_union("seen", 1)
+    assert seen.filter(F.col("url_norm") == "x").count() == 0
+
+
+def test_web_content_and_links_written(spark, crawl_run):
+    cat, _ = crawl_run
+    web_content = cat.read_delta_union("web_content", N_EPOCHS - 1)
+    assert web_content.count() > 0
+    assert web_content.filter(F.col("content_hash").isNull()).count() == 0
+    links = cat.read_delta_union("links", N_EPOCHS - 1)
+    assert links.count() > 0
+    types = {r["link_type"] for r in links.select("link_type").distinct().collect()}
+    assert "internal" in types and "external" in types

@@ -96,15 +96,21 @@ def schedule_epoch(
 
     # ---- W1: per-host top-k under total ordering, optionally salted (skew)
     salt = salt_factor if salt_factor is not None else cfg.hot_host_salt
+    pre_overflow = None
     if salt and salt > 1:
         pre_w = Window.partitionBy("host", "salt").orderBy(*_ORDER())
-        pending = (
-            pending.withColumn("salt", F.pmod(F.xxhash64("url_norm"), F.lit(salt)).cast("int"))
-            .withColumn("_pre_rank", F.row_number().over(pre_w))
-            # each salt keeps at most the full budget — union is a superset of
-            # the true per-host top-budget, so phase 2 is exact
-            .filter(F.col("_pre_rank") <= F.col("host_budget"))
-            .drop("salt", "_pre_rank")
+        salted = pending.withColumn(
+            "salt", F.pmod(F.xxhash64("url_norm"), F.lit(salt)).cast("int")
+        ).withColumn("_pre_rank", F.row_number().over(pre_w))
+        # a row ranked > budget within its salt has >= budget rows ahead of it
+        # in the full host ordering too => its true host rank > budget, so it
+        # is provably deferred and can skip the final (bounded) window
+        pre_overflow = salted.filter(F.col("_pre_rank") > F.col("host_budget")).drop(
+            "salt", "_pre_rank"
+        )
+        # survivors: at most salt*budget rows per host enter the final sort
+        pending = salted.filter(F.col("_pre_rank") <= F.col("host_budget")).drop(
+            "salt", "_pre_rank"
         )
     w = Window.partitionBy("host").orderBy(*_ORDER())
     ranked = pending.withColumn("rank_in_host", F.row_number().over(w))
@@ -116,12 +122,16 @@ def schedule_epoch(
         .drop("host_budget")
     )
 
+    overflow = ranked.filter(F.col("rank_in_host") > F.col("host_budget")).drop(
+        "rank_in_host"
+    )
+    if pre_overflow is not None:
+        overflow = overflow.unionByName(pre_overflow)
     deferred_next = (
-        ranked.filter(F.col("rank_in_host") > F.col("host_budget"))
-        .withColumn("ready_epoch", F.lit(epoch + 1))
+        overflow.withColumn("ready_epoch", F.lit(epoch + 1))
         .withColumn("reason", F.lit("politeness_budget"))
         .withColumn("attempts", F.col("attempts") + 1)
-        .drop("rank_in_host", "host_budget")
+        .drop("host_budget")
     )
 
     rejected = overdrawn
