@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "frontier": {"urls_per_sec": ..., "n_urls": ...},
+   "scaling": {"cores_lo": 8, "cores_hi": 32, "lo_urls_per_sec": ...,
+                "hi_urls_per_sec": ..., "efficiency": ...}}
+
+The frontier bench is the north-rule metric: URLs canonicalized + deduped +
+politeness-scheduled per second over a skewed synthetic frontier generated
+JVM-side (no Python in the data path except the vectorized canonicalize UDF —
+the real hot path). Scaling efficiency is evidenced by running the same
+frontier job at local[8] vs local[32] in child processes (the sandbox
+stand-in for N vs 4N executors).
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip the
+     two-process scaling run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "frontier_topk_per_host",
+    "priority_drain",
+    "rate_limit_gate",
+    "content_dedup",
+    "keywords_global",
+    "search_score",
+    "analytics_overview",
+    "ann_cosine_topk",
+    "lineitem_pricing",
+    "minhash_near_dups",
+]
+
+
+def synth_frontier(spark, n_urls: int, n_hosts: int = 1000):
+    """Skewed synthetic URL frontier, generated entirely JVM-side:
+    ~30% of URLs land on 3 hot hosts (the skew the salted top-k handles);
+    URL variants embed normalization traps (utm params, case, ports,
+    trailing slashes) so the canonicalize UDF does real work."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_urls)
+    h = F.pmod(F.xxhash64("id"), F.lit(10000))
+    host_id = F.when(h < 3000, F.pmod(h, F.lit(3))).otherwise(
+        F.pmod(h, F.lit(n_hosts - 3)) + 3
+    )
+    variant = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5))
+    base = F.concat(
+        F.lit("https://site"), host_id.cast("string"), F.lit(".com/page-"),
+        F.col("id").cast("string"),
+    )
+    url = (
+        F.when(variant == 0, F.concat(base, F.lit("?utm_source=bench&id=1")))
+        .when(variant == 1, F.concat(base, F.lit("/")))
+        .when(variant == 2, F.upper(base))
+        .when(variant == 3, F.regexp_replace(base, "\\.com/", ".com:443/"))
+        .otherwise(base)
+    )
+    return df.select(
+        url.alias("url"),
+        F.lit(None).cast("string").alias("source_url"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(5)).cast("int").alias("depth"),
+        F.pmod(F.xxhash64("id", F.lit(17)), F.lit(20)).cast("int").alias("source_priority"),
+    )
+
+
+def frontier_bench(spark, n_urls: int) -> dict:
+    """Timed: canonicalize -> fingerprint -> anti-join dedup -> priority ->
+    politeness schedule -> count. Returns urls/sec."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.functions import columns as C
+    from webcrawler_spark.operators import dedup as D
+    from webcrawler_spark.operators import scheduler as S
+
+    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=8)
+
+    # seen set: first half of the id space, canonical fps (setup, untimed)
+    seen = (
+        D.canonicalize(synth_frontier(spark, n_urls // 2))
+        .select("url_fp")
+        .persist()
+    )
+    seen.count()
+
+    candidates = synth_frontier(spark, n_urls)
+    t0 = time.time()
+    canon = D.canonicalize(candidates)
+    merged = canon.groupBy("url_norm", "url_fp", "host", "path").agg(
+        F.min("url").alias("url"),
+        F.min("depth").alias("depth"),
+        F.max("source_priority").alias("source_priority"),
+        F.min("source_url").alias("source_url"),
+    )
+    new = D.dedupe_new_urls(merged, seen)
+    pending = (
+        new.withColumn(
+            "priority",
+            C.url_priority(F.col("url_norm"), F.col("depth"), F.col("source_priority")),
+        )
+        .withColumn("discovered_epoch", F.lit(0))
+        .withColumn("attempts", F.lit(0))
+        .drop("source_priority")
+    )
+    schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
+    n_scheduled = schedule.count()
+    n_deferred = deferred.count()
+    elapsed = time.time() - t0
+    seen.unpersist()
+    return {
+        "n_urls": n_urls,
+        "n_scheduled": n_scheduled,
+        "n_deferred": n_deferred,
+        "seconds": round(elapsed, 3),
+        "urls_per_sec": round(n_urls / elapsed, 1),
+    }
+
+
+def _child_main(cores: int, n_urls: int) -> None:
+    from webcrawler_spark.session import get_spark
+
+    spark = get_spark(f"frontier-bench-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+    out = frontier_bench(spark, n_urls)
+    print("CHILD_RESULT " + json.dumps(out))
+    spark.stop()
+
+
+def _run_child(cores: int, n_urls: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_DRIVER_MEM"] = "4g"
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_urls)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child bench failed: {proc.stdout[-2000:]} {proc.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        _child_main(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    from webcrawler_spark.queries import QUERIES
+    from webcrawler_spark.session import get_spark
+
+    spark = get_spark("webcrawler-bench", cores=cores, shuffle_partitions=max(cores, 8))
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    # north-rule metric in-session
+    n_urls = int(2_000_000 * (sf_val or 0.1) / 0.1)
+    t0 = time.time()
+    frontier = frontier_bench(spark, n_urls)
+    timings["frontier_epoch"] = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "frontier": frontier,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        lo = _run_child(8, n_urls)
+        hi = _run_child(32, n_urls)
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (32 / 8)
+        result["scaling"] = {
+            "cores_lo": 8,
+            "cores_hi": 32,
+            "lo_urls_per_sec": lo["urls_per_sec"],
+            "hi_urls_per_sec": hi["urls_per_sec"],
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Search-style analytics: the ES query DSL re-expressed relationally
+(SURVEY §2.9 Q1-Q6 + §2.5 A9-A11).
+
+All native Column expressions — facets in one pass, token-overlap scoring
+with field boosts, range filters, prefix suggestions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def facet_counts(df: DataFrame, col: str, limit: int) -> DataFrame:
+    """ES terms aggregation (search-api/app.py:264-287): top-N values by
+    count, deterministic tiebreak on the value."""
+    return (
+        df.groupBy(F.col(col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc(col))
+        .limit(limit)
+    )
+
+
+def range_facets(df: DataFrame, col: str, edges: list[float], labels: list[str]) -> DataFrame:
+    """ES range aggregation (quality buckets, search-api/app.py:278-287)."""
+    expr = None
+    c = F.col(col)
+    for i, label in enumerate(labels):
+        cond = (c < edges[i]) if i < len(edges) else None
+        if expr is None:
+            expr = F.when(cond, F.lit(label))
+        elif cond is not None:
+            expr = expr.when(cond, F.lit(label))
+        else:
+            expr = expr.otherwise(F.lit(label))
+    return df.groupBy(expr.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def analytics_overview(df: DataFrame, group_col: str, stat_col: str) -> DataFrame:
+    """ES analytics (search-api/app.py:393-459): doc count, cardinality,
+    stats agg. Exact countDistinct here so the DuckDB oracle agrees;
+    approx_count_distinct is the 100 TB knob (ES cardinality is itself HLL)."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(group_col).alias("n_groups"),
+        F.round(F.avg(stat_col), 4).alias("avg_stat"),
+        F.min(stat_col).alias("min_stat"),
+        F.max(stat_col).alias("max_stat"),
+    )
+
+
+def match_score(text: Column, query_tokens: list[str]) -> Column:
+    """multi_match-style scoring (search-api/app.py:205-217): number of
+    distinct query tokens present in the field's token set."""
+    return F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(text)),
+            F.array(*[F.lit(t) for t in query_tokens]),
+        )
+    )
+
+
+def search(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    require_all: bool = False,
+) -> DataFrame:
+    """Filter-then-score (bool must+filter semantics, Q4): non-scoring
+    filters first, match count as score, deterministic top-k."""
+    scored = df.select(
+        F.col(id_col), match_score(F.col(text_col), query_tokens).alias("score")
+    )
+    min_score = len(query_tokens) if require_all else 1
+    return (
+        scored.filter(F.col("score") >= min_score)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def suggest_prefix(
+    df: DataFrame, field: str, prefix: str, rank_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Completion suggester (search-api/app.py:357-391): prefix match, top-k
+    by rank column."""
+    return (
+        df.filter(F.lower(F.col(field)).startswith(prefix.lower()))
+        .orderBy(F.desc(rank_col), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,252 @@
+"""Near-duplicate detection + similarity search at scale.
+
+- MinHash + LSH banding over character shingles: shingle -> minhash
+  signature (vectorized numpy inside a pandas UDF) -> band buckets ->
+  bucket-equi-join for candidate pairs -> exact Jaccard verify. The
+  bucket join is the only shuffle; no O(n^2) stage.
+- Exact n-gram Jaccard verification for candidate pairs.
+- Embedding similarity: brute-force cosine top-k (native higher-order
+  functions — JVM-side) and a random-hyperplane LSH-bucketed variant for the
+  100 TB path (bucket join instead of full cross product).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
+
+# deterministic 64-bit mix constants (splitmix64, public domain)
+_MIX1 = 0xBF58476D1CE4E5B9
+_MIX2 = 0x94D049BB133111EB
+_MASK = (1 << 64) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5):
+    """Hash every k-char shingle to uint64 (numpy-vectorized)."""
+    import numpy as np
+
+    data = (text or "").lower().encode("utf-8", errors="ignore")
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # polynomial rolling base-257 hash of each window, computed by prefix trick
+    n = len(arr) - k + 1
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(k):  # k is small (5): k vector ops, not a per-row loop
+        h = h * np.uint64(257) + arr[i : i + n]
+    # splitmix finalize
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(_MIX1) & np.uint64(_MASK)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(_MIX2) & np.uint64(_MASK)
+    h ^= h >> np.uint64(31)
+    return np.unique(h)
+
+
+def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42):
+    """Returns a pandas UDF text -> array<bigint> minhash signature.
+    Permutations are (a*x+b) universal hashes with seeded coefficients."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MASK, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MASK, size=n_hashes, dtype=np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            sh = _shingle_hashes(t, shingle_k)
+            if len(sh) == 0:
+                out.append([0] * n_hashes)
+                continue
+            # (n_hashes x n_shingles) min over shingles
+            vals = (a[:, None] * sh[None, :] + b[:, None]) & np.uint64(_MASK)
+            mins = vals.min(axis=1).astype(np.int64)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """LSH near-dup pairs: docs agreeing on any band become candidates; the
+    estimated Jaccard (signature agreement rate) filters to >= threshold.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    Scale: the band explode is x bands rows; the self-join is bucket-equi
+    (band_id, band_hash) — skew-safe under AQE; no cross product."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature_udf(n_hashes, shingle_k)
+    signed = docs.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+
+    banded = signed.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cands.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes)),
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
+@pandas_udf(DoubleType())
+def _exact_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        sa = set((x or "").lower().split())
+        sb = set((y or "").lower().split())
+        union = len(sa | sb)
+        out.append(len(sa & sb) / union if union else 0.0)
+    return pd.Series(out)
+
+
+def verify_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs (broadcastable dim join)."""
+    d = docs.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    out = (
+        pairs.join(d.withColumnRenamed("_id", "id_a").withColumnRenamed("_t", "_ta"), "id_a")
+        .join(d.withColumnRenamed("_id", "id_b").withColumnRenamed("_t", "_tb"), "id_b")
+        .withColumn("jaccard", F.round(_exact_jaccard_udf("_ta", "_tb"), 6))
+        .drop("_ta", "_tb")
+    )
+    return out
+
+
+# ---- embedding similarity -------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns — native
+    higher-order functions, fully JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Baseline ANN: score every row against one query vector, take top-k.
+    One scan + a global top-k (Spark's takeOrdered under orderBy+limit —
+    per-partition heaps then a driver merge of k*P rows, no full sort)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def lsh_hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of <v, h_i> = bucket id. Vectors in
+    the same bucket are cosine-close with high probability; ANN then probes
+    only the query's bucket (plus neighbors) — the 100 TB scale path where a
+    full scan per query is off the table."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @pandas_udf(IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (mat @ planes.T) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return embeddings.withColumn("bucket", _bucket(F.col(vec_col)))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_planes: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """ANN via hyperplane LSH: compute the query's bucket driver-side, scan
+    only that bucket, exact-cosine rank within it."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = int(((q @ planes.T > 0) * (1 << np.arange(n_planes))).sum())
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.filter(F.col("bucket") == qbucket)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

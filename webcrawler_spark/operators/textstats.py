@@ -1,0 +1,132 @@
+"""Text analysis operators over a documents table (doc_id, text, lang, ...).
+
+Large-scale training-data-pipeline primitives, all JVM-side Column
+expressions unless noted:
+
+- tokenization + token counting (whitespace / regex)
+- language-ID heuristic (stopword overlap — n-gram-free, deterministic)
+- quality scoring (length/structure/uniqueness ladder, from the reference's
+  parser quality score parser/app.py:353-397)
+- document fingerprinting (rolling polynomial hash — pandas UDF)
+- keyword extraction (explode -> filter -> count -> window top-k,
+  parser/app.py:426-442)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# shared stopword list (subset of english stopwords; fixed so Spark and the
+# DuckDB oracle agree byte-for-byte)
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for",
+    "with", "as", "by", "at", "from", "that", "this", "it", "are", "was",
+    "be", "has", "have",
+)
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercase alnum tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def lang_id_en(text: Column, min_hits: int = 2) -> Column:
+    """Stopword-overlap language ID: >= min_hits distinct English stopwords
+    => 'en', else 'other'. (The input tables carry a lang column; this is the
+    independent detector the reference runs via langdetect, parser/app.py:317-322.)"""
+    hits = F.size(F.array_intersect(F.array_distinct(tokens(text)), F.array(*[F.lit(s) for s in STOPWORDS])))
+    return F.when(hits >= min_hits, F.lit("en")).otherwise(F.lit("other"))
+
+
+def doc_quality(text: Column) -> Column:
+    """Text-only slice of the reference quality ladder (length tier +
+    uniqueness ratio; parser/app.py:357-364,389-395) — SQL-expressible."""
+    toks = F.filter(F.split(text, "\\s+"), lambda t: t != "")
+    wc = F.size(toks)
+    length_score = (
+        F.when(wc >= 300, F.lit(25.0))
+        .when(wc >= 150, F.lit(15.0))
+        .when(wc >= 50, F.lit(10.0))
+        .otherwise(F.lit(0.0))
+    )
+    lower_toks = F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+    uniq = F.when(
+        wc > 0, F.size(F.array_distinct(lower_toks)).cast("double") / wc
+    ).otherwise(F.lit(0.0))
+    return length_score + F.least(F.lit(20.0), uniq * 25)
+
+
+def keywords_per_doc(docs: DataFrame, id_col: str, text_col: str, k: int = 10) -> DataFrame:
+    """Per-doc top-k keyword extraction (parser/app.py:426-442): tokenize,
+    len>3, de-stopword, count, window top-k (freq desc, word asc)."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    ).filter((F.length("word") > 3) & ~F.col("word").isin(*STOPWORDS))
+    counts = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("freq"), F.asc("word"))
+    return counts.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---- document fingerprint (rolling polynomial hash; pandas UDF) ----------------
+
+_FP_BASE = 1000003
+_FP_MASK = (1 << 64) - 1
+
+
+def _rolling_fp(s: str) -> int:
+    h = 1469598103934665603  # FNV offset basis as start
+    for b in s.encode("utf-8"):
+        h = ((h * _FP_BASE) ^ b) & _FP_MASK
+    # fold to signed 64 for Spark LongType
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+@pandas_udf(LongType())
+def doc_fingerprint_udf(text: pd.Series) -> pd.Series:
+    """64-bit rolling-hash document fingerprint (content identity across
+    epochs without storing the text)."""
+    return text.map(lambda t: _rolling_fp(t or ""))
+
+
+# ---- simhash (near-dup fingerprint; pandas UDF, numpy-vectorized) --------------
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens: per-token 64-bit hashes vote
+    bitwise; sign of the vote is the fingerprint bit. Near-dup docs differ in
+    few bits (hamming distance)."""
+    import numpy as np
+
+    out = []
+    for t in text:
+        toks = (t or "").lower().split()
+        if not toks:
+            out.append(0)
+            continue
+        hs = np.array(
+            [_rolling_fp(tok) & _FP_MASK for tok in toks], dtype=np.uint64
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = 0
+        for i in range(64):
+            if votes[i] > 0:
+                fp |= 1 << i
+        out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+    return pd.Series(out, dtype="int64")
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two signed-64 fingerprints (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,673 @@
+"""Driver-contract query registry: each SURVEY §2 operator expressed twice —
+as a PySpark DataFrame program and as ANSI SQL for the DuckDB oracle.
+
+Column names/aliases are identical on both sides (the driver's compare sorts
+columns by name before hashing). Floats are rounded on both sides to absorb
+summation-order ulps. Queries run over the driver's TPC-H-ish tables
+(orders/lineitem/... + documents/events/embeddings); the crawler-semantics
+operators (canonicalize UDF, bloom, extraction, epoch loop) are covered by
+the pytest parity suite instead, plus rows-only entries here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import search as SE
+from .operators import similarity as SIM
+from .operators import textstats as TS
+
+# --------------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in TS.STOPWORDS)
+_QUERY_TOKENS = ["customer", "window", "batch"]
+_QT_SQL = ", ".join(f"'{t}'" for t in _QUERY_TOKENS)
+_TOKEN_RE = "[^a-z0-9]+"
+
+# --------------------------------------------------------------------------------
+# W1: per-host priority top-k (the frontier drain) — orders as the frontier,
+# customer as the host, totalprice as priority (frontier/app.py:300-319)
+
+
+def q_frontier_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_host")
+    )
+
+
+SQL_frontier_topk_per_host = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_host FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC)
+           AS rank_in_host
+  FROM orders
+) WHERE rank_in_host <= 3
+"""
+
+
+# S8: global priority drain (ORDER BY priority DESC ... LIMIT n)
+
+
+def q_priority_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+SQL_priority_drain = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC LIMIT 100
+"""
+
+
+# F5/A5: shard assignment + per-shard load counters
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("shard_id", F.pmod(F.col("user_id"), F.lit(8)).cast("int"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+SQL_shard_assignment = """
+SELECT CAST(user_id % 8 AS INT) AS shard_id, count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+# W3: 30-second delay buckets (url-scheduler/app.py:45-53)
+
+
+def q_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "bucket", F.floor(F.unix_timestamp("ts") / F.lit(30)).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_delay_buckets = """
+SELECT CAST(floor(epoch(ts) / 30) AS BIGINT) AS bucket, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# P8: per-minute rate-limit gate (politeness_manager.py:189-206)
+
+
+def q_rate_limit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    minute = F.floor(F.unix_timestamp("ts") / F.lit(60)).cast("long")
+    w = Window.partitionBy("user_id", "minute").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("minute", minute)
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "event_id",
+            F.when(F.col("rn") <= 2, F.lit("scheduled"))
+            .otherwise(F.lit("deferred"))
+            .alias("status"),
+        )
+    )
+
+
+SQL_rate_limit_gate = """
+SELECT event_id,
+       CASE WHEN rn <= 2 THEN 'scheduled' ELSE 'deferred' END AS status
+FROM (
+  SELECT event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(floor(epoch(ts)/60) AS BIGINT)
+                            ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+)
+"""
+
+
+# J2: exact-dup probe as left-anti join (deduplicator.py:88-121)
+
+
+def q_anti_join_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return orders.join(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey")
+
+
+SQL_anti_join_new = """
+SELECT o_orderkey FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+# J4: content-hash window dedup (indexer/app.py:216-253); hash of a text
+# prefix so duplicate groups actually exist in the synthetic corpus
+
+
+def q_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.substring("text", 1, 40))
+    w = Window.partitionBy("content_hash").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("first_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            F.when(F.col("rn") == 1, F.lit("indexed")).otherwise(F.lit("deduplicated")).alias("action"),
+            F.when(F.col("rn") == 1, F.lit(None).cast("long")).otherwise(F.col("first_id")).alias("original_doc_id"),
+        )
+    )
+
+
+SQL_content_dedup = """
+SELECT doc_id,
+       CASE WHEN rn = 1 THEN 'indexed' ELSE 'deduplicated' END AS action,
+       CASE WHEN rn = 1 THEN NULL ELSE first_id END AS original_doc_id
+FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY md5(substr(text,1,40)) ORDER BY doc_id ASC) AS rn,
+         FIRST_VALUE(doc_id) OVER (PARTITION BY md5(substr(text,1,40)) ORDER BY doc_id ASC) AS first_id
+  FROM documents
+)
+"""
+
+
+# A8-flavored: exact duplicate groups
+
+
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.substring("text", 1, 40)).alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+SQL_dup_groups = """
+SELECT md5(substr(text,1,40)) AS content_hash, count(*) AS n_dups
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# A9: terms facets
+
+
+def q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.facet_counts(_t(spark, sf_dir, "documents"), "source", 20)
+
+
+SQL_facet_source = """
+SELECT source, count(*) AS n FROM documents GROUP BY source
+ORDER BY n DESC, source ASC LIMIT 20
+"""
+
+
+def q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.facet_counts(_t(spark, sf_dir, "documents"), "lang", 10)
+
+
+SQL_facet_lang = """
+SELECT lang, count(*) AS n FROM documents GROUP BY lang
+ORDER BY n DESC, lang ASC LIMIT 10
+"""
+
+
+# A9 range aggregation: quality buckets over n_chars
+
+
+def q_quality_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.when(F.col("n_chars") < 40, F.lit("short"))
+        .when(F.col("n_chars") < 60, F.lit("medium"))
+        .when(F.col("n_chars") < 80, F.lit("long"))
+        .otherwise(F.lit("xlong"))
+    )
+    return docs.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_quality_range_facets = """
+SELECT CASE WHEN n_chars < 40 THEN 'short'
+            WHEN n_chars < 60 THEN 'medium'
+            WHEN n_chars < 80 THEN 'long'
+            ELSE 'xlong' END AS bucket,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+# A10: analytics overview (count / cardinality / stats)
+
+
+def q_analytics_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.analytics_overview(_t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
+SQL_analytics_overview = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_groups,
+       round(avg(n_chars), 4) AS avg_stat,
+       min(n_chars) AS min_stat,
+       max(n_chars) AS max_stat
+FROM documents
+"""
+
+
+# A3/A4: per-host stats + adaptive crawl-delay ladder
+# (politeness_manager.py:272-315) over events (error events = failures)
+
+
+def q_host_stats_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("total_requests"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("failed_requests"),
+    )
+    sr = (F.col("total_requests") - F.col("failed_requests")) / F.col("total_requests")
+    return agg.select(
+        "user_id",
+        "total_requests",
+        "failed_requests",
+        F.round(sr, 6).alias("success_rate"),
+        F.when((F.col("total_requests") >= 10) & (sr < 0.8), F.lit(1.5))
+        .when((F.col("total_requests") >= 10) & (sr > 0.95), F.lit(0.8))
+        .otherwise(F.lit(1.0))
+        .alias("next_delay"),
+    )
+
+
+SQL_host_stats_adaptive = """
+SELECT user_id, total_requests, failed_requests,
+       round((total_requests - failed_requests) * 1.0 / total_requests, 6) AS success_rate,
+       CASE WHEN total_requests >= 10
+                 AND (total_requests - failed_requests) * 1.0 / total_requests < 0.8 THEN 1.5
+            WHEN total_requests >= 10
+                 AND (total_requests - failed_requests) * 1.0 / total_requests > 0.95 THEN 0.8
+            ELSE 1.0 END AS next_delay
+FROM (
+  SELECT user_id, count(*) AS total_requests,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_requests
+  FROM events GROUP BY user_id
+)
+"""
+
+
+# F16/A12: keyword extraction — global top-20 and per-doc top-5
+
+
+def q_keywords_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(TS.tokens(F.col("text"))).alias("word")).filter(
+        (F.length("word") > 3) & ~F.col("word").isin(*TS.STOPWORDS)
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+SQL_keywords_global = f"""
+SELECT word, count(*) AS freq FROM (
+  SELECT unnest(string_split_regex(lower(text), '{_TOKEN_RE}')) AS word FROM documents
+) WHERE length(word) > 3 AND word NOT IN ({_STOP_SQL})
+GROUP BY word ORDER BY freq DESC, word ASC LIMIT 20
+"""
+
+
+def q_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.keywords_per_doc(docs, "doc_id", "text", k=5).select(
+        "doc_id", "word", "freq", "rank"
+    )
+
+
+SQL_keywords_per_doc = f"""
+SELECT doc_id, word, freq, rank FROM (
+  SELECT doc_id, word, freq,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY freq DESC, word ASC) AS rank
+  FROM (
+    SELECT doc_id, word, count(*) AS freq FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '{_TOKEN_RE}')) AS word
+      FROM documents
+    ) WHERE length(word) > 3 AND word NOT IN ({_STOP_SQL})
+    GROUP BY doc_id, word
+  )
+) WHERE rank <= 5
+"""
+
+
+# Q1-Q5: token-overlap search scoring + filters
+
+
+def q_search_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.search(_t(spark, sf_dir, "documents"), _QUERY_TOKENS, "text", "doc_id", k=20)
+
+
+SQL_search_score = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
+                            [{_QT_SQL}])) AS score
+  FROM documents
+) WHERE score >= 1 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_search_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(60, 100)
+    ).select("doc_id", "n_chars")
+
+
+SQL_search_filter_range = """
+SELECT doc_id, n_chars FROM documents
+WHERE lang = 'en' AND n_chars BETWEEN 60 AND 100
+"""
+
+
+# W6: prefix suggestions
+
+
+def q_suggest_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return SE.suggest_prefix(
+        _t(spark, sf_dir, "part"), "p_name", "small", "p_retailprice", "p_partkey", k=5
+    ).select("p_partkey", "p_name")
+
+
+SQL_suggest_prefix = """
+SELECT p_partkey, p_name FROM part
+WHERE lower(p_name) LIKE 'small%'
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 5
+"""
+
+
+# ANN: brute-force cosine top-k vs the vec_id=0 embedding
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.brute_force_topk(emb, list(qvec), "vec_id", "embedding", k=10)
+
+
+SQL_ann_cosine_topk = """
+SELECT vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cos_sim
+FROM embeddings e
+CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+# A1-flavored: partial+final aggregation showcase (pricing summary)
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 0).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_lineitem_pricing = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 0) AS sum_qty,
+       round(sum(l_extendedprice), 0) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# F19: token counting
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+    return docs.select("doc_id", F.size(ws).alias("n_tokens"), "n_chars")
+
+
+SQL_token_count = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+       n_chars
+FROM documents
+"""
+
+
+# F17: language-ID heuristic (independent of the lang column)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id_en(F.col("text")).alias("lang_pred"))
+
+
+SQL_lang_id = f"""
+SELECT doc_id,
+       CASE WHEN len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
+                                    [{_STOP_SQL}])) >= 2
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+# F14 (text-only slice): quality scoring ladder
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(TS.doc_quality(F.col("text")), 4).alias("quality"))
+
+
+SQL_doc_quality = """
+SELECT doc_id,
+       round(
+         CASE WHEN wc >= 300 THEN 25.0
+              WHEN wc >= 150 THEN 15.0
+              WHEN wc >= 50 THEN 10.0
+              ELSE 0.0 END
+         + least(20.0, (uw * 1.0 / wc) * 25), 4) AS quality
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS wc,
+         len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != ''))) AS uw
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------------
+# rows-only queries (no SQL oracle — UDF/iterative semantics); the driver
+# records a weaker rows-only check for these
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = SIM.minhash_near_dups(docs, "doc_id", "text", n_hashes=64, bands=16,
+                                  jaccard_threshold=0.35)
+    return SIM.verify_jaccard(pairs, docs, "doc_id", "text").select(
+        "id_a", "id_b", "est_jaccard", "jaccard"
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.simhash_udf(F.col("text")).alias("simhash"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.doc_fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.lsh_topk(emb, list(qvec), n_planes=8, dim=len(qvec), k=10)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo: documents' bytes as opaque media payloads ->
+    mapInPandas feature extraction (decode stubbed; see operators/multimodal)."""
+    from .operators import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                     (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int")).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        F.lit(3000).alias("duration_ms"),
+    )
+    return MM.extract_media_features(media, dim=16)
+
+
+def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real flagship on a deterministic in-memory synthetic web: epoch-0
+    fetch schedule under the politeness budget (rows-only; parity vs the
+    pure-Python oracle is enforced in tests/test_epoch.py)."""
+    from . import synth
+    from .config import CrawlConfig
+    from .operators import dedup as D
+    from .operators import scheduler as S
+
+    web = synth.generate_web(seed=42, n_hosts=12, n_pages=90)
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2)
+    seeds = spark.createDataFrame(
+        [(s["url"], s["priority"], s["depth"]) for s in web["seeds"]],
+        "url string, priority int, depth int",
+    )
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in web["robots"]],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    cand = seeds.select(
+        "url",
+        F.lit(None).cast("string").alias("source_url"),
+        F.col("depth"),
+        F.col("priority").alias("source_priority"),
+    )
+    canon = D.canonicalize(cand)
+    merged = canon.groupBy("url_norm", "url_fp", "host", "path").agg(
+        F.min("url").alias("url"),
+        F.min("depth").alias("depth"),
+        F.max("source_priority").alias("source_priority"),
+    )
+    from .functions import columns as C
+
+    pending = (
+        merged.withColumn(
+            "priority", C.url_priority(F.col("url_norm"), F.col("depth"), F.col("source_priority"))
+        )
+        .withColumn("discovered_epoch", F.lit(0))
+        .withColumn("attempts", F.lit(0))
+        .withColumn("source_url", F.lit(None).cast("string"))
+        .drop("source_priority")
+    )
+    schedule, _, _ = S.schedule_epoch(pending, robots, None, 0, cfg)
+    return schedule.select("host", "rank_in_host", "url_norm", "priority", "shard_id")
+
+
+# --------------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "frontier_topk_per_host": q_frontier_topk_per_host,
+    "priority_drain": q_priority_drain,
+    "shard_assignment": q_shard_assignment,
+    "delay_buckets": q_delay_buckets,
+    "rate_limit_gate": q_rate_limit_gate,
+    "anti_join_new": q_anti_join_new,
+    "content_dedup": q_content_dedup,
+    "dup_groups": q_dup_groups,
+    "facet_source": q_facet_source,
+    "facet_lang": q_facet_lang,
+    "quality_range_facets": q_quality_range_facets,
+    "analytics_overview": q_analytics_overview,
+    "host_stats_adaptive": q_host_stats_adaptive,
+    "keywords_global": q_keywords_global,
+    "keywords_per_doc": q_keywords_per_doc,
+    "search_score": q_search_score,
+    "search_filter_range": q_search_filter_range,
+    "suggest_prefix": q_suggest_prefix,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lineitem_pricing": q_lineitem_pricing,
+    "token_count": q_token_count,
+    "lang_id": q_lang_id,
+    "doc_quality": q_doc_quality,
+    # rows-only (no SQL-expressible oracle)
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "doc_fingerprints": q_doc_fingerprints,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "media_features": q_media_features,
+    "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "frontier_topk_per_host": SQL_frontier_topk_per_host,
+    "priority_drain": SQL_priority_drain,
+    "shard_assignment": SQL_shard_assignment,
+    "delay_buckets": SQL_delay_buckets,
+    "rate_limit_gate": SQL_rate_limit_gate,
+    "anti_join_new": SQL_anti_join_new,
+    "content_dedup": SQL_content_dedup,
+    "dup_groups": SQL_dup_groups,
+    "facet_source": SQL_facet_source,
+    "facet_lang": SQL_facet_lang,
+    "quality_range_facets": SQL_quality_range_facets,
+    "analytics_overview": SQL_analytics_overview,
+    "host_stats_adaptive": SQL_host_stats_adaptive,
+    "keywords_global": SQL_keywords_global,
+    "keywords_per_doc": SQL_keywords_per_doc,
+    "search_score": SQL_search_score,
+    "search_filter_range": SQL_search_filter_range,
+    "suggest_prefix": SQL_suggest_prefix,
+    "ann_cosine_topk": SQL_ann_cosine_topk,
+    "lineitem_pricing": SQL_lineitem_pricing,
+    "token_count": SQL_token_count,
+    "lang_id": SQL_lang_id,
+    "doc_quality": SQL_doc_quality,
+}
