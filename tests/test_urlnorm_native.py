@@ -1,0 +1,117 @@
+"""Native fast-path canonicalizer parity: for every URL, canonicalize()
+(whatever lane it routes through) must agree byte-for-byte with the pure
+Python normalizer (which itself replicates url_normalizer.py:35-151)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.functions import urlnorm
+from webcrawler_spark.functions.urlnorm_native import canonicalize_native, is_simple_url
+from webcrawler_spark.operators import dedup as D
+
+# simple-shaped URLs the native lane must handle
+SIMPLE_URLS = [
+    "https://site3.com/page-1",
+    "http://site3.com/page-1",
+    "https://www.site3.com/page-1",
+    "https://WWW.SITE3.com/Page-1",
+    "https://site3.com:443/page-1",
+    "http://site3.com:80/page-1",
+    "https://site3.com:8080/page-1",
+    "https://site3.com//a//b///c/",
+    "https://site3.com/",
+    "https://site3.com/x/",
+    "https://site3.com/page?utm_source=g&id=1",
+    "https://site3.com/page?b=2&a=1&c=3",
+    "https://site3.com/page?b=2&b2=1",
+    "https://site3.com/page?a=1&blank=&noval",
+    "https://site3.com/page?fbclid=x&gclid=y",
+    "https://site3.com/photo.jpg",
+    "https://site3.com/deep/archive.zip",
+    "https://site3.com/page#frag",
+    "https://site3.com/page?a=1#frag",
+    "  https://site3.com/page-1  ",
+    "https://site3.com/page?a1=1&a=2",   # prefix-sharing keys (key-sorted)
+]
+
+# URLs that must fall back to the UDF lane (and still match Python exactly)
+HARD_URLS = [
+    "HTTPS://SITE3.COM/PAGE-1",          # uppercase scheme (reference quirk)
+    "site3.com/some/page",               # schemeless
+    "https://site3.com/page?a=1&a=2",    # duplicate query key
+    "https://site3.com/page?a=%20x",     # percent-encoding
+    "https://site3.com/pa;th/x",         # params component
+    "https://site3.com/page?a=b=c",      # '=' in value (urlencode quotes it)
+    "https://user@site3.com/x",          # userinfo
+    "https://site3.com/a b/c",           # whitespace in path
+    "short",
+    "",
+]
+
+
+@pytest.mark.parametrize("url", SIMPLE_URLS)
+def test_simple_urls_take_native_lane(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    routed = df.select(is_simple_url(F.col("url")).alias("s")).first()["s"]
+    assert routed, f"{url!r} should be native-eligible"
+
+
+@pytest.mark.parametrize("url", HARD_URLS)
+def test_hard_urls_take_udf_lane(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    routed = df.select(is_simple_url(F.col("url")).alias("s")).first()["s"]
+    assert not routed, f"{url!r} must fall back to the UDF"
+
+
+def test_native_matches_python_on_simple(spark):
+    df = spark.createDataFrame([(u,) for u in SIMPLE_URLS], "url string")
+    rows = df.select(
+        "url", canonicalize_native(F.col("url")).alias("c")
+    ).collect()
+    for r in rows:
+        expected = urlnorm.normalize_url(r["url"])
+        assert r["c"]["url_norm"] == expected, r["url"]
+        if expected is not None:
+            from urllib.parse import urlparse
+
+            p = urlparse(expected)
+            assert r["c"]["host"] == p.netloc, r["url"]
+            assert r["c"]["path"] == p.path, r["url"]
+
+
+def test_canonicalize_end_to_end_parity(spark):
+    """The routed operator (native ∪ UDF) equals the pure-Python normalizer
+    on the union of simple and hard URLs."""
+    urls = SIMPLE_URLS + HARD_URLS
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["url_norm"]
+        for r in D.canonicalize(df).select("url", "url_norm").collect()
+    }
+    for u in urls:
+        expected = urlnorm.normalize_url(u.strip() if u else u)
+        # canonicalize() drops rejected rows entirely
+        if expected is None:
+            assert u not in got, u
+        else:
+            assert got.get(u) == expected, u
+
+
+def test_generated_query_permutations(spark):
+    """Fuzz the query-sorting logic: random-ish safe key/value sets must sort
+    identically to Python's sorted(parse_qs(...))."""
+    import itertools
+
+    keys = ["id", "page", "z", "key_1", "K", "k2"]
+    urls = []
+    for n in range(1, 4):
+        for combo in itertools.permutations(keys, n):
+            q = "&".join(f"{k}=v{i}" for i, k in enumerate(combo))
+            urls.append(f"https://site9.com/p?{q}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: r["url_norm"]
+        for r in D.canonicalize(df).select("url", "url_norm").collect()
+    }
+    for u in urls:
+        assert got[u] == urlnorm.normalize_url(u), u

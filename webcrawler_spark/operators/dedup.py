@@ -27,11 +27,27 @@ from ..functions.udfs import canonicalize_udf, fuzz_max_score_udf
 # ---- canonicalize + fingerprint ------------------------------------------------
 
 
-def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
+def canonicalize(df: DataFrame, url_col: str = "url", native_fast_path: bool = True) -> DataFrame:
     """Adds url_norm/host/path/url_fp; drops rows the normalizer rejects
-    (url_normalizer.py:35-88 reject rules)."""
-    out = df.withColumn("_canon", canonicalize_udf(F.col(url_col)))
-    out = (
+    (url_normalizer.py:35-88 reject rules).
+
+    Routing: rows passing ``is_simple_url`` take the all-native Catalyst
+    expression (whole-stage codegen, no Arrow crossing); the rest take the
+    pandas UDF. The filter-union keeps the UDF off the fast-path rows
+    entirely (a when() would evaluate the vectorized UDF on every row). At
+    web scale ~99% of URLs are simple, so the Python lane is cold."""
+    if not native_fast_path:
+        out = df.withColumn("_canon", canonicalize_udf(F.col(url_col)))
+    else:
+        from ..functions.urlnorm_native import canonicalize_native, is_simple_url
+
+        simple = is_simple_url(F.col(url_col))
+        fast = df.filter(simple).withColumn("_canon", canonicalize_native(F.col(url_col)))
+        slow = df.filter(~F.coalesce(simple, F.lit(False))).withColumn(
+            "_canon", canonicalize_udf(F.col(url_col))
+        )
+        out = fast.unionByName(slow)
+    return (
         out.withColumn("url_norm", F.col("_canon.url_norm"))
         .withColumn("host", F.col("_canon.host"))
         .withColumn("path", F.col("_canon.path"))
@@ -39,7 +55,6 @@ def canonicalize(df: DataFrame, url_col: str = "url") -> DataFrame:
         .filter(F.col("url_norm").isNotNull())
         .withColumn("url_fp", C.url_fp(F.col("url_norm")))
     )
-    return out
 
 
 # ---- partitioned persistent bloom filter ---------------------------------------

@@ -84,6 +84,50 @@ def search(
     )
 
 
+def search_best_fields(
+    df: DataFrame,
+    fields_boosts: list[tuple[str, float]],
+    query_tokens: list[str],
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """ES multi_match best_fields with boosts (search-api/app.py:205-217:
+    title^3, description^2, content^1): score each field as
+    boost * |query_tokens ∩ field_tokens|, take the best field's score.
+    One scan, all-native expressions."""
+    per_field = [
+        F.lit(float(boost)) * match_score(F.col(field), query_tokens)
+        for field, boost in fields_boosts
+    ]
+    score = per_field[0] if len(per_field) == 1 else F.greatest(*per_field)
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def paginate(
+    df: DataFrame,
+    order_cols: list,
+    page: int,
+    size: int,
+) -> DataFrame:
+    """W5 (search-api/app.py:193-194): stable from/size paging via a global
+    row_number window. The empty partitionBy is intentional and fine for
+    result pages (the input is already filtered/ranked top-N sized); for
+    unbounded inputs use orderBy().limit() + offset instead."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order_cols)
+    lo, hi = page * size, (page + 1) * size
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    )
+
+
 def suggest_prefix(
     df: DataFrame, field: str, prefix: str, rank_col: str, id_col: str, k: int = 5
 ) -> DataFrame:

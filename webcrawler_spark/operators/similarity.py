@@ -137,6 +137,144 @@ def minhash_near_dups(
     )
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams of a text column — fully native (split +
+    zip_with over shifted slices), no Python in the path."""
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+    if n == 1:
+        return F.array_distinct(toks)
+    sz = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, sz - (n - 1)),
+        F.slice(toks, n, sz - (n - 1)),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs within blocking groups.
+
+    The block-equi self-join bounds the pair count to sum(|block|^2) — the
+    scale pattern is: block on a cheap key (source/shard/LSH bucket), compute
+    the exact gram-set Jaccard only inside blocks. All JVM-side (array
+    intersect/union on gram arrays); no cross product, no Python.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        word_ngrams(F.col(text_col), 2).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = inter.cast("double") / union
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking groups
+    (label here; LSH buckets from lsh_hyperplane_buckets at scale — same
+    shape: block-equi join, exact cosine inside the block only)."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))
+    )
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs at scale: band the 64-bit fingerprint into
+    ``bands`` 16-bit pieces; by pigeonhole, any pair within hamming distance
+    (bands - 1) shares at least one exact band — so candidates come from a
+    band-equi self-join (shuffle on (band, value)), then the exact hamming
+    distance filters. Never a cross product."""
+    from .textstats import hamming64, simhash_udf
+
+    width = 64 // bands
+    fps = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("fp"))
+    banded = fps.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("id", "fp", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("hamming", hamming64(F.col("fp_a"), F.col("fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @pandas_udf(DoubleType())
 def _exact_jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     out = []

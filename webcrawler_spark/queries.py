@@ -517,6 +517,246 @@ FROM (
 """
 
 
+# J3-flavored at corpus scale: exact word-bigram Jaccard near-dup pairs,
+# blocked on source (the scale pattern: cheap blocking key -> in-block exact)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SIM.ngram_jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.05)
+
+
+SQL_ngram_jaccard_pairs = """
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+               len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+  FROM (SELECT doc_id, source,
+               list_distinct(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                             x -> x[1] || ' ' || x[2])) AS grams
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w != '') AS t
+              FROM documents)) a
+  JOIN (SELECT doc_id, source,
+               list_distinct(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                             x -> x[1] || ' ' || x[2])) AS grams
+        FROM (SELECT doc_id, source,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 w -> w != '') AS t
+              FROM documents)) b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.05
+"""
+
+
+# embedding-cosine near-dup pairs within label blocks (LSH buckets at scale)
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, "vec_id", "embedding", "label", threshold=0.3)
+
+
+SQL_embedding_near_dups = """
+SELECT id_a, id_b, cos_sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)
+           AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos_sim >= 0.3
+"""
+
+
+# A9 grouping-sets facets: all ES facet dimensions in ONE pass (one scan +
+# Expand, vs one scan per facet)
+
+
+def q_facet_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_docs_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(source, '(all)') AS source,
+               coalesce(lang, '(all)') AS lang,
+               count(*) AS n
+        FROM _docs_gs GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )
+
+
+SQL_facet_grouping_sets = """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       count(*) AS n
+FROM documents GROUP BY GROUPING SETS ((source), (lang), ())
+"""
+
+
+# Q1 multi_match best_fields with boosts (source^3, text^1)
+
+
+def q_search_best_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_best_fields(
+        docs, [("source", 3.0), ("text", 1.0)], ["customer", "window", "src3"],
+        "doc_id", k=25,
+    )
+
+
+SQL_search_best_fields = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         round(greatest(
+           3.0 * len(list_intersect(list_distinct(string_split_regex(lower(source), '{_TOKEN_RE}')),
+                                    ['customer', 'window', 'src3'])),
+           1.0 * len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
+                                    ['customer', 'window', 'src3']))), 6) AS score
+  FROM documents
+) WHERE score > 0 ORDER BY score DESC, doc_id ASC LIMIT 25
+"""
+
+
+# W5: stable pagination (page 2 of docs by n_chars desc)
+
+
+def q_search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.paginate(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+        page=1, size=20,
+    ).select("doc_id", "n_chars", "rn")
+
+
+SQL_search_page2 = """
+SELECT doc_id, n_chars, rn FROM (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn > 20 AND rn <= 40
+"""
+
+
+# A6: shard-load imbalance ratio (rebalance signal, domain_sharding.py:201-276)
+
+
+def q_shard_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sessions as SS
+
+    return SS.shard_imbalance(_t(spark, sf_dir, "events"), "user_id", 8)
+
+
+SQL_shard_imbalance = """
+SELECT max(load) AS max_load, min(load) AS min_load,
+       round(max(load) * 1.0 / min(load), 6) AS imbalance_ratio
+FROM (SELECT CAST(user_id % 8 AS INT) AS shard_id, count(*) AS load
+      FROM events GROUP BY 1)
+"""
+
+
+# multi-join enrichment: revenue per region (broadcast dims nation/region)
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_region_revenue = """
+SELECT r_name, round(sum(o_totalprice), 0) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# left-semi join: orders having at least one heavy lineitem (EXISTS semantics)
+
+
+def q_semi_join_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    heavy = lineitem.filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return orders.join(heavy, "o_orderkey", "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+SQL_semi_join_heavy = """
+SELECT o_orderkey, o_totalprice FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+"""
+
+
+# gap-based sessionization over the event stream (one exchange, two windows)
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sessions as SS
+
+    return SS.sessionize(_t(spark, sf_dir, "events"), gap_seconds=86400)
+
+
+SQL_sessionize_events = """
+SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+FROM (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 86400 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM (SELECT user_id, ts, event_id,
+               epoch(ts) - lag(epoch(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events)
+)
+GROUP BY user_id, session_id
+"""
+
+
+# semi-structured: JSON property extraction + aggregate (events.props)
+
+
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k_val", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k_val"), 6).alias("avg_k"),
+            F.max("k_val").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_json_props_stats = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------------
 # rows-only queries (no SQL oracle — UDF/iterative semantics); the driver
 # records a weaker rows-only check for these
@@ -529,6 +769,11 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.verify_jaccard(pairs, docs, "doc_id", "text").select(
         "id_a", "id_b", "est_jaccard", "jaccard"
     )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SIM.simhash_near_dups(docs, "doc_id", "text", max_hamming=16, bands=4)
 
 
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,8 +882,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "doc_quality": q_doc_quality,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_near_dups": q_embedding_near_dups,
+    "facet_grouping_sets": q_facet_grouping_sets,
+    "search_best_fields": q_search_best_fields,
+    "search_page2": q_search_page2,
+    "shard_imbalance": q_shard_imbalance,
+    "region_revenue": q_region_revenue,
+    "semi_join_heavy": q_semi_join_heavy,
+    "sessionize_events": q_sessionize_events,
+    "json_props_stats": q_json_props_stats,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -670,4 +926,14 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": SQL_token_count,
     "lang_id": SQL_lang_id,
     "doc_quality": SQL_doc_quality,
+    "ngram_jaccard_pairs": SQL_ngram_jaccard_pairs,
+    "embedding_near_dups": SQL_embedding_near_dups,
+    "facet_grouping_sets": SQL_facet_grouping_sets,
+    "search_best_fields": SQL_search_best_fields,
+    "search_page2": SQL_search_page2,
+    "shard_imbalance": SQL_shard_imbalance,
+    "region_revenue": SQL_region_revenue,
+    "semi_join_heavy": SQL_semi_join_heavy,
+    "sessionize_events": SQL_sessionize_events,
+    "json_props_stats": SQL_json_props_stats,
 }
