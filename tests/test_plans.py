@@ -1,0 +1,113 @@
+"""Physical-plan audits: the properties that make these plans survive a
+100x scale-up, asserted on the actual explain output.
+
+- filters and column projection reach the parquet scan (PushedFilters /
+  ReadSchema) — a scan that reads every column for a 2-column projection is
+  wrong at 100 TB
+- small dimension joins broadcast (no shuffle of the big side)
+- no row-at-a-time Python (BatchEvalPython) anywhere in the registry;
+  Python appears only as Arrow-batched ArrowEvalPython (pandas UDFs)
+- the frontier schedule plan contains exactly the expected shuffles
+"""
+
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    q = entry_mod.queries()["search_filter_range"]
+    plan = plan_str(q(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    # the lang equality and n_chars range must be pushed, not post-filtered
+    assert "EqualTo(lang,en)" in plan.replace(" ", "")
+    assert "GreaterThanOrEqual(n_chars,60)" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_scan(spark):
+    q = entry_mod.queries()["priority_drain"]
+    plan = plan_str(q(spark, SF_DIR))
+    # only the 3 needed columns are read, not the full orders schema
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    assert "o_orderkey" in schema_line and "o_totalprice" in schema_line
+    assert "o_comment" not in schema_line and "o_clerk" not in schema_line
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    q = entry_mod.queries()["region_revenue"]
+    plan = plan_str(q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_robots_join_broadcasts(spark, seeds_df, robots_df):
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.operators import dedup as D
+    from webcrawler_spark.operators import scheduler as S
+
+    cand = seeds_df.select(
+        "url",
+        F.lit(None).cast("string").alias("source_url"),
+        F.col("depth"),
+        F.col("priority").alias("source_priority"),
+    )
+    pending = (
+        D.canonicalize(cand)
+        .withColumn("priority", F.lit(50))
+        .withColumn("discovered_epoch", F.lit(0))
+        .withColumn("attempts", F.lit(0))
+        .drop("source_priority")
+    )
+    schedule, _, _ = S.schedule_epoch(pending, robots_df, None, 0, CrawlConfig())
+    plan = plan_str(schedule)
+    assert "BroadcastHashJoin" in plan, "robots dim join must broadcast"
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_no_row_at_a_time_python(spark, name):
+    """input_hint bans per-row Python: any Python in a plan must be
+    Arrow-batched (ArrowEvalPython), never BatchEvalPython."""
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    plan = plan_str(df, "extended")
+    assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+
+
+def test_frontier_schedule_single_politeness_shuffle(spark, seeds_df, robots_df):
+    """SURVEY §3.2: the politeness+priority stage is one shuffle on host
+    (plus the salted pre-rank exchange when salting is on). With salting off,
+    exactly one hashpartitioning(host) exchange feeds the window."""
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.operators import dedup as D
+    from webcrawler_spark.operators import scheduler as S
+
+    cand = seeds_df.select(
+        "url",
+        F.lit(None).cast("string").alias("source_url"),
+        F.col("depth"),
+        F.col("priority").alias("source_priority"),
+    )
+    pending = (
+        D.canonicalize(cand)
+        .withColumn("priority", F.lit(50))
+        .withColumn("discovered_epoch", F.lit(0))
+        .withColumn("attempts", F.lit(0))
+        .drop("source_priority")
+    )
+    schedule, _, _ = S.schedule_epoch(
+        pending, robots_df, None, 0, CrawlConfig(), salt_factor=1
+    )
+    plan = plan_str(schedule, "simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 host shuffle, saw {n_exchanges}:\n{plan}"

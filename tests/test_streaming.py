@@ -1,0 +1,94 @@
+"""Structured Streaming ingest: file-source micro-batches, streaming dedup,
+checkpoint resume, stateful per-host rate gate."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.streaming import ingest as I
+
+
+def _write_batch(path: str, rows: list[tuple]) -> None:
+    pdf = pd.DataFrame(
+        rows, columns=["url", "source_url", "depth", "source_priority", "discovered_ts"]
+    )
+    pdf["discovered_ts"] = pd.to_datetime(pdf["discovered_ts"]).astype("datetime64[us]")
+    pdf["source_url"] = pdf["source_url"].astype("string")
+    pdf["depth"] = pdf["depth"].astype("int32")
+    pdf["source_priority"] = pdf["source_priority"].astype("int32")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf.to_parquet(path)
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_streaming_dedup_and_resume(spark, dirs):
+    # batch 1: 3 urls, one exact dup and one canonical-variant dup
+    _write_batch(
+        f"{dirs['in']}/b1.parquet",
+        [
+            ("https://site1.com/a", None, 0, 0, "2024-01-01 00:00:00"),
+            ("https://site1.com/a", None, 0, 0, "2024-01-01 00:00:01"),
+            ("https://www.site1.com/a/", None, 0, 0, "2024-01-01 00:00:02"),
+            ("https://site2.com/b", None, 0, 0, "2024-01-01 00:00:03"),
+        ],
+    )
+    I.run_ingest(I.stream_candidates(spark, dirs["in"]), dirs["out"], dirs["ckpt"])
+    out1 = spark.read.parquet(dirs["out"])
+    norms1 = sorted(r["url_norm"] for r in out1.select("url_norm").collect())
+    assert norms1 == ["https://site1.com/a", "https://site2.com/b"]
+
+    # batch 2 arrives: one new url + a replay of site2 within the watermark
+    _write_batch(
+        f"{dirs['in']}/b2.parquet",
+        [
+            ("https://site2.com/b", None, 0, 0, "2024-01-01 00:00:10"),
+            ("https://site3.com/c", None, 1, 0, "2024-01-01 00:00:11"),
+        ],
+    )
+    # resume from the same checkpoint: only new files are read, dedup state
+    # persists across runs
+    I.run_ingest(I.stream_candidates(spark, dirs["in"]), dirs["out"], dirs["ckpt"])
+    out2 = spark.read.parquet(dirs["out"])
+    norms2 = sorted(r["url_norm"] for r in out2.select("url_norm").collect())
+    assert norms2 == [
+        "https://site1.com/a",
+        "https://site2.com/b",
+        "https://site3.com/c",
+    ], "replayed site2/b must be deduped by checkpointed state"
+
+
+def test_streaming_host_rate_gate(spark, dirs):
+    rows = [
+        (f"https://hot.com/p{i}", None, 0, 0, f"2024-01-01 00:00:{i:02d}")
+        for i in range(6)
+    ] + [("https://cold.com/x", None, 0, 0, "2024-01-01 00:01:00")]
+    _write_batch(f"{dirs['in']}/b1.parquet", rows)
+    deduped = I.canonical_dedup_stream(I.stream_candidates(spark, dirs["in"]))
+    gated = I.host_rate_gate(deduped, budget_per_host=4)
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(dirs["out"])
+    by_status = {
+        (r["host"], r["status"]): r["n"]
+        for r in out.groupBy("host", "status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_status.get(("hot.com", "scheduled")) == 4
+    assert by_status.get(("hot.com", "deferred")) == 2
+    assert by_status.get(("cold.com", "scheduled")) == 1

@@ -1,0 +1,135 @@
+"""Structured Streaming ingest mode — the reference's Kafka consumers
+(services/url-frontier/app.py:327-375) as a readStream pipeline.
+
+The batch-epoch formulation (plans/epoch.py) is the primary mode — it is
+what makes crawl ordering reproducible (SURVEY §1.4). This module is the
+continuous-ingest alternative for the frontier's *discovery* side: a stream
+of candidate URLs is canonicalized, watermarked, streaming-deduped on the
+64-bit fingerprint, and appended to the frontier table; a stateful per-host
+rate gate (applyInPandasWithState) mirrors the scheduler's token bucket
+(politeness_manager.py:189-206).
+
+Checkpointing is Spark's own (offsets + dedup state live in the checkpoint
+dir), so `trigger(availableNow=True)` gives resumable incremental batches —
+the streaming twin of the epoch snapshots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..operators import dedup as D
+
+CANDIDATE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("source_url", StringType(), True),
+        StructField("depth", IntegerType(), True),
+        StructField("source_priority", IntegerType(), True),
+        StructField("discovered_ts", TimestampType(), True),
+    ]
+)
+
+
+def stream_candidates(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream of candidate-URL batches (the Kafka stand-in:
+    each dropped parquet file is a producer batch)."""
+    return (
+        spark.readStream.schema(CANDIDATE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def canonical_dedup_stream(
+    candidates: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Canonicalize + streaming-dedup on url_fp.
+
+    dropDuplicatesWithinWatermark keeps the seen-fingerprint state only for
+    the watermark horizon — bounded state at 10^10 scale (the persistent
+    cross-epoch seen set stays the batch bloom/anti-join's job; this gate
+    removes the intra-stream duplicate storm the reference absorbs with its
+    Redis set)."""
+    canon = D.canonicalize(candidates)
+    return canon.withWatermark("discovered_ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["url_fp"]
+    )
+
+
+def run_ingest(
+    candidates: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "10 minutes",
+) -> None:
+    """One availableNow micro-batch run: process all new files, append the
+    deduped canonical rows to ``out_dir``, commit offsets+state to the
+    checkpoint. Re-running with the same checkpoint resumes incrementally."""
+    deduped = canonical_dedup_stream(candidates, watermark_delay)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# ---- stateful per-host rate gate (P8 as a streaming operator) ------------------
+
+_GATE_STATE = StructType([StructField("used", LongType(), False)])
+_GATE_OUT = StructType(
+    [
+        StructField("host", StringType(), True),
+        StructField("url_norm", StringType(), True),
+        StructField("url_fp", LongType(), True),
+        StructField("status", StringType(), True),
+    ]
+)
+
+
+def host_rate_gate(deduped: DataFrame, budget_per_host: int) -> DataFrame:
+    """applyInPandasWithState: admit at most ``budget_per_host`` URLs per
+    host across the stream's lifetime; overflow rows are marked deferred
+    (the reference's per-domain rate counter, politeness_manager.py:189-206,
+    without Redis). Deterministic within a batch: rows are admitted in
+    (url_norm) order."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def gate(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("url_norm")
+            n = len(pdf)
+            admit = max(0, min(budget_per_host - used, n))
+            used += admit
+            status = ["scheduled"] * admit + ["deferred"] * (n - admit)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "host": pdf["host"].values,
+                        "url_norm": pdf["url_norm"].values,
+                        "url_fp": pdf["url_fp"].values,
+                        "status": status,
+                    }
+                )
+            )
+        state.update((used,))
+        yield from out
+
+    return deduped.groupBy("host").applyInPandasWithState(
+        gate,
+        outputStructType=_GATE_OUT,
+        stateStructType=_GATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
