@@ -757,6 +757,86 @@ FROM events GROUP BY event_type
 """
 
 
+# F18: readability metrics — flesch reading ease with a closed-form
+# vowel-group syllable approximation + reading time (parser/app.py:303-314)
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != ""))
+    sentences = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.trim(F.col("text")), "[.!?]+"), lambda s: F.trim(s) != "")),
+    )
+    syllables = F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiouy]+"), 0))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / F.greatest(F.lit(1), words))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(flesch, 4).alias("flesch"),
+        F.round(words.cast("double") / 200, 6).alias("reading_time_min"),
+    )
+
+
+SQL_readability = """
+SELECT doc_id,
+       round(206.835
+             - 1.015 * (words * 1.0 / sentences)
+             - 84.6 * (syllables * 1.0 / greatest(1, words)), 4) AS flesch,
+       round(words / 200.0, 6) AS reading_time_min
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS words,
+         greatest(1, len(list_filter(string_split_regex(trim(text), '[.!?]+'),
+                                     x -> trim(x) != ''))) AS sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+  FROM documents
+)
+"""
+
+
+# A5 argmin: least-loaded shard (domain_sharding.py:90-110 load balancing)
+
+
+def q_least_loaded_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    loads = (
+        events.withColumn("shard_id", F.pmod(F.col("user_id"), F.lit(8)).cast("int"))
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("load"))
+    )
+    return loads.orderBy(F.asc("load"), F.asc("shard_id")).limit(1)
+
+
+SQL_least_loaded_shard = """
+SELECT shard_id, load FROM (
+  SELECT CAST(user_id % 8 AS INT) AS shard_id, count(*) AS load
+  FROM events GROUP BY 1
+) ORDER BY load ASC, shard_id ASC LIMIT 1
+"""
+
+
+# BPE-ish subword token counting (training-data budgeting): letter runs,
+# single digits, punctuation runs
+
+
+def q_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pattern = "[a-z]+|[0-9]|[^a-z0-9\\s]+"
+    n = F.size(F.regexp_extract_all(F.lower("text"), F.lit(pattern), 0))
+    return docs.select("doc_id", n.alias("n_subwords"))
+
+
+SQL_subword_token_count = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+')) AS n_subwords
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------------
 # rows-only queries (no SQL oracle — UDF/iterative semantics); the driver
 # records a weaker rows-only check for these
@@ -892,6 +972,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semi_join_heavy": q_semi_join_heavy,
     "sessionize_events": q_sessionize_events,
     "json_props_stats": q_json_props_stats,
+    "readability": q_readability,
+    "least_loaded_shard": q_least_loaded_shard,
+    "subword_token_count": q_subword_token_count,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -936,4 +1019,7 @@ ORACLE_SQL: dict[str, str] = {
     "semi_join_heavy": SQL_semi_join_heavy,
     "sessionize_events": SQL_sessionize_events,
     "json_props_stats": SQL_json_props_stats,
+    "readability": SQL_readability,
+    "least_loaded_shard": SQL_least_loaded_shard,
+    "subword_token_count": SQL_subword_token_count,
 }
