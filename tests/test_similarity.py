@@ -105,3 +105,22 @@ def test_frame_sample_plan(spark):
     )
     frames = MM.frame_sample_plan(media, every_ms=1000).collect()
     assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [(2, 0), (2, 1000), (2, 2000)]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with nprobe=4/16 must recover most of the brute-force top-10 on
+    the clustered synthetic embeddings (deterministic: fixed init + data)."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {r["vec_id"] for r in SIM.brute_force_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in SIM.ivf_topk(emb, qvec, n_centroids=16, nprobe=4, k=10).collect()
+    }
+    assert len(approx) == 10
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"IVF recall {recall} too low"

@@ -359,6 +359,98 @@ def lsh_hyperplane_buckets(
     return embeddings.withColumn("bucket", _bucket(F.col(vec_col)))
 
 
+def _assign_udf(centroids):
+    """pandas UDF: argmin L2 distance to the (broadcast-in-closure) centroid
+    matrix. Vectorized: one matmul per Arrow batch."""
+    import numpy as np
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c_sq = (cmat * cmat).sum(axis=1)
+
+    @pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2 ; ||v||^2 constant per row
+        d = -2.0 * (mat @ cmat.T) + c_sq[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype("int32"))
+
+    return _assign
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic init (the n_centroids lowest-id
+    vectors), then ``n_iters`` Lloyd rounds — assignment is a vectorized
+    argmin UDF, the centroid update is a native posexplode + avg (one
+    shuffle of (cluster, pos, value) triples; the k x dim centroid matrix is
+    driver-side, tiny). Returns (embeddings + 'cluster' column, centroids).
+
+    Scale path: the index build scans the data n_iters+1 times; queries then
+    touch only nprobe/n_centroids of the corpus (ivf_topk)."""
+    init_rows = (
+        embeddings.select(id_col, vec_col).orderBy(F.asc(id_col)).limit(n_centroids).collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in init_rows]
+    vecs = embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(n_iters):
+        assigned = vecs.withColumn("cluster", _assign_udf(centroids)(F.col("v")))
+        new_rows = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [by_cluster[c][p] for p in range(len(centroids[0]))]
+            if c in by_cluster
+            else centroids[c]
+            for c in range(n_centroids)
+        ]
+    out = embeddings.withColumn(
+        "cluster", _assign_udf(centroids)(F.col(vec_col).cast("array<double>"))
+    )
+    return out, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe only the nprobe clusters whose centroids are nearest
+    the query, exact cosine rank inside them. The cluster filter prunes
+    (1 - nprobe/n_centroids) of the corpus before any distance math."""
+    import numpy as np
+
+    indexed, centroids = ivf_index(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    d = ((cmat - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d)[:nprobe]]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        indexed.filter(F.col("cluster").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), qcol), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -757,6 +757,25 @@ FROM events GROUP BY event_type
 """
 
 
+# tumbling-window aggregation (the streaming-analytics shape, batch form):
+# hourly event counts per type via F.window / time_bucket
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+SQL_windowed_event_counts = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 # F18: readability metrics — flesch reading ease with a closed-form
 # vowel-group syllable approximation + reading time (parser/app.py:303-314)
 
@@ -864,6 +883,12 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", TS.doc_fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.ivf_topk(emb, list(qvec), n_centroids=16, nprobe=4, k=10)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -975,11 +1000,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "readability": q_readability,
     "least_loaded_shard": q_least_loaded_shard,
     "subword_token_count": q_subword_token_count,
+    "windowed_event_counts": q_windowed_event_counts,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "media_features": q_media_features,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
@@ -1022,4 +1049,5 @@ ORACLE_SQL: dict[str, str] = {
     "readability": SQL_readability,
     "least_loaded_shard": SQL_least_loaded_shard,
     "subword_token_count": SQL_subword_token_count,
+    "windowed_event_counts": SQL_windowed_event_counts,
 }
