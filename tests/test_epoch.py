@@ -125,3 +125,29 @@ def test_web_content_and_links_written(spark, crawl_run):
     assert links.count() > 0
     types = {r["link_type"] for r in links.select("link_type").distinct().collect()}
     assert "internal" in types and "external" in types
+
+
+def test_bloom_epoch_equivalence(spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run, oracle_run):
+    """The persistent bloom prefilter is a pure optimization: with
+    use_bloom=True the crawl order, seen set, and counters are identical
+    (the anti-join stays authoritative; bloom FPs only skip work that the
+    anti-join would skip anyway)."""
+    from dataclasses import replace
+
+    cfg_bloom = replace(CFG, use_bloom=True, bloom_buckets=8)
+    root = tmp_path_factory.mktemp("crawl_bloom")
+    cat = Catalog(spark, str(root))
+    counters = E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, N_EPOCHS, cfg_bloom)
+
+    assert _spark_schedules(cat, N_EPOCHS) == oracle_run.schedules
+    seen = {r["url_norm"] for r in cat.read_delta_union("seen", N_EPOCHS - 1).collect()}
+    assert seen == oracle_run.seen
+    # the bloom snapshot exists and covers every bucket with data
+    bloom = cat.read_snapshot("seen_bloom", N_EPOCHS - 1)
+    assert bloom is not None and bloom.count() > 0
+    # every committed fingerprint must probe positive (no false negatives)
+    from webcrawler_spark.operators import dedup as D
+
+    seen_df = cat.read_delta_union("seen", N_EPOCHS - 1)
+    probed = D.bloom_might_contain(seen_df, bloom)
+    assert probed.filter(~F.col("might_contain")).count() == 0

@@ -116,6 +116,58 @@ def build_bloom(
     )
 
 
+def update_bloom(
+    bloom: DataFrame | None,
+    new_fps: DataFrame,
+    n_buckets: int,
+    capacity: int,
+    fp_rate: float,
+) -> DataFrame:
+    """Incremental bloom maintenance: OR the delta's bits into the existing
+    per-bucket blobs (the seen set only grows — deduplicator.py:230-242).
+
+    Epoch cost is O(|delta| + touched buckets), never a rebuild of the full
+    10^10-fp set. Buckets present on only one side pass through unchanged."""
+    delta = build_bloom(new_fps, n_buckets, capacity, fp_rate)
+    if bloom is None:
+        return delta
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _or_blobs(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, y in zip(a, b):
+            if x is None:
+                out.append(y)
+            elif y is None:
+                out.append(x)
+            else:
+                out.append(
+                    (np.frombuffer(x, dtype=np.uint64) | np.frombuffer(y, dtype=np.uint64)).tobytes()
+                )
+        return pd.Series(out)
+
+    old = bloom.select(
+        "bucket", F.col("blob").alias("_old"), F.col("m").alias("_m0"), F.col("k").alias("_k0")
+    )
+    new = delta.select(
+        "bucket", F.col("blob").alias("_new"), F.col("m").alias("_m1"), F.col("k").alias("_k1")
+    )
+    return (
+        old.join(new, "bucket", "full")
+        .select(
+            "bucket",
+            _or_blobs(F.col("_old"), F.col("_new")).alias("blob"),
+            F.coalesce("_m0", "_m1").alias("m"),
+            F.coalesce("_k0", "_k1").alias("k"),
+        )
+    )
+
+
 def bloom_might_contain(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
     """Probe: broadcast-join blobs by bucket, vectorized membership test.
     Adds boolean column ``might_contain`` (false => definitely new)."""

@@ -111,6 +111,7 @@ def run_epoch(
     frontier_prev = cat.read_snapshot("frontier", prev)
     deferred_prev = cat.read_snapshot("deferred", prev)
     host_stats_prev = cat.read_snapshot("host_stats", prev)
+    bloom_prev = cat.read_snapshot("seen_bloom", prev) if cfg.use_bloom else None
 
     # ---- 1. candidates: seeds at epoch 0, else links discovered last epoch (U1)
     if seeds is not None:
@@ -128,7 +129,13 @@ def run_epoch(
         else:
             candidates = spark.createDataFrame([], _CAND_SCHEMA)
 
-    new_frontier_rows = ingest_candidates(spark, candidates, seen_prev, epoch, cfg)
+    # materialized once: consumed by the pending pool, the frontier snapshot
+    # AND the seen delta — without the persist each consumer re-runs the full
+    # ingest (canonicalize UDF + anti-join); exchanges are not reused across
+    # plan branches
+    new_frontier_rows = ingest_candidates(
+        spark, candidates, seen_prev, epoch, cfg, bloom=bloom_prev
+    ).persist()
 
     # ---- 2. pending = prior pending frontier ∪ new rows ∪ ready deferred
     cols = [
@@ -158,6 +165,9 @@ def run_epoch(
         not_ready = None
 
     # ---- 3. schedule under politeness budget (flagship, W1)
+    # pending feeds three outputs (schedule/deferred/rejected); persist so
+    # the scheduling windows re-read cached rows instead of re-ingesting
+    pending = pending.persist()
     schedule, deferred_new, rejected = S.schedule_epoch(
         pending, robots, host_stats_prev, epoch, cfg
     )
@@ -278,6 +288,17 @@ def run_epoch(
 
     # ---- 9. commit: stage tables, then atomically publish the manifest (S14)
     counts = {}
+    if cfg.use_bloom:
+        # persistent bloom: OR this epoch's new fingerprints into the blobs
+        # (incremental — SURVEY §7 hard-part 3)
+        bloom_next = D.update_bloom(
+            bloom_prev,
+            seen_delta.select("url_fp"),
+            cfg.bloom_buckets,
+            cfg.bloom_capacity,
+            cfg.bloom_fp_rate,
+        )
+        counts["seen_bloom"] = cat.stage("seen_bloom", epoch, bloom_next)
     counts["schedule"] = cat.stage("schedule", epoch, schedule.drop("path"))
     counts["seen"] = cat.stage("seen", epoch, seen_delta)
     counts["frontier"] = cat.stage("frontier", epoch, frontier_next)
@@ -297,6 +318,8 @@ def run_epoch(
     cat.commit_epoch(epoch, counts, counters)
     schedule.unpersist()
     fetched.unpersist()
+    pending.unpersist()
+    new_frontier_rows.unpersist()
     return counters
 
 
