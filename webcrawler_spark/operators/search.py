@@ -128,6 +128,57 @@ def paginate(
     )
 
 
+def search_bm25(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 — what Elasticsearch actually scores multi_match with
+    (search-api/app.py:205-217's _score). Pure relational formulation:
+
+        idf(t)    = ln(1 + (N - df + 0.5)/(df + 0.5))
+        score(d)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    One explode + three aggregates; df/N/avgdl are tiny broadcast sides.
+    Deterministic tiebreak on id."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtf = (
+        toks.filter(F.col("word").isin(*query_tokens))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("word").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        qtf.join(F.broadcast(dfreq), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf", F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
 def suggest_prefix(
     df: DataFrame, field: str, prefix: str, rank_col: str, id_col: str, k: int = 5
 ) -> DataFrame:

@@ -618,6 +618,38 @@ SELECT doc_id, score FROM (
 """
 
 
+# Q1 for real: Okapi BM25 (what ES's _score actually is)
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_bm25(docs, _QUERY_TOKENS, "text", "doc_id", k=20)
+
+
+SQL_search_bm25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                    w -> w != '')) AS word
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+        WHERE word IN ({_QT_SQL}) GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM qtf GROUP BY word)
+SELECT doc_id, score FROM (
+  SELECT qtf.doc_id AS doc_id,
+         round(sum( ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) ), 4) AS score
+  FROM qtf JOIN dfreq USING (word)
+           JOIN dl ON qtf.doc_id = dl.doc_id
+           CROSS JOIN stats
+  GROUP BY qtf.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 # W5: stable pagination (page 2 of docs by n_chars desc)
 
 
@@ -915,6 +947,85 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_media_features(media, dim=16)
 
 
+def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: same-host fuzzy dedup (difflib max-ratio >= threshold) over a
+    deterministic URL set with near-miss variants; rows-only (the scoring
+    UDF has no SQL equivalent)."""
+    from .config import CrawlConfig
+    from .operators import dedup as D
+
+    seen_urls = [
+        ("https://siteA.com/page-1", 0), ("https://siteA.com/article-news", 0),
+        ("https://siteB.com/products/item", 0),
+    ]
+    cand_urls = [
+        "https://siteA.com/page-2",          # fuzzy-close to page-1 -> dropped
+        "https://siteA.com/totally/else/deep/path",
+        "https://siteB.com/products/item2",  # fuzzy-close -> dropped
+        "https://siteC.com/products/item2",  # different host -> kept
+    ]
+    seen = D.canonicalize(
+        spark.createDataFrame([(u,) for u, _ in seen_urls], "url string")
+    ).select("url_fp", "url_norm", "host", F.lit(0).alias("epoch"))
+    cands = D.canonicalize(spark.createDataFrame([(u,) for u in cand_urls], "url string"))
+    kept = D.fuzzy_dedupe(cands, seen, CrawlConfig(use_fuzzy=True))
+    return kept.select("url_norm").orderBy("url_norm")
+
+
+def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 tier-1: build the partitioned bloom over half the order keys,
+    probe the full table; outputs probe verdict counts (the definite-new
+    rows are the shuffle the prefilter saves)."""
+    from .operators import dedup as D
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("url_fp")
+    )
+    seen = orders.filter(F.col("url_fp") % 2 == 0)
+    bloom = D.build_bloom(seen, n_buckets=8, capacity=100_000, fp_rate=0.001)
+    probed = D.bloom_might_contain(orders, bloom)
+    return probed.groupBy("might_contain").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_crawl_two_epoch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full epoch loop (ingest->schedule->fetch-join->parse->commit) run
+    for two epochs on the deterministic synthetic web; returns the committed
+    per-epoch counters (parity vs the pure-Python oracle is enforced in
+    tests/test_epoch.py)."""
+    import tempfile
+
+    from . import synth
+    from .config import CrawlConfig
+    from .plans import epoch as E
+    from .storage.catalog import Catalog
+
+    web = synth.generate_web(seed=42, n_hosts=12, n_pages=90)
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2)
+    pages = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in web["pages"]],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [(s["url"], s["priority"], s["depth"]) for s in web["seeds"]],
+        "url string, priority int, depth int",
+    )
+    robots = spark.createDataFrame(
+        [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in web["robots"]],
+        "host string, disallow_prefixes array<string>, crawl_delay double",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="contract_crawl_"))
+    counters = E.run_epochs(spark, cat, pages, seeds, robots, 2, cfg)
+    return spark.createDataFrame(
+        [
+            (c["epoch"], c["urls_new"], c["urls_scheduled"], c["urls_deferred"],
+             c["pages_fetched"], c["links_discovered"])
+            for c in counters
+        ],
+        "epoch int, urls_new long, urls_scheduled long, urls_deferred long, "
+        "pages_fetched long, links_discovered long",
+    )
+
+
 def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real flagship on a deterministic in-memory synthetic web: epoch-0
     fetch schedule under the politeness budget (rows-only; parity vs the
@@ -980,6 +1091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keywords_global": q_keywords_global,
     "keywords_per_doc": q_keywords_per_doc,
     "search_score": q_search_score,
+    "search_bm25": q_search_bm25,
     "search_filter_range": q_search_filter_range,
     "suggest_prefix": q_suggest_prefix,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1009,7 +1121,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "media_features": q_media_features,
+    "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
+    "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
+    "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -1029,6 +1144,7 @@ ORACLE_SQL: dict[str, str] = {
     "keywords_global": SQL_keywords_global,
     "keywords_per_doc": SQL_keywords_per_doc,
     "search_score": SQL_search_score,
+    "search_bm25": SQL_search_bm25,
     "search_filter_range": SQL_search_filter_range,
     "suggest_prefix": SQL_suggest_prefix,
     "ann_cosine_topk": SQL_ann_cosine_topk,
