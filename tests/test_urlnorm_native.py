@@ -115,3 +115,54 @@ def test_generated_query_permutations(spark):
     }
     for u in urls:
         assert got[u] == urlnorm.normalize_url(u), u
+
+
+def test_hypothesis_fuzz_batch(spark):
+    """Property fuzz: ~300 generated URL-shaped strings (hypothesis strategy,
+    fixed seed) through the routed canonicalize() must all byte-match the
+    pure-Python normalizer, regardless of lane."""
+    from hypothesis import strategies as st
+
+    host_chars = st.sampled_from(list("abcz09.-W"))
+    path_chars = st.sampled_from(list("abc09/._-%;?=& #"))
+    q_chars = st.sampled_from(list("abz09_.~-=&%+ "))
+
+    def build(scheme, host, path, q):
+        return f"{scheme}{host}{path}" + (f"?{q}" if q else "")
+
+    urls_strategy = st.builds(
+        build,
+        st.sampled_from(["https://", "http://", "HTTPS://", "", "ftp://"]),
+        st.text(host_chars, min_size=1, max_size=20),
+        st.text(path_chars, min_size=0, max_size=30),
+        st.text(q_chars, min_size=0, max_size=25),
+    )
+    # deterministic corpus: draw examples via find-like enumeration
+    from hypothesis import HealthCheck, Phase, given, settings, seed
+
+    corpus = []
+
+    @seed(1234)
+    @settings(
+        max_examples=300,
+        phases=[Phase.generate],
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(urls_strategy)
+    def collect(u):
+        corpus.append(u)
+
+    collect()
+    assert len(corpus) >= 100
+    df = spark.createDataFrame([(u,) for u in set(corpus)], "url string")
+    got = {
+        r["url"]: r["url_norm"]
+        for r in D.canonicalize(df).select("url", "url_norm").collect()
+    }
+    for u in set(corpus):
+        expected = urlnorm.normalize_url(u)
+        if expected is None:
+            assert u not in got, f"{u!r} should be rejected"
+        else:
+            assert got.get(u) == expected, f"{u!r}: {got.get(u)!r} != {expected!r}"
