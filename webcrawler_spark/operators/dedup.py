@@ -168,9 +168,17 @@ def update_bloom(
     )
 
 
-def bloom_might_contain(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
-    """Probe: broadcast-join blobs by bucket, vectorized membership test.
-    Adds boolean column ``might_contain`` (false => definitely new)."""
+def bloom_might_contain(
+    candidates: DataFrame, bloom: DataFrame, broadcast_blobs: bool = True
+) -> DataFrame:
+    """Probe: join blobs by bucket, vectorized membership test. Adds boolean
+    column ``might_contain`` (false => definitely new).
+
+    ``broadcast_blobs=True`` (default) broadcasts the blob table — right up
+    to ~10^9 seen URLs (~1.7 GB of bits). At 10^10 the bloom is ~17 GB and
+    cannot broadcast: pass False and the probe becomes a shuffle join on
+    ``bucket`` (2048 buckets; candidates hash-partition by bucket, each task
+    touches exactly one blob). Same plan shape either way — see SCALE.md §3."""
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BooleanType
@@ -202,9 +210,10 @@ def bloom_might_contain(candidates: DataFrame, bloom: DataFrame) -> DataFrame:
 
     n_buckets = bloom.agg(F.max("bucket")).first()[0]
     n_buckets = (n_buckets or 0) + 1
+    blob_side = F.broadcast(bloom) if broadcast_blobs else bloom.repartition("bucket")
     probed = candidates.withColumn(
         "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
-    ).join(F.broadcast(bloom), "bucket", "left")
+    ).join(blob_side, "bucket", "left")
     probed = probed.withColumn(
         "might_contain",
         F.when(F.col("blob").isNull(), F.lit(False)).otherwise(
