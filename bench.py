@@ -99,12 +99,7 @@ def frontier_bench(spark, n_urls: int) -> dict:
     candidates = synth_frontier(spark, n_urls)
     t0 = time.time()
     canon = D.canonicalize(candidates)
-    merged = canon.groupBy("url_norm", "url_fp", "host", "path").agg(
-        F.min("url").alias("url"),
-        F.min("depth").alias("depth"),
-        F.max("source_priority").alias("source_priority"),
-        F.min("source_url").alias("source_url"),
-    )
+    merged = D.merge_candidates(canon)
     new = D.dedupe_new_urls(merged, seen)
     pending = (
         new.withColumn(

@@ -57,6 +57,28 @@ def canonicalize(df: DataFrame, url_col: str = "url", native_fast_path: bool = T
     )
 
 
+def merge_candidates(canon: DataFrame) -> DataFrame:
+    """Within-batch merge of canonicalized candidates: one row per
+    fingerprint, deterministic merge of payloads (min depth, max source
+    priority, lexicographically-first url/source).
+
+    Grouping on the 8-byte url_fp instead of the (url_norm, host, path)
+    string tuple keeps the hash-agg key fixed-width — the string columns are
+    functionally determined by the fingerprint and ride along as min()
+    aggregates (min = the value itself in every non-colliding group; a
+    2^-64 collision conflates two URLs, which is already the engine's
+    seen-set semantics since the anti-join keys on the fingerprint too)."""
+    return canon.groupBy("url_fp").agg(
+        F.min("url_norm").alias("url_norm"),
+        F.min("host").alias("host"),
+        F.min("path").alias("path"),
+        F.min("url").alias("url"),
+        F.min("depth").alias("depth"),
+        F.max("source_priority").alias("source_priority"),
+        F.min("source_url").alias("source_url"),
+    )
+
+
 # ---- partitioned persistent bloom filter ---------------------------------------
 
 _BLOOM_SALT1 = -7046029254386353131  # golden-ratio odd constant (public Kirsch-Mitzenmacher double hashing)

@@ -75,14 +75,7 @@ def ingest_candidates(
     """Entry point A (SURVEY §3.1): normalize -> batch-dedup -> seen anti-join
     -> priority. Returns new frontier rows."""
     canon = D.canonicalize(candidates)
-    # within-batch dedup by url_norm: deterministic merge (min depth, max
-    # source priority, lexicographically-first raw url/source)
-    merged = canon.groupBy("url_norm", "url_fp", "host", "path").agg(
-        F.min("url").alias("url"),
-        F.min("depth").alias("depth"),
-        F.max("source_priority").alias("source_priority"),
-        F.min("source_url").alias("source_url"),
-    )
+    merged = D.merge_candidates(canon)
     new = D.dedupe_new_urls(merged, seen, bloom=bloom)
     return (
         new.withColumn(

@@ -1052,11 +1052,7 @@ def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").alias("source_priority"),
     )
     canon = D.canonicalize(cand)
-    merged = canon.groupBy("url_norm", "url_fp", "host", "path").agg(
-        F.min("url").alias("url"),
-        F.min("depth").alias("depth"),
-        F.max("source_priority").alias("source_priority"),
-    )
+    merged = D.merge_candidates(canon)
     from .functions import columns as C
 
     pending = (
