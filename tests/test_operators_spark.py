@@ -256,3 +256,47 @@ def test_shard_assignment_deterministic(spark):
 
     counts = Counter(a.values())
     assert max(counts.values()) < 2.5 * min(counts.values())
+
+
+# ---- fuzzy search (Q1 fuzziness AUTO, search-api/app.py:215) --------------------
+
+
+def test_search_fuzzy_auto_bands():
+    from webcrawler_spark.operators.search import fuzzy_auto_max_edits
+
+    assert fuzzy_auto_max_edits("ab") == 0
+    assert fuzzy_auto_max_edits("cat") == 1
+    assert fuzzy_auto_max_edits("batch") == 1
+    assert fuzzy_auto_max_edits("window") == 2
+
+
+def test_search_fuzzy_matches_typos_and_respects_and(spark):
+    from webcrawler_spark.operators.search import search_fuzzy
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the customer opened a window"),  # both, via typo
+            Row(doc_id=2, text="customer only text here"),       # missing window
+            Row(doc_id=3, text="a window with no buyer"),        # missing customer
+            Row(doc_id=4, text="customer window customer"),      # both, exact-ish
+        ]
+    )
+    # "custmer" is 1 edit from "customer" (len 7 -> budget 2);
+    # "window" is 1 edit from "window" (len 6 -> budget 2).
+    out = search_fuzzy(docs, ["custmer", "window"], "text", "doc_id", k=10)
+    rows = {r["doc_id"]: r["score"] for r in out.collect()}
+    assert set(rows) == {1, 4}  # operator AND drops 2 and 3
+    # each term matched at distance 1 -> sim < 1 but > 0
+    assert all(0 < s < 2.0 for s in rows.values())
+
+    # short terms (len <= 2) get edit budget 0: "xy" must match exactly
+    out2 = search_fuzzy(docs, ["xy"], "text", "doc_id", k=10)
+    assert out2.count() == 0
+
+
+def test_search_fuzzy_exact_term_scores_one(spark):
+    from webcrawler_spark.operators.search import search_fuzzy
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="batch batch stream")])
+    out = search_fuzzy(docs, ["batch"], "text", "doc_id", k=5).collect()
+    assert len(out) == 1 and abs(out[0]["score"] - 1.0) < 1e-9

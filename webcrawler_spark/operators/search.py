@@ -179,6 +179,76 @@ def search_bm25(
     )
 
 
+def fuzzy_auto_max_edits(term: str) -> int:
+    """ES ``fuzziness: AUTO`` edit budget (search-api/app.py:215): terms of
+    length 0-2 must match exactly, 3-5 allow 1 edit, >= 6 allow 2."""
+    n = len(term)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+def search_fuzzy(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    require_all: bool = True,
+) -> DataFrame:
+    """Q1's ``fuzziness: AUTO`` + ``operator: and`` (search-api/app.py:205-217)
+    as relational term-dictionary expansion — the same shape Lucene uses
+    (FuzzyQuery walks the term dictionary with a Levenshtein automaton,
+    then scores the expanded terms):
+
+      1. vocab = distinct tokens over the corpus (Heaps' law: the term
+         dictionary is tiny relative to the token stream — at 100 TB of text
+         the vocab is millions of rows, broadcast-join territory).
+      2. expansions = vocab x query terms, pruned by the AUTO length band
+         (|len(w) - len(q)| <= max_edits short-circuits before the O(n*m)
+         distance) then JVM-native ``levenshtein() <= max_edits``.
+         Per-expansion similarity = 1 - dist/max(len) (Lucene's fuzzy boost).
+      3. docs join the (tiny, broadcast) expansion table on the token; a doc
+         scores sum over query terms of its best expansion similarity, and
+         ``operator: and`` keeps docs matching every query term.
+
+    Classic Levenshtein (Spark/DuckDB built-in), not Damerau: a transposition
+    counts 2 edits here vs ES's 1 — documented delta, same result set for
+    non-transposed typos."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(t, fuzzy_auto_max_edits(t)) for t in query_tokens], "qt string, maxe int"
+    )
+    vocab = toks.select("word").distinct()
+    expansions = (
+        vocab.crossJoin(F.broadcast(qdf))
+        .filter(F.abs(F.length("word") - F.length("qt")) <= F.col("maxe"))
+        .filter(F.levenshtein("word", "qt") <= F.col("maxe"))
+        .withColumn(
+            "sim",
+            F.lit(1.0)
+            - F.levenshtein("word", "qt") / F.greatest(F.length("word"), F.length("qt")),
+        )
+        .select("word", "qt", "sim")
+    )
+    per_term = (
+        toks.join(F.broadcast(expansions), "word")
+        .groupBy("id", "qt")
+        .agg(F.max("sim").alias("best"))
+    )
+    scored = per_term.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.round(F.sum("best"), 4).alias("score")
+    )
+    if require_all:
+        scored = scored.filter(F.col("n_terms") == len(query_tokens))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
 def suggest_prefix(
     df: DataFrame, field: str, prefix: str, rank_col: str, id_col: str, k: int = 5
 ) -> DataFrame:

@@ -618,6 +618,47 @@ SELECT doc_id, score FROM (
 """
 
 
+# Q1 fuzziness AUTO + operator AND (search-api/app.py:215-216): typo'd query
+# terms expand against the term dictionary under the AUTO edit budget.
+
+_FUZZY_TOKENS = ["custmer", "window", "batch"]  # 1-edit typos + one exact term
+
+
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_fuzzy(docs, _FUZZY_TOKENS, "text", "doc_id", k=20)
+
+
+_FUZZY_Q_SQL = ", ".join(
+    f"('{t}', {0 if len(t) <= 2 else (1 if len(t) <= 5 else 2)})" for t in _FUZZY_TOKENS
+)
+
+SQL_search_fuzzy = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                          w -> w != ''))) AS word
+  FROM documents
+),
+q(qt, maxe) AS (VALUES {_FUZZY_Q_SQL}),
+vocab AS (SELECT DISTINCT word FROM toks),
+exp AS (
+  SELECT word, qt,
+         1.0 - levenshtein(word, qt)::DOUBLE / greatest(length(word), length(qt)) AS sim
+  FROM vocab CROSS JOIN q
+  WHERE abs(length(word) - length(qt)) <= maxe AND levenshtein(word, qt) <= maxe
+),
+per_term AS (
+  SELECT doc_id, qt, max(sim) AS best FROM toks JOIN exp USING (word) GROUP BY doc_id, qt
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, count(*) AS n_terms, round(sum(best), 4) AS score
+  FROM per_term GROUP BY doc_id
+) WHERE n_terms = {len(_FUZZY_TOKENS)}
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 # Q1 for real: Okapi BM25 (what ES's _score actually is)
 
 
@@ -1088,6 +1129,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keywords_per_doc": q_keywords_per_doc,
     "search_score": q_search_score,
     "search_bm25": q_search_bm25,
+    "search_fuzzy": q_search_fuzzy,
     "search_filter_range": q_search_filter_range,
     "suggest_prefix": q_suggest_prefix,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -1141,6 +1183,7 @@ ORACLE_SQL: dict[str, str] = {
     "keywords_per_doc": SQL_keywords_per_doc,
     "search_score": SQL_search_score,
     "search_bm25": SQL_search_bm25,
+    "search_fuzzy": SQL_search_fuzzy,
     "search_filter_range": SQL_search_filter_range,
     "suggest_prefix": SQL_suggest_prefix,
     "ann_cosine_topk": SQL_ann_cosine_topk,
