@@ -151,3 +151,27 @@ def test_bloom_epoch_equivalence(spark, pages_df, seeds_df, robots_df, tmp_path_
     seen_df = cat.read_delta_union("seen", N_EPOCHS - 1)
     probed = D.bloom_might_contain(seen_df, bloom)
     assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_cuckoo_epoch_equivalence(spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run, oracle_run):
+    """The cuckoo prefilter variant (seen_filter='cuckoo') is, like the bloom,
+    a pure optimization: identical crawl order, seen set, and counters (the
+    anti-join stays authoritative). Additionally its snapshot probes every
+    committed fingerprint positive (no false negatives)."""
+    from dataclasses import replace
+
+    cfg_ck = replace(CFG, use_bloom=True, seen_filter="cuckoo", bloom_buckets=8)
+    root = tmp_path_factory.mktemp("crawl_cuckoo")
+    cat = Catalog(spark, str(root))
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, N_EPOCHS, cfg_ck)
+
+    assert _spark_schedules(cat, N_EPOCHS) == oracle_run.schedules
+    seen = {r["url_norm"] for r in cat.read_delta_union("seen", N_EPOCHS - 1).collect()}
+    assert seen == oracle_run.seen
+    ck = cat.read_snapshot("seen_cuckoo", N_EPOCHS - 1)
+    assert ck is not None and ck.count() > 0
+    from webcrawler_spark.operators import cuckoo as CK
+
+    seen_df = cat.read_delta_union("seen", N_EPOCHS - 1)
+    probed = CK.cuckoo_might_contain(seen_df, ck)
+    assert probed.filter(~F.col("might_contain")).count() == 0

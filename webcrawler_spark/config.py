@@ -33,7 +33,8 @@ class CrawlConfig:
     bloom_capacity: int = 10_000_000
     bloom_fp_rate: float = 0.001
     bloom_buckets: int = 32           # per-host-hash bloom partitions; 2048 at 10^10 scale
-    use_bloom: bool = False           # persistent cross-epoch bloom prefilter in the epoch loop
+    use_bloom: bool = False           # persistent cross-epoch tier-1 prefilter in the epoch loop
+    seen_filter: str = "bloom"        # prefilter kind: "bloom" (append-only) | "cuckoo" (deletable, TTL eviction)
 
     # scale knobs
     shuffle_partitions: int = 32

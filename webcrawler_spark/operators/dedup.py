@@ -133,8 +133,13 @@ def build_bloom(
         )
 
     bucketed = seen.withColumn("bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int"))
-    return bucketed.groupBy("bucket").applyInPandas(
-        _build, schema="bucket int, blob binary, m int, k int"
+    # nb makes the table self-describing: the probe must re-bucket with the
+    # build's modulus even when the data populates only a subset of buckets
+    # (max(bucket)+1 inference is wrong for e.g. all-even fps)
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(_build, schema="bucket int, blob binary, m int, k int")
+        .withColumn("nb", F.lit(n_buckets))
     )
 
 
@@ -187,6 +192,7 @@ def update_bloom(
             F.coalesce("_m0", "_m1").alias("m"),
             F.coalesce("_k0", "_k1").alias("k"),
         )
+        .withColumn("nb", F.lit(n_buckets))
     )
 
 
@@ -230,8 +236,7 @@ def bloom_might_contain(
             out[mask] = hit
         return pd.Series(out)
 
-    n_buckets = bloom.agg(F.max("bucket")).first()[0]
-    n_buckets = (n_buckets or 0) + 1
+    n_buckets = bloom.agg(F.max("nb")).first()[0] or 1
     blob_side = F.broadcast(bloom) if broadcast_blobs else bloom.repartition("bucket")
     probed = candidates.withColumn(
         "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
@@ -242,7 +247,7 @@ def bloom_might_contain(
             _probe(F.col("url_fp"), F.col("blob"), F.col("m"), F.col("k"))
         ),
     )
-    return probed.drop("bucket", "blob", "m", "k")
+    return probed.drop("bucket", "blob", "m", "k", "nb")
 
 
 def dedupe_new_urls(

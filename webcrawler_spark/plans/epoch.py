@@ -76,7 +76,12 @@ def ingest_candidates(
     -> priority. Returns new frontier rows."""
     canon = D.canonicalize(candidates)
     merged = D.merge_candidates(canon)
-    new = D.dedupe_new_urls(merged, seen, bloom=bloom)
+    if bloom is not None and cfg.seen_filter == "cuckoo":
+        from ..operators import cuckoo as CK
+
+        new = CK.dedupe_new_urls_cuckoo(merged, seen, cuckoo=bloom)
+    else:
+        new = D.dedupe_new_urls(merged, seen, bloom=bloom)
     return (
         new.withColumn(
             "priority",
@@ -104,7 +109,8 @@ def run_epoch(
     frontier_prev = cat.read_snapshot("frontier", prev)
     deferred_prev = cat.read_snapshot("deferred", prev)
     host_stats_prev = cat.read_snapshot("host_stats", prev)
-    bloom_prev = cat.read_snapshot("seen_bloom", prev) if cfg.use_bloom else None
+    _filter_table = "seen_cuckoo" if cfg.seen_filter == "cuckoo" else "seen_bloom"
+    bloom_prev = cat.read_snapshot(_filter_table, prev) if cfg.use_bloom else None
 
     # ---- 1. candidates: seeds at epoch 0, else links discovered last epoch (U1)
     if seeds is not None:
@@ -282,16 +288,29 @@ def run_epoch(
     # ---- 9. commit: stage tables, then atomically publish the manifest (S14)
     counts = {}
     if cfg.use_bloom:
-        # persistent bloom: OR this epoch's new fingerprints into the blobs
-        # (incremental — SURVEY §7 hard-part 3)
-        bloom_next = D.update_bloom(
-            bloom_prev,
-            seen_delta.select("url_fp"),
-            cfg.bloom_buckets,
-            cfg.bloom_capacity,
-            cfg.bloom_fp_rate,
-        )
-        counts["seen_bloom"] = cat.stage("seen_bloom", epoch, bloom_next)
+        # persistent prefilter: fold this epoch's new fingerprints into the
+        # per-bucket blobs (incremental — SURVEY §7 hard-part 3). The cuckoo
+        # variant additionally supports delete_cuckoo for TTL eviction
+        # between epochs (reference's 30-day dedup TTL, indexer/app.py:213).
+        if cfg.seen_filter == "cuckoo":
+            from ..operators import cuckoo as CK
+
+            filter_next = CK.update_cuckoo(
+                bloom_prev,
+                seen_delta.select("url_fp"),
+                cfg.bloom_buckets,
+                cfg.bloom_capacity,
+            )
+            counts["seen_cuckoo"] = cat.stage("seen_cuckoo", epoch, filter_next)
+        else:
+            bloom_next = D.update_bloom(
+                bloom_prev,
+                seen_delta.select("url_fp"),
+                cfg.bloom_buckets,
+                cfg.bloom_capacity,
+                cfg.bloom_fp_rate,
+            )
+            counts["seen_bloom"] = cat.stage("seen_bloom", epoch, bloom_next)
     counts["schedule"] = cat.stage("schedule", epoch, schedule.drop("path"))
     counts["seen"] = cat.stage("seen", epoch, seen_delta)
     counts["frontier"] = cat.stage("frontier", epoch, frontier_next)

@@ -1028,6 +1028,33 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.groupBy("might_contain").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_cuckoo_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 tier-1, deletable variant: build the partitioned cuckoo filter over
+    half the order keys, probe the full table, then TTL-evict a quarter and
+    probe again — the eviction path the bloom cannot express (reference's
+    30-day content-hash TTL, indexer/app.py:213)."""
+    from .operators import cuckoo as CK
+
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("url_fp"))
+    seen = orders.filter(F.col("url_fp") % 2 == 0)
+    ck = CK.build_cuckoo(seen, n_buckets=8, capacity=100_000)
+    before = (
+        CK.cuckoo_might_contain(orders, ck)
+        .groupBy("might_contain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("stage", F.lit("built"))
+    )
+    expired = seen.filter(F.col("url_fp") % 4 == 0)
+    ck2 = CK.delete_cuckoo(ck, expired, n_buckets=8, capacity=100_000)
+    after = (
+        CK.cuckoo_might_contain(orders, ck2)
+        .groupBy("might_contain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("stage", F.lit("evicted"))
+    )
+    return before.unionByName(after).select("stage", "might_contain", "n")
+
+
 def q_crawl_two_epoch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full epoch loop (ingest->schedule->fetch-join->parse->commit) run
     for two epochs on the deterministic synthetic web; returns the committed
@@ -1161,6 +1188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
+    "cuckoo_ttl_stats": q_cuckoo_ttl_stats,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
 }

@@ -36,7 +36,7 @@ MANIFEST = "manifest.json"
 # tables whose epoch partition is a *delta* (union across epochs = state)
 DELTA_TABLES = {"seen", "links", "web_content", "schedule"}
 # tables whose epoch partition is a full *snapshot* (latest wins)
-SNAPSHOT_TABLES = {"frontier", "deferred", "host_stats", "seen_bloom"}
+SNAPSHOT_TABLES = {"frontier", "deferred", "host_stats", "seen_bloom", "seen_cuckoo"}
 
 
 class Catalog:
