@@ -1,0 +1,100 @@
+"""robots.txt parsing (functions/robots.py) — parity with the reference's
+authoritative path, urllib.robotparser.RobotFileParser.can_fetch
+(politeness_manager.py:120-125), on prefix-style rules, plus the dimension
+table feeding the native startswith gate (columns.robots_allows)."""
+
+import urllib.robotparser
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.functions.robots import parse_robots_txt, robots_table
+
+UA = "WebCrawler/1.0"
+
+ROBOTS_BODIES = {
+    "simple": "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n",
+    "named_group": (
+        "User-agent: webcrawler\nDisallow: /only-for-us/\nCrawl-delay: 2.5\n"
+        "\nUser-agent: *\nDisallow: /for-everyone/\n"
+    ),
+    "star_only_delay": "User-agent: *\nCrawl-delay: 7\nDisallow: /x/\n",
+    "other_bot": "User-agent: googlebot\nDisallow: /\n",
+    "comments_and_case": (
+        "# banner comment\nUSER-AGENT: *  # inline\nDISALLOW: /a/ # tail\n\nDisallow: /b/\n"
+    ),
+    "empty_disallow_allows_all": "User-agent: *\nDisallow:\n",
+    "disallow_root": "User-agent: *\nDisallow: /\n",
+    "multi_agent_run": "User-agent: botA\nUser-agent: webcrawler\nDisallow: /shared/\n",
+    "no_groups": "Sitemap: https://example.com/sitemap.xml\n",
+}
+
+PATHS = ["/", "/private/x", "/tmp/", "/public/page", "/only-for-us/a",
+         "/for-everyone/b", "/x/y", "/a/1", "/b/2", "/shared/doc"]
+
+
+def _urllib_allows(body: str, path: str) -> bool:
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    return rp.can_fetch(UA, f"https://example.com{path}")
+
+
+@pytest.mark.parametrize("name", sorted(ROBOTS_BODIES))
+def test_parity_with_urllib_robotparser(name):
+    body = ROBOTS_BODIES[name]
+    disallows, _ = parse_robots_txt(body, UA)
+    for path in PATHS:
+        ours = not any(path.startswith(p) for p in disallows)
+        assert ours == _urllib_allows(body, path), (name, path, disallows)
+
+
+def test_crawl_delay_selection():
+    _, delay = parse_robots_txt(ROBOTS_BODIES["named_group"], UA)
+    assert delay == 2.5  # the named group wins over the * group
+    _, delay = parse_robots_txt(ROBOTS_BODIES["star_only_delay"], UA)
+    assert delay == 7.0
+    _, delay = parse_robots_txt(ROBOTS_BODIES["other_bot"], UA)
+    assert delay is None  # no matching group -> unrestricted
+
+
+def test_missing_or_empty_content_allows_all():
+    # fetch failure => allowed (politeness_manager.py:140-149)
+    assert parse_robots_txt(None, UA) == ([], None)
+    assert parse_robots_txt("", UA) == ([], None)
+    assert parse_robots_txt(ROBOTS_BODIES["no_groups"], UA) == ([], None)
+
+
+def test_robots_table_feeds_scheduler_gate(spark):
+    raw = spark.createDataFrame(
+        [
+            ("a.com", ROBOTS_BODIES["simple"]),
+            ("b.com", ROBOTS_BODIES["named_group"]),
+            ("c.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    dim = robots_table(raw, UA)
+    rows = {r["host"]: r for r in dim.collect()}
+    assert rows["a.com"]["disallow_prefixes"] == ["/private/", "/tmp/"]
+    assert rows["a.com"]["crawl_delay"] is None
+    assert rows["b.com"]["disallow_prefixes"] == ["/only-for-us/"]
+    assert rows["b.com"]["crawl_delay"] == 2.5
+    assert rows["c.com"]["disallow_prefixes"] == []
+
+    # plumb through the native P5 gate used by schedule_epoch
+    from webcrawler_spark.functions import columns as C
+
+    urls = spark.createDataFrame(
+        [("a.com", "/private/x"), ("a.com", "/ok"), ("b.com", "/only-for-us/a")],
+        "host string, path string",
+    )
+    gated = (
+        urls.join(F.broadcast(dim), "host", "left")
+        .withColumn("allowed", C.robots_allows(F.col("disallow_prefixes"), F.col("path")))
+    )
+    got = {(r["host"], r["path"]): r["allowed"] for r in gated.collect()}
+    assert got == {
+        ("a.com", "/private/x"): False,
+        ("a.com", "/ok"): True,
+        ("b.com", "/only-for-us/a"): False,
+    }

@@ -1,0 +1,156 @@
+"""robots.txt parsing: raw fetched content -> the robots dimension table.
+
+The reference fetches robots.txt per domain, caches it, and gates URLs with
+``urllib.robotparser.RobotFileParser.can_fetch`` (url-scheduler/
+politeness_manager.py:99-149; crude cached path :92-95; fetch failure =>
+allowed :140-149). Our epoch job consumes a pre-parsed dimension table
+(host, disallow_prefixes ARRAY<STRING>, crawl_delay DOUBLE) joined broadcast
+against the schedule (SURVEY S11/P5). This module is the missing step
+between the two: parse the fetched robots.txt bodies into that table.
+
+Group selection follows RFC 9309 / urllib.robotparser semantics:
+
+- lines are ``field: value`` with ``#`` comments stripped;
+- consecutive ``User-agent`` lines open a group; ``Allow``/``Disallow``/
+  ``Crawl-delay`` lines attach to the open group (a rule line closes the
+  agent-accumulation state);
+- the group for our agent is the first whose agent token is a substring
+  match for the agent's product token (urllib lowercases both and matches
+  ``agent_token in useragent`` after splitting at '/'), else the ``*`` group;
+- empty/missing content or no matching group => no restrictions (allowed),
+  matching the reference's fetch-failure behavior.
+
+v1 deltas (documented):
+- rules are plain path prefixes — the ``*``/``$`` wildcard extensions are
+  not expanded (urllib.robotparser treats them literally too, so parity
+  with the reference holds); percent-encoding is preserved as-is.
+- ``Allow`` lines are parsed (they advance the group state machine exactly
+  as in urllib) but not emitted: the dimension table is disallow-only, so a
+  file using Allow to carve exceptions out of a Disallow prefix gates
+  stricter here than can_fetch. None of the reference's test fixtures use
+  Allow carve-outs.
+
+Parsing runs in a vectorized pandas UDF: robots.txt bodies are a per-host
+dimension (one row per host, ~10^7 rows at web scale — a fraction of a
+percent of the frontier), entirely off the per-URL hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_RULE_FIELDS = ("allow", "disallow")
+
+
+def parse_robots_txt(content: str | None, user_agent: str) -> tuple[list[str], float | None]:
+    """Parse one robots.txt body for ``user_agent``. Returns
+    (disallow_prefixes, crawl_delay). Empty disallow list => everything
+    allowed. Mirrors urllib.robotparser's group selection so the native
+    startswith gate agrees with the reference's can_fetch on prefix rules."""
+    if not content:
+        return [], None
+    # urllib matches on the product token: "MyBot/1.0" -> "mybot"
+    agent_token = user_agent.split("/")[0].lower()
+
+    # urllib.robotparser's exact state machine: 0 = start of group,
+    # 1 = inside a user-agent run, 2 = inside the rule block. A blank line
+    # terminates a group (rules after it with no new User-agent are DROPPED,
+    # as urllib does); a User-agent line after rules opens a new group.
+    groups: list[tuple[list[str], list[tuple[str, str]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, str]] = []
+    cur_delay: float | None = None
+    state = 0
+
+    def _flush() -> None:
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            if state in (1, 2):
+                _flush()
+                state = 0
+            continue
+        if ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if state == 2:
+                _flush()
+            cur_agents.append(value.lower())
+            state = 1
+        elif field in _RULE_FIELDS:
+            if state != 0:
+                cur_rules.append((field, value))
+                state = 2
+        elif field == "crawl-delay":
+            if state != 0:
+                try:
+                    cur_delay = float(value)
+                except ValueError:
+                    pass
+                state = 2
+    _flush()
+
+    def _matches(agents: list[str]) -> bool:
+        # urllib.robotparser.Entry.applies_to: agent matches if the group's
+        # (lowercased) agent string is a substring of our product token
+        return any(a != "*" and a in agent_token for a in agents)
+
+    chosen = None
+    for g in groups:
+        if _matches(g[0]):
+            chosen = g
+            break
+    if chosen is None:
+        for g in groups:
+            if "*" in g[0]:
+                chosen = g
+                break
+    if chosen is None:
+        return [], None
+    disallows = [v for f, v in chosen[1] if f == "disallow" and v]
+    return disallows, chosen[2]
+
+
+def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
+    """(host, robots_txt) -> the robots dimension table consumed by
+    scheduler.schedule_epoch: (host, disallow_prefixes, crawl_delay).
+    Hosts whose robots.txt failed to fetch (null body) get no restrictions,
+    matching the reference (politeness_manager.py:140-149)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("disallow_prefixes", ArrayType(StringType())),
+            StructField("crawl_delay", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _parse(content: pd.Series) -> pd.DataFrame:
+        parsed = [parse_robots_txt(c, user_agent) for c in content]
+        return pd.DataFrame(
+            {
+                "disallow_prefixes": [p[0] for p in parsed],
+                "crawl_delay": [p[1] for p in parsed],
+            }
+        )
+
+    return raw.select(
+        "host",
+        _parse(F.col("robots_txt")).alias("_r"),
+    ).select(
+        "host",
+        F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
+        F.col("_r.crawl_delay").alias("crawl_delay"),
+    )

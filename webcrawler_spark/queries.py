@@ -1028,6 +1028,37 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.groupBy("might_contain").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 parse step: raw robots.txt bodies -> the robots dimension table
+    (politeness_manager.py:99-149 via urllib-parity state machine). Bodies
+    are synthesized deterministically per distinct document source so the
+    parse exercises named-group selection, crawl-delay, and the
+    fetch-failure path (every 3rd host gets a null body)."""
+    from .functions.robots import robots_table
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+    )
+    body = F.concat(
+        F.lit("User-agent: webcrawler\nDisallow: /priv-"),
+        F.col("host"),
+        F.lit("/\nCrawl-delay: "),
+        (F.length("host") % 5 + 1).cast("string"),
+        F.lit("\n\nUser-agent: *\nDisallow: /everyone/\n"),
+    )
+    raw = hosts.withColumn(
+        "robots_txt",
+        F.when(F.xxhash64("host") % 3 == 0, F.lit(None).cast("string")).otherwise(body),
+    )
+    return robots_table(raw, "WebCrawler/1.0").select(
+        "host",
+        F.size("disallow_prefixes").alias("n_disallow"),
+        "crawl_delay",
+    )
+
+
 def q_cuckoo_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 tier-1, deletable variant: build the partitioned cuckoo filter over
     half the order keys, probe the full table, then TTL-evict a quarter and
@@ -1189,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "cuckoo_ttl_stats": q_cuckoo_ttl_stats,
+    "robots_parse": q_robots_parse,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
 }
