@@ -124,3 +124,41 @@ def test_ivf_topk_recall(spark):
     assert len(approx) == 10
     recall = len(exact & approx) / 10
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+# ---- multi-language ID (F17 multi; textstats.lang_id_multi) ---------------------
+
+
+def test_lang_id_multi_real_sentences(spark):
+    from pyspark.sql import Row
+    from webcrawler_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat and it was not happy with this"),
+            Row(doc_id=2, text="der hund ist nicht mit der katze und das ist auch gut"),
+            Row(doc_id=3, text="le chat est dans la maison et les oiseaux sont pour vous"),
+            Row(doc_id=4, text="el perro y los gatos con su comida pero muy lejos del parque"),
+            Row(doc_id=5, text="我们今天去公园散步然后回家吃饭休息一下"),
+            Row(doc_id=6, text="xyzzy qwerty plugh foobar"),  # no profile hits
+        ]
+    )
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in docs.select(
+            "doc_id", TS.lang_id_multi(F.col("text")).alias("pred")
+        ).collect()
+    }
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_lang_id_multi_tiebreak_deterministic(spark):
+    from pyspark.sql import Row
+    from webcrawler_spark.operators import textstats as TS
+
+    # "que" + "una" hit both es and fr profiles? "una" is es-only, "que" both;
+    # craft an exact tie: two es-only + two fr-only words -> tie broken
+    # alphabetically (es < fr)
+    docs = spark.createDataFrame([Row(doc_id=1, text="los del dans pour")])
+    out = docs.select(TS.lang_id_multi(F.col("text")).alias("p")).first()["p"]
+    assert out == "es"

@@ -48,6 +48,50 @@ def lang_id_en(text: Column, min_hits: int = 2) -> Column:
     return F.when(hits >= min_hits, F.lit("en")).otherwise(F.lit("other"))
 
 
+# per-language stopword profiles for the multi-language detector; fixed
+# short lists so Spark and the DuckDB oracle agree byte-for-byte. Overlaps
+# ("que" fr/es) are fine — ties break deterministically by language code.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ein", "eine", "zu",
+           "mit", "von", "auf", "sich", "den", "auch"),
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with", "for",
+           "was", "are", "this", "have", "from", "not"),
+    "es": ("el", "los", "las", "una", "que", "por", "para", "con", "del",
+           "se", "su", "como", "pero", "sus", "muy"),  # ASCII-only: the
+    # [^a-z0-9]+ tokenizer splits accented words, so accented stopwords
+    # ("más") could never match
+
+    "fr": ("le", "la", "les", "et", "des", "est", "une", "que", "pour",
+           "dans", "qui", "pas", "sur", "vous", "nous"),
+}
+
+
+def lang_id_multi(text: Column, min_hits: int = 2, cjk_frac: float = 0.15) -> Column:
+    """Multi-language stopword-profile detector (training-data-pipeline
+    language ID; the reference's parser runs langdetect here,
+    parser/app.py:317-322). All JVM-native:
+
+    - 'zh' when >= ``cjk_frac`` of characters are CJK-unified (a script
+      check — CJK text does not whitespace-tokenize);
+    - else score each language as |distinct tokens ∩ its stopword profile|,
+      take the argmax (ties break alphabetically, the fixed iteration
+      order of LANG_STOPWORDS);
+    - 'und' when the best score is below ``min_hits`` (BCP-47 undetermined).
+    """
+    cjk = F.length(F.regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    total = F.greatest(F.length(text), F.lit(1))
+    toks = F.array_distinct(tokens(text))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in stops])))
+        for lang, stops in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.when(best < min_hits, F.lit("und"))
+    for lang in LANG_STOPWORDS:  # dict order = alphabetical = tiebreak order
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return F.when(cjk / total >= cjk_frac, F.lit("zh")).otherwise(expr)
+
+
 def doc_quality(text: Column) -> Column:
     """Text-only slice of the reference quality ladder (length tier +
     uniqueness ratio; parser/app.py:357-364,389-395) — SQL-expressible."""

@@ -492,6 +492,49 @@ FROM documents
 """
 
 
+# F17 multi-language: stopword-profile argmax + CJK script check
+
+
+def q_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TS.lang_id_multi(F.col("text")).alias("lang_pred"))
+
+
+def _lang_score_sql(stops: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stops)
+    return (
+        f"len(list_intersect(list_distinct(string_split_regex(lower(text), "
+        f"'{_TOKEN_RE}')), [{lst}]))"
+    )
+
+
+def _sql_lang_id_multi() -> str:
+    from .operators.textstats import LANG_STOPWORDS
+
+    scores = {lang: _lang_score_sql(st) for lang, st in LANG_STOPWORDS.items()}
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = "CASE WHEN best < 2 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores
+    ) + " END"
+    score_cols = ", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    return f"""
+SELECT doc_id,
+       CASE WHEN cjk::DOUBLE / greatest(length(text), 1) >= 0.15 THEN 'zh'
+            ELSE {case} END AS lang_pred
+FROM (
+  SELECT *, {best} AS best FROM (
+    SELECT doc_id, text,
+           length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+           {score_cols}
+    FROM documents
+  )
+)
+"""
+
+
+SQL_lang_id_multi = _sql_lang_id_multi()
+
+
 # F14 (text-only slice): quality scoring ladder
 
 
@@ -1194,6 +1237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_pricing": q_lineitem_pricing,
     "token_count": q_token_count,
     "lang_id": q_lang_id,
+    "lang_id_multi": q_lang_id_multi,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1250,6 +1294,7 @@ ORACLE_SQL: dict[str, str] = {
     "lineitem_pricing": SQL_lineitem_pricing,
     "token_count": SQL_token_count,
     "lang_id": SQL_lang_id,
+    "lang_id_multi": SQL_lang_id_multi,
     "doc_quality": SQL_doc_quality,
     "ngram_jaccard_pairs": SQL_ngram_jaccard_pairs,
     "embedding_near_dups": SQL_embedding_near_dups,
