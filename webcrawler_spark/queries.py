@@ -535,6 +535,30 @@ FROM (
 SQL_lang_id_multi = _sql_lang_id_multi()
 
 
+# F10: charset detect + decode round-trip (encoding ladder, fetcher/app.py:58-79)
+
+
+def q_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-encode each document's text to UTF-8 bytes, run the F10 detect +
+    decode ladder, and emit the md5 of the decoded text — the oracle hashes
+    the original text, so a hash match proves byte-identical round-trip."""
+    from .functions.encoding import decode_pages
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("html")
+    )
+    return decode_pages(docs, "html").select(
+        "doc_id",
+        F.col("encoding"),
+        F.md5(F.encode(F.col("decoded_text"), "UTF-8")).alias("text_md5"),
+    )
+
+
+SQL_decode_roundtrip = """
+SELECT doc_id, 'utf-8' AS encoding, md5(text) AS text_md5 FROM documents
+"""
+
+
 # F14 (text-only slice): quality scoring ladder
 
 
@@ -1238,6 +1262,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_count": q_token_count,
     "lang_id": q_lang_id,
     "lang_id_multi": q_lang_id_multi,
+    "decode_roundtrip": q_decode_roundtrip,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1295,6 +1320,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_count": SQL_token_count,
     "lang_id": SQL_lang_id,
     "lang_id_multi": SQL_lang_id_multi,
+    "decode_roundtrip": SQL_decode_roundtrip,
     "doc_quality": SQL_doc_quality,
     "ngram_jaccard_pairs": SQL_ngram_jaccard_pairs,
     "embedding_near_dups": SQL_embedding_near_dups,
