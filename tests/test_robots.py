@@ -98,3 +98,50 @@ def test_robots_table_feeds_scheduler_gate(spark):
         ("a.com", "/ok"): True,
         ("b.com", "/only-for-us/a"): False,
     }
+
+
+# ---- property fuzz vs urllib.robotparser ----------------------------------------
+
+
+def test_hypothesis_fuzz_vs_urllib():
+    """Generated robots.txt files (agent runs, rules, delays, comments, blank
+    lines, junk) must agree with urllib.robotparser.can_fetch on prefix-rule
+    allowance for every generated path. Deterministic (fixed seed/derandomize)
+    so CI never flakes on example search."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    agents = st.sampled_from(["*", "webcrawler", "googlebot", "other-bot", "WebCrawler"])
+    paths = st.sampled_from(
+        ["/", "/a/", "/a/b", "/priv/", "/pub/x", "/tmp", "/x%20y", ""]
+    )
+    lines = st.lists(
+        st.one_of(
+            agents.map(lambda a: f"User-agent: {a}"),
+            paths.map(lambda p: f"Disallow: {p}"),
+            paths.map(lambda p: f"Allow: {p}"),
+            st.integers(0, 99).map(lambda d: f"Crawl-delay: {d}"),
+            st.sampled_from(["", "   ", "# comment", "junk line without colon",
+                             "Sitemap: https://e.com/s.xml"]),
+        ),
+        min_size=0, max_size=25,
+    )
+
+    @settings(max_examples=300, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(lines=lines)
+    def _check(lines):
+        body = "\n".join(lines)
+        disallows, _ = parse_robots_txt(body, UA)
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        for path in ["/", "/a/b", "/priv/x", "/pub/x", "/tmp", "/zzz"]:
+            ours = not any(path.startswith(p) for p in disallows)
+            theirs = rp.can_fetch(UA, f"https://example.com{path}")
+            # Allow carve-outs are a documented delta: we may be stricter
+            # (ours False where urllib True is only legal if an Allow rule
+            # fired); we must NEVER be more permissive than urllib.
+            has_allow = any(l.lower().startswith("allow:") for l in lines)
+            if ours != theirs:
+                assert has_allow and theirs and not ours, (body, path, disallows)
+
+    _check()

@@ -69,14 +69,24 @@ def parse_robots_txt(content: str | None, user_agent: str) -> tuple[list[str], f
             groups.append((cur_agents, cur_rules, cur_delay))
         cur_agents, cur_rules, cur_delay = [], [], None
 
+    def _discard() -> None:
+        nonlocal cur_agents, cur_rules, cur_delay
+        cur_agents, cur_rules, cur_delay = [], [], None
+
     for raw in content.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
-            if state in (1, 2):
+        # urllib checks emptiness BEFORE comment/whitespace stripping: only a
+        # truly empty line terminates a group (state 2 flushes, a rule-less
+        # agent run in state 1 is discarded); whitespace- or comment-only
+        # lines are no-ops
+        if not raw:
+            if state == 1:
+                _discard()
+            elif state == 2:
                 _flush()
-                state = 0
+            state = 0
             continue
-        if ":" not in line:
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
             continue
         field, _, value = line.partition(":")
         field = field.strip().lower()
@@ -97,7 +107,10 @@ def parse_robots_txt(content: str | None, user_agent: str) -> tuple[list[str], f
                 except ValueError:
                     pass
                 state = 2
-    _flush()
+    # urllib's end-of-input: only a group that reached the rule block is
+    # kept; a trailing rule-less User-agent run is dropped
+    if state == 2:
+        _flush()
 
     def _matches(agents: list[str]) -> bool:
         # urllib.robotparser.Entry.applies_to: agent matches if the group's
