@@ -111,3 +111,25 @@ def test_frontier_schedule_single_politeness_shuffle(spark, seeds_df, robots_df)
     plan = plan_str(schedule, "simple")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"expected 1 host shuffle, saw {n_exchanges}:\n{plan}"
+
+
+def test_search_fuzzy_broadcasts_expansions(spark):
+    """The fuzzy term-expansion table must reach the token stream as a
+    broadcast (it is bounded by |query| x expansion width); a shuffle join
+    there would re-partition the full corpus token stream at 100 TB."""
+    q = entry_mod.queries()["search_fuzzy"]
+    plan = plan_str(q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lang_id_multi_all_native(spark):
+    """Multi-language ID is a single JVM Project over the scan: no Python
+    evaluation of any kind and no shuffle (the stopword intersections and
+    the CJK regexp are Column expressions; the higher-order token filter
+    keeps the Project out of whole-stage codegen, which is fine — the scale
+    property is one pass, zero exchanges)."""
+    q = entry_mod.queries()["lang_id_multi"]
+    plan = plan_str(q(spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
