@@ -1,0 +1,87 @@
+"""Catalog maintenance (storage/catalog.py): delta compaction + expiry —
+the Iceberg rewrite_data_files / expire_snapshots analogs that keep a
+thousands-of-epochs seen set from becoming a small-files problem.
+
+Invariants:
+- read_delta_union is value-identical before and after compaction (epoch
+  lineage column included);
+- the crawl continues correctly on a compacted catalog (new epochs stack
+  on the compacted base) with crawl-order parity preserved;
+- expiry below the compaction point keeps current-state reads intact and
+  refuses time travel below the boundary;
+- expiry without a covering compaction is refused.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.config import CrawlConfig
+from webcrawler_spark.oracle import run_oracle
+from webcrawler_spark.plans import epoch as E
+from webcrawler_spark.storage.catalog import Catalog
+
+CFG = CrawlConfig(epoch_seconds=6, hot_host_salt=2)
+
+
+def _seen_rows(cat, epoch):
+    df = cat.read_delta_union("seen", epoch)
+    return sorted((r["url_norm"], r["epoch"]) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def compact_cat(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    """2 epochs -> compact 'seen' -> 2 more epochs on the compacted base."""
+    root = tmp_path_factory.mktemp("crawl_compact")
+    cat = Catalog(spark, str(root))
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 2, CFG)
+    before = _seen_rows(cat, 1)
+    n = cat.compact_delta("seen", 1)
+    assert n == len(before)
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 2, CFG)  # resumes at 2
+    return cat, before
+
+
+def test_compaction_value_identity(compact_cat):
+    cat, before = compact_cat
+    assert _seen_rows(cat, 1) == before  # as-of the compaction point
+    # post-compaction epochs stack on the base
+    all_rows = _seen_rows(cat, 3)
+    assert set(before) <= set(all_rows)
+    assert {e for _, e in all_rows} == {0, 1, 2, 3}
+
+
+def test_compacted_crawl_matches_oracle(spark, web, compact_cat):
+    cat, _ = compact_cat
+    oracle = run_oracle(web["pages"], web["seeds"], web["robots"], 4, CFG)
+    seen = {r["url_norm"] for r in cat.read_delta_union("seen", 3).collect()}
+    assert seen == oracle.seen
+    for e in range(4):
+        df = cat.read_delta_union("schedule", e)
+        rows = df.filter(F.col("epoch") == e).orderBy("host", "rank_in_host").collect()
+        got = [(r["host"], r["rank_in_host"], r["url_norm"]) for r in rows]
+        assert got == oracle.schedules[e], f"epoch {e} order mismatch after compaction"
+
+
+def test_expiry_semantics(compact_cat):
+    cat, _ = compact_cat
+    state_before = _seen_rows(cat, 3)
+    removed = cat.expire_deltas_before("seen", 1)
+    assert removed == 2  # epoch=0 and epoch=1 dirs
+    # current state unchanged (served from compact base + live deltas)
+    assert _seen_rows(cat, 3) == state_before
+    assert _seen_rows(cat, 1) is not None  # exactly the compaction point: OK
+    # time travel below the boundary is refused
+    with pytest.raises(ValueError, match="expired"):
+        cat._read_delta_raw("seen", 0)
+
+
+def test_expire_without_compaction_refused(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("noncompact")
+    cat = Catalog(spark, str(root))
+    df = spark.createDataFrame([(1, 0)], "x int, epoch int")
+    c = cat.stage("links", 0, df)
+    cat.commit_epoch(0, {"links": c}, {})
+    with pytest.raises(ValueError, match="not covered"):
+        cat.expire_deltas_before("links", 0)
+    with pytest.raises(ValueError, match="not a delta table"):
+        cat.compact_delta("frontier", 0)

@@ -98,14 +98,17 @@ class Catalog:
         invisible — snapshot isolation); each delta row carries its own epoch
         column for lineage, so no partition inference is needed."""
         base = os.path.join(self.root, table)
-        committed = [
-            e["epoch"]
-            for e in self.read_manifest()["epochs"]
-            if e["epoch"] <= as_of_epoch and table in e["tables"]
-        ]
+        committed = self._committed_epochs(table, as_of_epoch)
         if not committed or not os.path.exists(base):
             return None
-        return self.spark.read.parquet(*[self._epoch_dir(table, e) for e in committed])
+        comp = self.read_manifest().get("compactions", {}).get(table)
+        if comp and comp["as_of"] <= as_of_epoch:
+            # compacted base + deltas after the compaction point: one dir
+            # instead of one per epoch (value-identical; epoch col = lineage)
+            paths = [os.path.join(self.root, table, f"compact={comp['as_of']}")]
+            paths += [self._epoch_dir(table, e) for e in committed if e > comp["as_of"]]
+            return self.spark.read.parquet(*paths)
+        return self._read_delta_raw(table, as_of_epoch)
 
     def read_snapshot(self, table: str, as_of_epoch: int) -> DataFrame | None:
         """Latest committed snapshot partition <= epoch."""
@@ -126,3 +129,81 @@ class Catalog:
             if e["epoch"] == epoch:
                 return e["counters"]
         return None
+
+    # ---- maintenance (Iceberg rewrite_data_files / expire_snapshots analogs) ----
+    def compact_delta(self, table: str, as_of_epoch: int) -> int:
+        """Rewrite a delta table's per-epoch partitions <= as_of_epoch into
+        one consolidated base (Iceberg ``rewrite_data_files``). Without this,
+        a delta table read is a union over one directory per epoch — after
+        thousands of epochs at 10^10-URL scale that is a small-files problem
+        on every seen-set anti-join. Reads are unchanged in value: the base
+        carries each row's original epoch column, so lineage survives and
+        ``read_delta_union(t, E)`` still returns exactly the union of deltas
+        <= E (base + post-compaction deltas). Original partitions are kept
+        until ``expire_deltas_before`` (time travel below the compaction
+        point keeps working, as with Iceberg snapshot expiry)."""
+        if table not in DELTA_TABLES:
+            raise ValueError(f"{table} is not a delta table")
+        df = self._read_delta_raw(table, as_of_epoch)
+        if df is None:
+            return 0
+        path = os.path.join(self.root, table, f"compact={as_of_epoch}")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        manifest = self.read_manifest()
+        manifest.setdefault("compactions", {})[table] = {"as_of": as_of_epoch}
+        self._write_manifest(manifest)  # atomic: readers see old layout or new
+        return self.spark.read.parquet(path).count()
+
+    def expire_deltas_before(self, table: str, epoch: int) -> int:
+        """Delete a delta table's per-epoch directories <= epoch (Iceberg
+        ``expire_snapshots``). Only legal below an existing compaction point
+        — current-state reads are unaffected; time travel below the expiry
+        boundary becomes unavailable, as in Iceberg. Returns dirs removed."""
+        comp = self.read_manifest().get("compactions", {}).get(table)
+        if comp is None or epoch > comp["as_of"]:
+            raise ValueError(
+                f"cannot expire {table} deltas <= {epoch}: not covered by a compaction"
+            )
+        removed = 0
+        for e in self._committed_epochs(table, epoch):
+            path = self._epoch_dir(table, e)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+                removed += 1
+        manifest = self.read_manifest()
+        manifest.setdefault("expired", {})[table] = max(
+            epoch, manifest.get("expired", {}).get(table, -1)
+        )
+        self._write_manifest(manifest)
+        return removed
+
+    def _committed_epochs(self, table: str, as_of_epoch: int) -> list[int]:
+        return [
+            e["epoch"]
+            for e in self.read_manifest()["epochs"]
+            if e["epoch"] <= as_of_epoch and table in e["tables"]
+        ]
+
+    def _read_delta_raw(self, table: str, as_of_epoch: int) -> DataFrame | None:
+        """Union of raw per-epoch partitions, ignoring any compaction (used
+        to build a compaction; requires the partitions to not be expired)."""
+        manifest = self.read_manifest()
+        expired_to = manifest.get("expired", {}).get(table, -1)
+        comp = manifest.get("compactions", {}).get(table)
+        committed = self._committed_epochs(table, as_of_epoch)
+        if not committed:
+            return None
+        if expired_to >= 0:
+            # stack the previous compacted base under the surviving deltas
+            if comp is None or comp["as_of"] > as_of_epoch:
+                raise ValueError(
+                    f"time travel to epoch {as_of_epoch} of {table}: deltas <= "
+                    f"{expired_to} expired"
+                )
+            live = [e for e in committed if e > comp["as_of"]]
+            paths = [os.path.join(self.root, table, f"compact={comp['as_of']}")]
+            paths += [self._epoch_dir(table, e) for e in live]
+            return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(*[self._epoch_dir(table, e) for e in committed])
