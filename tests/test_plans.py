@@ -133,3 +133,13 @@ def test_lang_id_multi_all_native(spark):
     plan = plan_str(q(spark, SF_DIR))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_global_budget_drain_no_full_sort(spark):
+    """The band-bounded top-k must never globally sort the input: the final
+    ordering is a TakeOrderedAndProject over the filtered band, with no
+    Sort + Exchange(rangepartitioning) of the full table."""
+    q = entry_mod.queries()["global_budget_drain"]
+    plan = plan_str(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()

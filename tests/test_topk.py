@@ -1,0 +1,56 @@
+"""Quantile-threshold global top-k (operators/topk.py): exact equality with
+ORDER BY ... LIMIT under duplicates, skewed scores, tiny inputs, and k >= n."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators.topk import threshold_topk
+
+
+def _reference(df, score, k, idc):
+    return [
+        (r[idc], r[score])
+        for r in df.orderBy(F.desc(score), F.asc(idc)).limit(k).collect()
+    ]
+
+
+def _ours(df, score, k, idc, **kw):
+    return [
+        (r[idc], r[score])
+        for r in threshold_topk(df, score, k, idc, **kw).collect()
+    ]
+
+
+@pytest.mark.parametrize("k", [1, 100, 1500])
+def test_matches_full_sort(spark, k):
+    # 20k rows, heavy duplicate scores (mod 97) -> boundary ties guaranteed
+    df = spark.range(20_000).select(
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).cast("double").alias("score"),
+    )
+    assert _ours(df, "score", k, "rid") == _reference(df, "score", k, "rid")
+
+
+def test_small_and_degenerate_inputs(spark):
+    df = spark.range(5).select(F.col("id").alias("rid"), F.lit(1.0).alias("score"))
+    assert _ours(df, "score", 10, "rid") == _reference(df, "score", 10, "rid")
+    empty = df.filter(F.lit(False))
+    assert _ours(empty, "score", 3, "rid") == []
+
+
+def test_all_equal_scores_tiebreak_exact(spark):
+    # every row at the boundary: selection is purely the id tiebreak
+    df = spark.range(3_000).select(F.col("id").alias("rid"), F.lit(7.0).alias("score"))
+    assert _ours(df, "score", 250, "rid") == [(i, 7.0) for i in range(250)]
+
+
+def test_coarse_sketch_still_exact(spark):
+    # a deliberately sloppy sketch (eps=0.2) must still return the exact
+    # answer — only the band size (work), not correctness, depends on eps
+    df = spark.range(10_000).select(
+        F.col("id").alias("rid"),
+        (F.xxhash64("id") % 1000).cast("double").alias("score"),
+    )
+    assert _ours(df, "score", 500, "rid", relative_error=0.2) == _reference(
+        df, "score", 500, "rid"
+    )

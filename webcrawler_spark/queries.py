@@ -535,6 +535,25 @@ FROM (
 SQL_lang_id_multi = _sql_lang_id_multi()
 
 
+# S8 at global-fetch-budget scale: exact top-k via quantile-threshold banding
+# (url-frontier/app.py:294-325's ORDER BY LIMIT, made band-bounded)
+
+
+def q_global_budget_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.topk import threshold_topk
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rid"), F.col("o_totalprice").alias("score")
+    )
+    return threshold_topk(orders, "score", 500, "rid")
+
+
+SQL_global_budget_drain = """
+SELECT o_orderkey AS rid, o_totalprice AS score FROM orders
+ORDER BY score DESC, rid ASC LIMIT 500
+"""
+
+
 # F10: charset detect + decode round-trip (encoding ladder, fetcher/app.py:58-79)
 
 
@@ -1263,6 +1282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "lang_id_multi": q_lang_id_multi,
     "decode_roundtrip": q_decode_roundtrip,
+    "global_budget_drain": q_global_budget_drain,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1321,6 +1341,7 @@ ORACLE_SQL: dict[str, str] = {
     "lang_id": SQL_lang_id,
     "lang_id_multi": SQL_lang_id_multi,
     "decode_roundtrip": SQL_decode_roundtrip,
+    "global_budget_drain": SQL_global_budget_drain,
     "doc_quality": SQL_doc_quality,
     "ngram_jaccard_pairs": SQL_ngram_jaccard_pairs,
     "embedding_near_dups": SQL_embedding_near_dups,
