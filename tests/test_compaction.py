@@ -85,3 +85,20 @@ def test_expire_without_compaction_refused(spark, tmp_path_factory):
         cat.expire_deltas_before("links", 0)
     with pytest.raises(ValueError, match="not a delta table"):
         cat.compact_delta("frontier", 0)
+
+
+def test_auto_compaction_in_epoch_loop(spark, pages_df, seeds_df, robots_df, tmp_path_factory, web):
+    """cfg.compact_every wires compaction into run_epochs; results identical
+    to the uncompacted oracle run."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, compact_every=2)
+    root = tmp_path_factory.mktemp("crawl_autocompact")
+    cat = Catalog(spark, str(root))
+    counters = E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 4, cfg)
+    assert "maintenance" in counters[1] and "maintenance" in counters[3]
+    oracle = run_oracle(web["pages"], web["seeds"], web["robots"], 4, CFG)
+    seen = {r["url_norm"] for r in cat.read_delta_union("seen", 3).collect()}
+    assert seen == oracle.seen
+    comp = cat.read_manifest()["compactions"]
+    assert comp["seen"]["as_of"] == 3 and comp["links"]["as_of"] == 3

@@ -76,3 +76,23 @@ def test_decode_pages_udf(spark):
     assert out[2][0] == "windows-1252" and out[2][1].endswith("café</body></html>")
     assert out[3] == ("windows-1252", "café €uro")
     assert out[4] == ("utf-8", "")
+
+
+def test_hypothesis_fuzz_never_crashes():
+    """Arbitrary bytes + arbitrary header strings: detect/decode must always
+    return (valid codec label, str) and never raise."""
+    import codecs
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None, derandomize=True)
+    @given(
+        content=st.one_of(st.none(), st.binary(max_size=400)),
+        header=st.one_of(st.none(), st.text(max_size=60)),
+    )
+    def _check(content, header):
+        enc, text = decode_content(content, header)
+        codecs.lookup(enc)  # label is always resolvable
+        assert isinstance(text, str)
+
+    _check()

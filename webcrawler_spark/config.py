@@ -35,6 +35,8 @@ class CrawlConfig:
     bloom_buckets: int = 32           # per-host-hash bloom partitions; 2048 at 10^10 scale
     use_bloom: bool = False           # persistent cross-epoch tier-1 prefilter in the epoch loop
     seen_filter: str = "bloom"        # prefilter kind: "bloom" (append-only) | "cuckoo" (deletable, TTL eviction)
+    compact_every: int = 0            # compact delta tables every N epochs (0 = off); keeps the
+                                      # per-epoch read from unioning one dir per prior epoch
 
     # scale knobs
     shuffle_partitions: int = 32

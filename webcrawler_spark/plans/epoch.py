@@ -371,5 +371,12 @@ def run_epochs(
                 verify_extraction=verify_extraction,
             )
         )
+        # periodic delta compaction (Iceberg rewrite_data_files cadence):
+        # the seen/links unions otherwise read one directory per prior epoch
+        if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
+            for table in ("seen", "links"):
+                out[-1].setdefault("maintenance", {})[f"compact_{table}"] = (
+                    cat.compact_delta(table, epoch)
+                )
     pages_prepared.unpersist()
     return out
