@@ -177,3 +177,22 @@ def test_sparse_bucket_population_no_false_negatives(spark):
     assert (
         D.bloom_might_contain(seen, bl).filter(~F.col("might_contain")).count() == 0
     )
+
+
+def test_update_with_mismatched_n_buckets_stays_correct(spark):
+    """Regression: incremental update/delete must bucket the delta with the
+    EXISTING table's modulus, not the caller's — a mismatched n_buckets
+    would scatter fps into blobs the probe never consults."""
+    from webcrawler_spark.operators import dedup as D
+
+    a, b = _fps(5_000, seed=20), _fps(5_000, seed=21)
+    ck0 = CK.build_cuckoo(_seen_df(spark, a), n_buckets=8, capacity=20_000)
+    ck1 = CK.update_cuckoo(ck0, _seen_df(spark, b), n_buckets=3, capacity=20_000)
+    both = _seen_df(spark, np.union1d(a, b))
+    assert CK.cuckoo_might_contain(both, ck1).filter(~F.col("might_contain")).count() == 0
+    ck2 = CK.delete_cuckoo(ck1, _seen_df(spark, b), n_buckets=5, capacity=20_000)
+    assert CK.cuckoo_might_contain(_seen_df(spark, a), ck2).filter(~F.col("might_contain")).count() == 0
+
+    bl0 = D.build_bloom(_seen_df(spark, a), n_buckets=8, capacity=20_000, fp_rate=0.001)
+    bl1 = D.update_bloom(bl0, _seen_df(spark, b), n_buckets=3, capacity=20_000, fp_rate=0.001)
+    assert D.bloom_might_contain(both, bl1).filter(~F.col("might_contain")).count() == 0

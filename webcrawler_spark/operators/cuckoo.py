@@ -258,6 +258,12 @@ def update_cuckoo(
     mirror of dedup.update_bloom)."""
     if cuckoo is None:
         return build_cuckoo(new_fps, n_buckets, capacity)
+    # the existing table's bucket modulus is authoritative: bucketing the
+    # delta with a different n_buckets would scatter fps into blobs the
+    # probe never consults (false negatives)
+    existing_nb = cuckoo.agg(F.max("nb")).first()[0]
+    if existing_nb:
+        n_buckets = int(existing_nb)
     return _apply_delta(cuckoo, new_fps, n_buckets, capacity, "insert")
 
 
@@ -266,6 +272,9 @@ def delete_cuckoo(
 ) -> DataFrame:
     """TTL eviction (indexer/app.py:213 30-day expiry): remove expired
     fingerprints in place — the operation a bloom cannot do."""
+    existing_nb = cuckoo.agg(F.max("nb")).first()[0]
+    if existing_nb:
+        n_buckets = int(existing_nb)
     return _apply_delta(cuckoo, expired_fps, n_buckets, capacity, "delete")
 
 

@@ -155,6 +155,13 @@ def update_bloom(
 
     Epoch cost is O(|delta| + touched buckets), never a rebuild of the full
     10^10-fp set. Buckets present on only one side pass through unchanged."""
+    if bloom is not None:
+        # the existing table's bucket modulus (and thus m/k) is
+        # authoritative: a delta bucketed with a different n_buckets would
+        # OR bits into blobs the probe never consults (false negatives)
+        existing_nb = bloom.agg(F.max("nb")).first()[0]
+        if existing_nb:
+            n_buckets = int(existing_nb)
     delta = build_bloom(new_fps, n_buckets, capacity, fp_rate)
     if bloom is None:
         return delta
