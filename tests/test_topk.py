@@ -54,3 +54,18 @@ def test_coarse_sketch_still_exact(spark):
     assert _ours(df, "score", 500, "rid", relative_error=0.2) == _reference(
         df, "score", 500, "rid"
     )
+
+
+def test_null_scores_match_nulls_last_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 9.0), (4, None), (5, 1.0)],
+        "rid int, score double",
+    )
+    # k exceeds the non-null count: nulls fill the tail, ordered by id
+    got = _ours(df, "score", 5, "rid")
+    assert got == [(3, 9.0), (1, 5.0), (5, 1.0), (2, None), (4, None)]
+    # k within non-null count: nulls never appear
+    assert _ours(df, "score", 2, "rid") == [(3, 9.0), (1, 5.0)]
+    # all-null scores
+    allnull = spark.createDataFrame([(1, None), (2, None)], "rid int, score double")
+    assert _ours(allnull, "score", 1, "rid") == [(1, None)]

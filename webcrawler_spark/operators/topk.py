@@ -48,10 +48,17 @@ def threshold_topk(
     frac = max(0.0, 1.0 - k / n)
     eps = relative_error
     while True:
-        t = df.stat.approxQuantile(score_col, [frac], eps)[0]
-        band = df.filter(F.col(score_col) >= t)
-        if band.count() >= k or frac <= 0.0:
+        qs = df.stat.approxQuantile(score_col, [frac], eps)
+        t = qs[0] if qs else None
+        band = df.filter(F.lit(False) if t is None else F.col(score_col) >= t)
+        n_band = band.count()
+        if n_band >= k or frac <= 0.0:
             break
         # sketch overshot: step the target rank down by the error margin
         frac = max(0.0, frac - 2 * eps)
+    if n_band < k:
+        # k >= count of non-null scores (the band at frac=0 is every
+        # non-null row): match ORDER BY ... NULLS LAST by appending the
+        # null-score rows — degenerate size, no scale concern
+        return df.orderBy(F.desc_nulls_last(score_col), F.asc(id_col)).limit(k)
     return band.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
