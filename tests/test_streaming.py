@@ -92,3 +92,49 @@ def test_streaming_host_rate_gate(spark, dirs):
     assert by_status.get(("hot.com", "scheduled")) == 4
     assert by_status.get(("hot.com", "deferred")) == 2
     assert by_status.get(("cold.com", "scheduled")) == 1
+
+
+def test_streaming_seen_set_anti_join(spark, dirs):
+    """Tier 2 in streaming: the stream-static left-anti join drops rows whose
+    fingerprints are already in the persistent seen set, and because the
+    static side re-reads per micro-batch, growing the seen table between
+    runs filters later batches without restarting the stream."""
+    from webcrawler_spark.functions import columns as C
+
+    seen_dir = dirs["out"] + "_seen"
+    # seed the persistent seen set with site1.com/a's canonical fingerprint
+    spark.createDataFrame(
+        [("https://site1.com/a",)], "url_norm string"
+    ).select(C.url_fp(F.col("url_norm")).alias("url_fp")).write.parquet(seen_dir)
+    seen = spark.read.parquet(seen_dir)
+
+    _write_batch(
+        f"{dirs['in']}/b1.parquet",
+        [
+            ("https://site1.com/a", None, 0, 0, "2024-01-01 00:00:00"),  # seen
+            ("https://www.site1.com/a/", None, 0, 0, "2024-01-01 00:00:01"),  # seen (canonical dup)
+            ("https://site2.com/b", None, 0, 0, "2024-01-01 00:00:02"),  # new
+        ],
+    )
+    I.run_ingest(I.stream_candidates(spark, dirs["in"]), dirs["out"], dirs["ckpt"], seen=seen)
+    out = {r["url_norm"] for r in spark.read.parquet(dirs["out"]).collect()}
+    assert out == {"https://site2.com/b"}
+
+    # grow the seen set (simulating an epoch commit), stream a second batch.
+    # NOTE: a plain-parquet static side freezes its file listing when the
+    # DataFrame is created, so each availableNow run re-reads the table —
+    # the natural shape when ingest runs are triggered per epoch commit
+    spark.createDataFrame(
+        [("https://site3.com/c",)], "url_norm string"
+    ).select(C.url_fp(F.col("url_norm")).alias("url_fp")).write.mode("append").parquet(seen_dir)
+    seen = spark.read.parquet(seen_dir)
+    _write_batch(
+        f"{dirs['in']}/b2.parquet",
+        [
+            ("https://site3.com/c", None, 0, 0, "2024-01-01 00:01:00"),  # now seen
+            ("https://site4.com/d", None, 0, 0, "2024-01-01 00:01:01"),  # new
+        ],
+    )
+    I.run_ingest(I.stream_candidates(spark, dirs["in"]), dirs["out"], dirs["ckpt"], seen=seen)
+    out = {r["url_norm"] for r in spark.read.parquet(dirs["out"]).collect()}
+    assert out == {"https://site2.com/b", "https://site4.com/d"}

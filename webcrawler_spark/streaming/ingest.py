@@ -46,19 +46,32 @@ def stream_candidates(spark: SparkSession, input_dir: str) -> DataFrame:
 
 
 def canonical_dedup_stream(
-    candidates: DataFrame, watermark_delay: str = "10 minutes"
+    candidates: DataFrame,
+    watermark_delay: str = "10 minutes",
+    seen: DataFrame | None = None,
 ) -> DataFrame:
     """Canonicalize + streaming-dedup on url_fp.
 
-    dropDuplicatesWithinWatermark keeps the seen-fingerprint state only for
-    the watermark horizon — bounded state at 10^10 scale (the persistent
-    cross-epoch seen set stays the batch bloom/anti-join's job; this gate
-    removes the intra-stream duplicate storm the reference absorbs with its
-    Redis set)."""
+    Tier 1 (intra-stream): dropDuplicatesWithinWatermark keeps the
+    seen-fingerprint state only for the watermark horizon — bounded state at
+    10^10 scale; this removes the duplicate storm the reference absorbs with
+    its Redis set.
+
+    Tier 2 (cross-epoch, optional): a stream-static left-anti join against
+    the persistent ``seen`` table (the last committed epoch snapshot) — the
+    streaming twin of the batch anti-join; rows seen in prior epochs never
+    reach the sink. With a plain parquet path the static side's file listing
+    freezes at DataFrame creation, so pass a freshly-read frame per
+    availableNow run (the natural shape when ingest runs per epoch commit);
+    a catalog-backed table (Iceberg/Delta) refreshes per micro-batch even in
+    a long-running stream."""
     canon = D.canonicalize(candidates)
-    return canon.withWatermark("discovered_ts", watermark_delay).dropDuplicatesWithinWatermark(
+    deduped = canon.withWatermark("discovered_ts", watermark_delay).dropDuplicatesWithinWatermark(
         ["url_fp"]
     )
+    if seen is not None:
+        deduped = deduped.join(seen.select("url_fp"), "url_fp", "left_anti")
+    return deduped
 
 
 def run_ingest(
@@ -66,11 +79,12 @@ def run_ingest(
     out_dir: str,
     checkpoint_dir: str,
     watermark_delay: str = "10 minutes",
+    seen: DataFrame | None = None,
 ) -> None:
     """One availableNow micro-batch run: process all new files, append the
     deduped canonical rows to ``out_dir``, commit offsets+state to the
     checkpoint. Re-running with the same checkpoint resumes incrementally."""
-    deduped = canonical_dedup_stream(candidates, watermark_delay)
+    deduped = canonical_dedup_stream(candidates, watermark_delay, seen=seen)
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
