@@ -65,12 +65,16 @@ def test_compacted_crawl_matches_oracle(spark, web, compact_cat):
 def test_expiry_semantics(compact_cat):
     cat, _ = compact_cat
     state_before = _seen_rows(cat, 3)
+    epoch0_rows = _seen_rows(cat, 0)
     removed = cat.expire_deltas_before("seen", 1)
     assert removed == 2  # epoch=0 and epoch=1 dirs
     # current state unchanged (served from compact base + live deltas)
     assert _seen_rows(cat, 3) == state_before
     assert _seen_rows(cat, 1) is not None  # exactly the compaction point: OK
-    # time travel below the boundary is refused
+    # time travel BELOW the boundary still works: the base keeps each row's
+    # lineage epoch, so the read filters the compacted base
+    assert _seen_rows(cat, 0) == epoch0_rows
+    # ...but the raw-partition path (used to build new compactions) refuses
     with pytest.raises(ValueError, match="expired"):
         cat._read_delta_raw("seen", 0)
 
@@ -102,3 +106,19 @@ def test_auto_compaction_in_epoch_loop(spark, pages_df, seeds_df, robots_df, tmp
     assert seen == oracle.seen
     comp = cat.read_manifest()["compactions"]
     assert comp["seen"]["as_of"] == 3 and comp["links"]["as_of"] == 3
+
+
+def test_recompaction_reclaims_old_base(spark, tmp_path_factory):
+    import os
+
+    root = tmp_path_factory.mktemp("recompact")
+    cat = Catalog(spark, str(root))
+    for e in range(3):
+        df = spark.createDataFrame([(e * 10, e)], "x int, epoch int")
+        cat.commit_epoch(e, {"seen": cat.stage("seen", e, df)}, {})
+    cat.compact_delta("seen", 0)
+    assert os.path.exists(root / "seen" / "compact=0")
+    cat.compact_delta("seen", 2)
+    assert os.path.exists(root / "seen" / "compact=2")
+    assert not os.path.exists(root / "seen" / "compact=0")  # superseded base reclaimed
+    assert sorted(r["x"] for r in cat.read_delta_union("seen", 2).collect()) == [0, 10, 20]

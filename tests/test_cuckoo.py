@@ -51,14 +51,18 @@ def test_kernel_delete_then_absent():
     assert CK._contains_fps(table, gone).mean() < 0.005
 
 
-def test_kernel_insert_idempotent():
-    fps = _fps(1_000, seed=4)
+def test_kernel_duplicate_copies_make_delete_safe():
+    """Deletion-safety rule (Fan et al. §3.2): colliding inserts each hold a
+    physical slot, so deleting one leaves the other visible. Re-offering the
+    same batch stands in for distinct fps colliding on (bucket, tag)."""
+    fps = _fps(500, seed=4)
     table = CK._new_table(CK._table_size(4_000))
     CK._insert_fps(table, fps)
     occupied = int((table != 0).sum())
-    CK._insert_fps(table, fps)  # re-offer the same fps (epoch retry)
-    assert int((table != 0).sum()) == occupied
-    # delete after double-insert removes the single stored copy
+    CK._insert_fps(table, fps)
+    assert int((table != 0).sum()) == 2 * occupied  # copies stored, not skipped
+    CK._delete_fps(table, fps)  # removes one copy each
+    assert CK._contains_fps(table, fps).all()  # still no false negatives
     CK._delete_fps(table, fps)
     assert CK._contains_fps(table, fps).mean() < 0.01
 

@@ -36,8 +36,31 @@ def test_bom_detection():
     assert detect_encoding("hi".encode("utf-16-le"), None) == "utf-8"  # no BOM -> utf-8 ladder
     import codecs
 
-    assert detect_encoding(codecs.BOM_UTF16_LE + "hi".encode("utf-16-le")) == "utf-16-le"
-    assert detect_encoding(codecs.BOM_UTF16_BE + "hi".encode("utf-16-be")) == "utf-16-be"
+    # BOM-consuming codecs: endianness comes from the BOM and it is stripped
+    assert detect_encoding(codecs.BOM_UTF16_LE + "hi".encode("utf-16-le")) == "utf-16"
+    assert detect_encoding(codecs.BOM_UTF16_BE + "hi".encode("utf-16-be")) == "utf-16"
+
+
+def test_bom_stripped_from_decoded_text_all_families():
+    for text, enc in [("hi", "utf-16-le"), ("hi", "utf-16-be"), ("hi", "utf-8-sig")]:
+        import codecs
+
+        bom = {"utf-16-le": codecs.BOM_UTF16_LE, "utf-16-be": codecs.BOM_UTF16_BE,
+               "utf-8-sig": b""}[enc]
+        raw = bom + text.encode(enc)
+        _, decoded = decode_content(raw)
+        assert decoded == "hi", (enc, decoded)
+
+
+def test_utf8_multibyte_straddles_sniff_boundary():
+    # 10 KB sniff window cuts the 2-byte 'é' in half: must still be utf-8
+    payload = (b"a" * 9_999) + "é".encode("utf-8") + b" tail" * 100
+    assert detect_encoding(payload) == "utf-8"
+    _, text = decode_content(payload)
+    assert "é" in text and "�" not in text
+    # genuinely broken bytes mid-head still fall through to cp1252
+    bad = (b"a" * 5_000) + b"\xff\xfe" + (b"b" * 6_000)
+    assert detect_encoding(bad) == "windows-1252"
 
 
 def test_meta_charset_detection():

@@ -175,3 +175,28 @@ def test_cuckoo_epoch_equivalence(spark, pages_df, seeds_df, robots_df, tmp_path
     seen_df = cat.read_delta_union("seen", N_EPOCHS - 1)
     probed = CK.cuckoo_might_contain(seen_df, ck)
     assert probed.filter(~F.col("might_contain")).count() == 0
+
+
+def test_filter_enabled_mid_run_bootstraps_full_seen(spark, pages_df, seeds_df, robots_df, tmp_path_factory, oracle_run):
+    """Enabling the tier-1 prefilter (or switching its kind) after epochs have
+    run must build it from the FULL seen set, not just the current delta —
+    otherwise later epochs bypass the exact anti-join on its false negatives."""
+    from dataclasses import replace
+
+    root = tmp_path_factory.mktemp("crawl_midrun_filter")
+    cat = Catalog(spark, str(root))
+    # epochs 0-1 with no prefilter at all
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 2, CFG)
+    # epoch 2 with the cuckoo prefilter enabled mid-run
+    cfg_ck = replace(CFG, use_bloom=True, seen_filter="cuckoo", bloom_buckets=8)
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 1, cfg_ck)
+
+    from webcrawler_spark.operators import cuckoo as CK
+
+    ck = cat.read_snapshot("seen_cuckoo", 2)
+    assert ck is not None
+    # EVERY committed fingerprint (incl. epochs 0-1) must probe positive
+    seen_df = cat.read_delta_union("seen", 2)
+    assert CK.cuckoo_might_contain(seen_df, ck).filter(~F.col("might_contain")).count() == 0
+    # and the crawl itself still matches the oracle
+    assert _spark_schedules(cat, N_EPOCHS) == oracle_run.schedules

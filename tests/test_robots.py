@@ -27,6 +27,17 @@ ROBOTS_BODIES = {
     "disallow_root": "User-agent: *\nDisallow: /\n",
     "multi_agent_run": "User-agent: botA\nUser-agent: webcrawler\nDisallow: /shared/\n",
     "no_groups": "Sitemap: https://example.com/sitemap.xml\n",
+    # a group listing BOTH '*' and our agent becomes urllib's default_entry,
+    # so the later pure-named group must win
+    "mixed_star_named": (
+        "User-agent: *\nUser-agent: webcrawler\nDisallow: /a/\n"
+        "\nUser-agent: webcrawler\nDisallow: /b/\n"
+    ),
+    # second '*'-group goes to entries (default already taken) and matches
+    # any agent before the default is consulted
+    "two_star_groups": (
+        "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
+    ),
 }
 
 PATHS = ["/", "/private/x", "/tmp/", "/public/page", "/only-for-us/a",

@@ -35,12 +35,15 @@ from pyspark.sql import functions as F
 
 _SNIFF_LIMIT = 10_000  # reference samples the first 10 KB (fetcher/app.py:67)
 
+# BOM-consuming codec names: the generic utf-16/utf-32 codecs read the BOM
+# for endianness AND strip it, matching utf-8-sig — decoded text never
+# starts with a spurious U+FEFF regardless of the BOM family
 _BOMS: tuple[tuple[bytes, str], ...] = (
-    (codecs.BOM_UTF32_LE, "utf-32-le"),
-    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
     (codecs.BOM_UTF8, "utf-8-sig"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
-    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
 )
 
 _META_CHARSET = re.compile(
@@ -85,7 +88,12 @@ def detect_encoding(content: bytes | None, content_type: str | None = None) -> s
     try:
         head.decode("utf-8", "strict")
         return "utf-8"
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        # the sniff window may cut a multibyte sequence: an error starting
+        # within the last 3 bytes of a TRUNCATED head is the boundary, not
+        # bad UTF-8 (a CJK page has ~2/3 odds of splitting a char there)
+        if len(content) > _SNIFF_LIMIT and e.start >= len(head) - 3:
+            return "utf-8"
         return "windows-1252"
 
 

@@ -112,21 +112,24 @@ def parse_robots_txt(content: str | None, user_agent: str) -> tuple[list[str], f
     if state == 2:
         _flush()
 
-    def _matches(agents: list[str]) -> bool:
-        # urllib.robotparser.Entry.applies_to: agent matches if the group's
-        # (lowercased) agent string is a substring of our product token
-        return any(a != "*" and a in agent_token for a in agents)
-
-    chosen = None
+    # urllib's _add_entry bookkeeping: a group containing '*' only ever
+    # becomes default_entry (the first one; LATER '*'-groups are dropped
+    # entirely); all other groups go to `entries`, consulted in order before
+    # the default. Entry.applies_to: the group's agent string (lowercased)
+    # must be a substring of our product token.
+    default_entry = None
+    entries = []
     for g in groups:
-        if _matches(g[0]):
-            chosen = g
-            break
-    if chosen is None:
-        for g in groups:
-            if "*" in g[0]:
-                chosen = g
-                break
+        if "*" in g[0]:
+            if default_entry is None:
+                default_entry = g
+        else:
+            entries.append(g)
+
+    def _applies(agents: list[str]) -> bool:
+        return any(a in agent_token for a in agents)
+
+    chosen = next((g for g in entries if _applies(g[0])), None) or default_entry
     if chosen is None:
         return [], None
     disallows = [v for f, v in chosen[1] if f == "disallow" and v]

@@ -131,15 +131,22 @@ def _kick_insert(table, tag: int, i: int, m: int) -> None:
 
 def _insert_fps(table, fps) -> None:
     """Insert distinct fps into a blob: two vectorized rounds (i1 then i2),
-    then the kick loop for the residue."""
+    then the kick loop for the residue.
+
+    Duplicate-tag inserts are NOT skipped: two distinct fps that collide on
+    (bucket, tag) each occupy a physical slot, so a later TTL delete of one
+    removes one copy and the other still probes positive — skipping would
+    turn every such collision into a false negative after eviction (the
+    standard cuckoo-filter deletion-safety rule, Fan et al. §3.2). Within
+    one call fps are np.unique'd, and the epoch loop offers each fp exactly
+    once across epochs (deltas are pre-deduped by the anti-join), so
+    duplicate copies arise only from genuine tag collisions."""
     import numpy as np
 
     m = table.shape[0]
     fps = np.unique(fps.astype(np.int64))
     tag, i1, i2 = _hash_fps(fps, m)
-    # skip fps already present (idempotent insert — epoch retries re-offer fps)
-    present = (table[i1] == tag[:, None]).any(axis=1) | (table[i2] == tag[:, None]).any(axis=1)
-    pending = np.nonzero(~present)[0]
+    pending = np.arange(len(fps))
     pending = _place_round(table, tag, i1, pending)
     pending = _place_round(table, tag, i2, pending)
     for j in pending:
@@ -261,9 +268,11 @@ def update_cuckoo(
     # the existing table's bucket modulus is authoritative: bucketing the
     # delta with a different n_buckets would scatter fps into blobs the
     # probe never consults (false negatives)
-    existing_nb = cuckoo.agg(F.max("nb")).first()[0]
+    from .dedup import _table_n_buckets
+
+    existing_nb = _table_n_buckets(cuckoo)
     if existing_nb:
-        n_buckets = int(existing_nb)
+        n_buckets = existing_nb
     return _apply_delta(cuckoo, new_fps, n_buckets, capacity, "insert")
 
 
@@ -272,9 +281,11 @@ def delete_cuckoo(
 ) -> DataFrame:
     """TTL eviction (indexer/app.py:213 30-day expiry): remove expired
     fingerprints in place — the operation a bloom cannot do."""
-    existing_nb = cuckoo.agg(F.max("nb")).first()[0]
+    from .dedup import _table_n_buckets
+
+    existing_nb = _table_n_buckets(cuckoo)
     if existing_nb:
-        n_buckets = int(existing_nb)
+        n_buckets = existing_nb
     return _apply_delta(cuckoo, expired_fps, n_buckets, capacity, "delete")
 
 
@@ -305,7 +316,10 @@ def cuckoo_might_contain(
             out[mask] = _contains_fps(table, fps[mask])
         return pd.Series(out)
 
-    n_buckets = cuckoo.agg(F.max("nb")).first()[0] or 1
+    from .dedup import _table_n_buckets
+
+    n_buckets = _table_n_buckets(cuckoo) or 1
+    cuckoo = cuckoo.drop("nb")  # no-op on pre-nb snapshots
     blob_side = F.broadcast(cuckoo) if broadcast_blobs else cuckoo.repartition("bucket")
     probed = candidates.withColumn(
         "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
@@ -316,7 +330,7 @@ def cuckoo_might_contain(
             _probe(F.col("url_fp"), F.col("blob"), F.col("m"))
         ),
     )
-    return probed.drop("bucket", "blob", "m", "nb")
+    return probed.drop("bucket", "blob", "m")
 
 
 def dedupe_new_urls_cuckoo(

@@ -81,6 +81,18 @@ def merge_candidates(canon: DataFrame) -> DataFrame:
 
 # ---- partitioned persistent bloom filter ---------------------------------------
 
+
+def _table_n_buckets(blobs: DataFrame) -> int | None:
+    """Bucket modulus recorded in a blob table's nb column; falls back to
+    max(bucket)+1 for snapshots written before nb existed (only correct
+    when every bucket is populated — which dense fingerprint spaces give;
+    new writes always carry nb)."""
+    if "nb" in blobs.columns:
+        v = blobs.agg(F.max("nb")).first()[0]
+    else:
+        v = blobs.agg(F.max("bucket") + 1).first()[0]
+    return int(v) if v else None
+
 _BLOOM_SALT1 = -7046029254386353131  # golden-ratio odd constant (public Kirsch-Mitzenmacher double hashing)
 _BLOOM_SALT2 = -4417276706812531889
 
@@ -159,9 +171,9 @@ def update_bloom(
         # the existing table's bucket modulus (and thus m/k) is
         # authoritative: a delta bucketed with a different n_buckets would
         # OR bits into blobs the probe never consults (false negatives)
-        existing_nb = bloom.agg(F.max("nb")).first()[0]
+        existing_nb = _table_n_buckets(bloom)
         if existing_nb:
-            n_buckets = int(existing_nb)
+            n_buckets = existing_nb
     delta = build_bloom(new_fps, n_buckets, capacity, fp_rate)
     if bloom is None:
         return delta
@@ -243,7 +255,8 @@ def bloom_might_contain(
             out[mask] = hit
         return pd.Series(out)
 
-    n_buckets = bloom.agg(F.max("nb")).first()[0] or 1
+    n_buckets = _table_n_buckets(bloom) or 1
+    bloom = bloom.drop("nb")  # no-op on pre-nb snapshots
     blob_side = F.broadcast(bloom) if broadcast_blobs else bloom.repartition("bucket")
     probed = candidates.withColumn(
         "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
@@ -254,7 +267,7 @@ def bloom_might_contain(
             _probe(F.col("url_fp"), F.col("blob"), F.col("m"), F.col("k"))
         ),
     )
-    return probed.drop("bucket", "blob", "m", "k", "nb")
+    return probed.drop("bucket", "blob", "m", "k")
 
 
 def dedupe_new_urls(

@@ -41,24 +41,26 @@ def threshold_topk(
     """Exact top-k rows by (score desc, id asc) without sorting the full
     input. ``relative_error`` is the quantile sketch's rank error as a
     fraction of n (band overshoot ~ 2*eps*n extra rows)."""
-    n = df.count()
-    if n == 0 or n <= k:
-        return df.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+    # one pass for both totals: the quantile target must be a rank among
+    # NON-NULL scores (approxQuantile ignores nulls) — computing frac from
+    # the total row count on a null-heavy column would chase a band size no
+    # threshold can reach, stepping frac down ~1/(2*eps) times
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"), F.count(score_col).alias("n_scored")
+    ).first()
+    n, n_scored = row["n"], row["n_scored"]
+    if n <= k or n_scored <= k:
+        # k covers every non-null score: ORDER BY ... NULLS LAST directly
+        # (degenerate size — the sorted set is at most k rows bigger than k)
+        return df.orderBy(F.desc_nulls_last(score_col), F.asc(id_col)).limit(k)
 
-    frac = max(0.0, 1.0 - k / n)
+    frac = max(0.0, 1.0 - k / n_scored)
     eps = relative_error
     while True:
-        qs = df.stat.approxQuantile(score_col, [frac], eps)
-        t = qs[0] if qs else None
-        band = df.filter(F.lit(False) if t is None else F.col(score_col) >= t)
-        n_band = band.count()
-        if n_band >= k or frac <= 0.0:
+        t = df.stat.approxQuantile(score_col, [frac], eps)[0]
+        band = df.filter(F.col(score_col) >= t)
+        if band.count() >= k or frac <= 0.0:
             break
         # sketch overshot: step the target rank down by the error margin
         frac = max(0.0, frac - 2 * eps)
-    if n_band < k:
-        # k >= count of non-null scores (the band at frac=0 is every
-        # non-null row): match ORDER BY ... NULLS LAST by appending the
-        # null-score rows — degenerate size, no scale concern
-        return df.orderBy(F.desc_nulls_last(score_col), F.asc(id_col)).limit(k)
     return band.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)

@@ -292,12 +292,21 @@ def run_epoch(
         # per-bucket blobs (incremental — SURVEY §7 hard-part 3). The cuckoo
         # variant additionally supports delete_cuckoo for TTL eviction
         # between epochs (reference's 30-day dedup TTL, indexer/app.py:213).
+        #
+        # Bootstrap guard: if there is no prior filter snapshot but the seen
+        # set has prior epochs (use_bloom enabled mid-run, or seen_filter
+        # switched kinds), the filter must be built from the FULL seen set —
+        # a delta-only filter would hand later epochs false negatives that
+        # bypass the exact anti-join.
+        filter_fps = seen_delta.select("url_fp")
+        if bloom_prev is None and seen_prev is not None:
+            filter_fps = seen_prev.select("url_fp").unionByName(filter_fps)
         if cfg.seen_filter == "cuckoo":
             from ..operators import cuckoo as CK
 
             filter_next = CK.update_cuckoo(
                 bloom_prev,
-                seen_delta.select("url_fp"),
+                filter_fps,
                 cfg.bloom_buckets,
                 cfg.bloom_capacity,
             )
@@ -305,7 +314,7 @@ def run_epoch(
         else:
             bloom_next = D.update_bloom(
                 bloom_prev,
-                seen_delta.select("url_fp"),
+                filter_fps,
                 cfg.bloom_buckets,
                 cfg.bloom_capacity,
                 cfg.bloom_fp_rate,

@@ -1154,7 +1154,10 @@ def q_cuckoo_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("url_fp"))
     seen = orders.filter(F.col("url_fp") % 2 == 0)
-    ck = CK.build_cuckoo(seen, n_buckets=8, capacity=100_000)
+    # persist: probe/delete/probe chain ~6 actions over this frame, and the
+    # nb lookups would otherwise re-run the grouped-map build each time (in
+    # the epoch loop the filter is parquet-backed, so re-reads are scans)
+    ck = CK.build_cuckoo(seen, n_buckets=8, capacity=100_000).persist()
     before = (
         CK.cuckoo_might_contain(orders, ck)
         .groupBy("might_contain")
@@ -1162,7 +1165,7 @@ def q_cuckoo_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("stage", F.lit("built"))
     )
     expired = seen.filter(F.col("url_fp") % 4 == 0)
-    ck2 = CK.delete_cuckoo(ck, expired, n_buckets=8, capacity=100_000)
+    ck2 = CK.delete_cuckoo(ck, expired, n_buckets=8, capacity=100_000).persist()
     after = (
         CK.cuckoo_might_contain(orders, ck2)
         .groupBy("might_contain")

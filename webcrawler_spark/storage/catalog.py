@@ -35,6 +35,13 @@ MANIFEST = "manifest.json"
 
 # tables whose epoch partition is a *delta* (union across epochs = state)
 DELTA_TABLES = {"seen", "links", "web_content", "schedule"}
+# each delta row's lineage column (used to time-travel into a compacted base)
+_EPOCH_COL = {
+    "seen": "epoch",
+    "schedule": "epoch",
+    "links": "discovered_epoch",
+    "web_content": "crawled_epoch",
+}
 # tables whose epoch partition is a full *snapshot* (latest wins)
 SNAPSHOT_TABLES = {"frontier", "deferred", "host_stats", "seen_bloom", "seen_cuckoo"}
 
@@ -102,12 +109,20 @@ class Catalog:
         if not committed or not os.path.exists(base):
             return None
         comp = self.read_manifest().get("compactions", {}).get(table)
-        if comp and comp["as_of"] <= as_of_epoch:
+        if comp:
             # compacted base + deltas after the compaction point: one dir
-            # instead of one per epoch (value-identical; epoch col = lineage)
+            # instead of one per epoch. Because every base row keeps its
+            # lineage epoch column, time travel BELOW the compaction point
+            # is a filter on the base — it keeps working even after the
+            # original per-epoch dirs are expired.
+            from pyspark.sql import functions as F
+
             paths = [os.path.join(self.root, table, f"compact={comp['as_of']}")]
             paths += [self._epoch_dir(table, e) for e in committed if e > comp["as_of"]]
-            return self.spark.read.parquet(*paths)
+            df = self.spark.read.parquet(*paths)
+            if comp["as_of"] > as_of_epoch:
+                df = df.filter(F.col(_EPOCH_COL[table]) <= as_of_epoch)
+            return df
         return self._read_delta_raw(table, as_of_epoch)
 
     def read_snapshot(self, table: str, as_of_epoch: int) -> DataFrame | None:
@@ -152,9 +167,20 @@ class Catalog:
             shutil.rmtree(path)
         df.write.mode("overwrite").parquet(path)
         manifest = self.read_manifest()
+        prev_comp = manifest.get("compactions", {}).get(table)
         manifest.setdefault("compactions", {})[table] = {"as_of": as_of_epoch}
         self._write_manifest(manifest)  # atomic: readers see old layout or new
-        return self.spark.read.parquet(path).count()
+        n = self.spark.read.parquet(path).count()
+        # reclaim the superseded base (nothing reads it once the manifest
+        # points at the new one; with compact_every over a long crawl the
+        # old bases would otherwise each leak a full table copy). On a real
+        # cluster with concurrent readers this deferred delete is Iceberg's
+        # expire_snapshots job.
+        if prev_comp and prev_comp["as_of"] != as_of_epoch:
+            old = os.path.join(self.root, table, f"compact={prev_comp['as_of']}")
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        return n
 
     def expire_deltas_before(self, table: str, epoch: int) -> int:
         """Delete a delta table's per-epoch directories <= epoch (Iceberg
