@@ -41,6 +41,10 @@ HEADLINE = [
     "ann_cosine_topk",
     "lineitem_pricing",
     "minhash_near_dups",
+    "search_fuzzy",
+    "lang_id_multi",
+    "global_budget_drain",
+    "cuckoo_ttl_stats",
 ]
 
 

@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import bucket_of
+
 _SLOTS = 4
 _LOAD_FACTOR = 0.84  # 4-slot tables fill reliably to ~95%; 0.84 leaves kick headroom
 _MAX_KICKS = 500
@@ -207,7 +209,7 @@ def build_cuckoo(seen: DataFrame, n_buckets: int, capacity: int) -> DataFrame:
             {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [table.tobytes()], "m": [m]}
         )
 
-    bucketed = seen.withColumn("bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int"))
+    bucketed = seen.withColumn("bucket", bucket_of(F.col("url_fp"), n_buckets))
     # nb makes the table self-describing: the probe must re-bucket with the
     # build's modulus even when the data populates only a subset of buckets
     # (max(bucket)+1 inference is wrong for e.g. all-even fps)
@@ -248,7 +250,7 @@ def _apply_delta(
                 _delete_fps(table, fp_arr)
         return pd.DataFrame({"bucket": [bucket], "blob": [table.tobytes()], "m": [m]})
 
-    delta = fps.withColumn("bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int"))
+    delta = fps.withColumn("bucket", bucket_of(F.col("url_fp"), n_buckets))
     return (
         cuckoo.drop("nb")
         .groupBy("bucket")
@@ -292,45 +294,79 @@ def delete_cuckoo(
 def cuckoo_might_contain(
     candidates: DataFrame, cuckoo: DataFrame, broadcast_blobs: bool = True
 ) -> DataFrame:
-    """Probe: join blobs by bucket, vectorized tag lookup. Adds boolean
-    ``might_contain`` (false => definitely new). Broadcast for blob tables
-    up to ~a few GB; pass False for the shuffle-join-on-bucket path at
-    10^10-fp scale (same two paths as dedup.bloom_might_contain)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
+    """Probe: adds boolean ``might_contain`` (false => definitely new).
 
-    @pandas_udf(BooleanType())
-    def _probe(fp: pd.Series, blob: pd.Series, m: pd.Series) -> pd.Series:
-        import numpy as np
+    Two paths, both shipping each blob ONCE per task (never once per row —
+    a blob-join would duplicate the multi-MB blob onto every candidate row
+    and push gigabytes through the Arrow boundary):
 
-        out = np.zeros(len(fp), dtype=bool)
-        if len(fp) == 0:
-            return pd.Series(out)
-        fps = fp.to_numpy()
-        for key in blob.drop_duplicates().index:
-            b = blob[key]
-            if b is None:
-                continue
-            mask = (blob == b).to_numpy()
-            table = np.frombuffer(b, dtype=np.uint16).reshape(int(m[key]), _SLOTS)
-            out[mask] = _contains_fps(table, fps[mask])
-        return pd.Series(out)
-
+    - ``broadcast_blobs=True`` (default): the blob table is collected into a
+      real ``sc.broadcast`` dict keyed by bucket; the probe is a scalar
+      pandas UDF over (fp, bucket) with zero joins. Right up to blob tables
+      of a few GB (~10^9 fps).
+    - ``False``: candidates shuffle by bucket into a cogrouped-map with the
+      blob side — each task sees one bucket's blob plus its candidates.
+      The 10^10-fp path."""
     from .dedup import _table_n_buckets
 
     n_buckets = _table_n_buckets(cuckoo) or 1
     cuckoo = cuckoo.drop("nb")  # no-op on pre-nb snapshots
-    blob_side = F.broadcast(cuckoo) if broadcast_blobs else cuckoo.repartition("bucket")
-    probed = candidates.withColumn(
-        "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
-    ).join(blob_side, "bucket", "left")
-    probed = probed.withColumn(
-        "might_contain",
-        F.when(F.col("blob").isNull(), F.lit(False)).otherwise(
-            _probe(F.col("url_fp"), F.col("blob"), F.col("m"))
-        ),
+
+    if broadcast_blobs:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        blob_map = {
+            int(r["bucket"]): (r["blob"], int(r["m"])) for r in cuckoo.collect()
+        }
+        bmap = candidates.sparkSession.sparkContext.broadcast(blob_map)
+
+        @pandas_udf(BooleanType())
+        def _probe(fp: pd.Series, bucket: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out = np.zeros(len(fp), dtype=bool)
+            if len(fp):
+                fps = fp.to_numpy()
+                bks = bucket.to_numpy()
+                for b in np.unique(bks):
+                    entry = bmap.value.get(int(b))
+                    if entry is None:
+                        continue
+                    blob, m = entry
+                    table = np.frombuffer(blob, dtype=np.uint16).reshape(m, _SLOTS)
+                    mask = bks == b
+                    out[mask] = _contains_fps(table, fps[mask])
+            return pd.Series(out)
+
+        return candidates.withColumn(
+            "might_contain",
+            _probe(F.col("url_fp"), bucket_of(F.col("url_fp"), n_buckets)),
+        )
+
+    out_fields = candidates.schema.fields
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += ", might_contain boolean"
+
+    def _probe_group(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cands = cands.drop(columns=["bucket"])
+        if len(blobs) == 0 or len(cands) == 0:
+            cands["might_contain"] = False
+            return cands
+        table = np.frombuffer(blobs["blob"].iloc[0], dtype=np.uint16).reshape(
+            int(blobs["m"].iloc[0]), _SLOTS
+        )
+        cands["might_contain"] = _contains_fps(table, cands["url_fp"].to_numpy())
+        return cands
+
+    bucketed = candidates.withColumn("bucket", bucket_of(F.col("url_fp"), n_buckets))
+    return (
+        bucketed.groupBy("bucket")
+        .cogroup(cuckoo.groupBy("bucket"))
+        .applyInPandas(_probe_group, schema=out_schema)
     )
-    return probed.drop("bucket", "blob", "m")
 
 
 def dedupe_new_urls_cuckoo(

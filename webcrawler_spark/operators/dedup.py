@@ -82,6 +82,15 @@ def merge_candidates(canon: DataFrame) -> DataFrame:
 # ---- partitioned persistent bloom filter ---------------------------------------
 
 
+def bucket_of(fp: "F.Column", n_buckets: int) -> "F.Column":
+    """Blob-bucket assignment: pmod over a REMIXED hash of the fingerprint,
+    not the raw fp — raw pmod leaks the fp distribution into bucket choice
+    (e.g. even-only fps land in half the buckets, doubling their load and
+    overflowing fixed-size cuckoo blobs). xxhash64 re-mix makes the spread
+    uniform regardless of how the fps were produced."""
+    return F.pmod(F.xxhash64(fp), F.lit(n_buckets)).cast("int")
+
+
 def _table_n_buckets(blobs: DataFrame) -> int | None:
     """Bucket modulus recorded in a blob table's nb column; falls back to
     max(bucket)+1 for snapshots written before nb existed (only correct
@@ -144,7 +153,7 @@ def build_bloom(
             {"bucket": [int(pdf["bucket"].iloc[0])], "blob": [bits.tobytes()], "m": [m], "k": [k]}
         )
 
-    bucketed = seen.withColumn("bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int"))
+    bucketed = seen.withColumn("bucket", bucket_of(F.col("url_fp"), n_buckets))
     # nb makes the table self-describing: the probe must re-bucket with the
     # build's modulus even when the data populates only a subset of buckets
     # (max(bucket)+1 inference is wrong for e.g. all-even fps)
@@ -218,56 +227,86 @@ def update_bloom(
 def bloom_might_contain(
     candidates: DataFrame, bloom: DataFrame, broadcast_blobs: bool = True
 ) -> DataFrame:
-    """Probe: join blobs by bucket, vectorized membership test. Adds boolean
-    column ``might_contain`` (false => definitely new).
+    """Probe: adds boolean ``might_contain`` (false => definitely new).
 
-    ``broadcast_blobs=True`` (default) broadcasts the blob table — right up
-    to ~10^9 seen URLs (~1.7 GB of bits). At 10^10 the bloom is ~17 GB and
-    cannot broadcast: pass False and the probe becomes a shuffle join on
-    ``bucket`` (2048 buckets; candidates hash-partition by bucket, each task
-    touches exactly one blob). Same plan shape either way — see SCALE.md §3."""
-
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import BooleanType
-
-    @pandas_udf(BooleanType())
-    def _probe(fp: pd.Series, blob: pd.Series, m: pd.Series, k: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = np.zeros(len(fp), dtype=bool)
-        if len(fp) == 0:
-            return pd.Series(out)
-        # group rows by identical blob (usually one per batch after the join)
-        fps = fp.to_numpy()
-        for key in blob.drop_duplicates().index:
-            b = blob[key]
-            if b is None:
-                continue
-            mask = (blob == b).to_numpy()
-            bits = np.frombuffer(b, dtype=np.uint64)
-            mm, kk = int(m[key]), int(k[key])
-            idx = _bloom_indices(fps[mask].astype("int64"), mm, kk)
-            hit = np.ones(mask.sum(), dtype=bool)
-            for i in range(kk):
-                word = (idx[i] // 64).astype(np.int64)
-                bit = np.uint64(1) << (idx[i] % np.uint64(64))
-                hit &= (bits[word] & bit) != 0
-            out[mask] = hit
-        return pd.Series(out)
-
+    Blobs ship once per task, never once per row: the broadcast path uses a
+    real ``sc.broadcast`` dict keyed by bucket (zero joins — a blob-join
+    would duplicate the multi-MB blob onto every candidate row and push
+    gigabytes through Arrow); the ``broadcast_blobs=False`` path shuffles
+    candidates by bucket into a cogrouped-map with the blob side — each
+    task sees one bucket's blob plus its candidates (the 10^10-fp path;
+    see SCALE.md §3)."""
     n_buckets = _table_n_buckets(bloom) or 1
     bloom = bloom.drop("nb")  # no-op on pre-nb snapshots
-    blob_side = F.broadcast(bloom) if broadcast_blobs else bloom.repartition("bucket")
-    probed = candidates.withColumn(
-        "bucket", F.pmod(F.col("url_fp"), F.lit(n_buckets)).cast("int")
-    ).join(blob_side, "bucket", "left")
-    probed = probed.withColumn(
-        "might_contain",
-        F.when(F.col("blob").isNull(), F.lit(False)).otherwise(
-            _probe(F.col("url_fp"), F.col("blob"), F.col("m"), F.col("k"))
-        ),
+
+    if broadcast_blobs:
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import BooleanType
+
+        blob_map = {
+            int(r["bucket"]): (r["blob"], int(r["m"]), int(r["k"]))
+            for r in bloom.collect()
+        }
+        bmap = candidates.sparkSession.sparkContext.broadcast(blob_map)
+
+        @pandas_udf(BooleanType())
+        def _probe(fp: pd.Series, bucket: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out = np.zeros(len(fp), dtype=bool)
+            if len(fp):
+                fps = fp.to_numpy()
+                bks = bucket.to_numpy()
+                for b in np.unique(bks):
+                    entry = bmap.value.get(int(b))
+                    if entry is None:
+                        continue
+                    blob, m, k = entry
+                    bits = np.frombuffer(blob, dtype=np.uint64)
+                    mask = bks == b
+                    idx = _bloom_indices(fps[mask].astype("int64"), m, k)
+                    hit = np.ones(mask.sum(), dtype=bool)
+                    for i in range(k):
+                        word = (idx[i] // 64).astype(np.int64)
+                        bit = np.uint64(1) << (idx[i] % np.uint64(64))
+                        hit &= (bits[word] & bit) != 0
+                    out[mask] = hit
+            return pd.Series(out)
+
+        return candidates.withColumn(
+            "might_contain",
+            _probe(F.col("url_fp"), bucket_of(F.col("url_fp"), n_buckets)),
+        )
+
+    out_fields = candidates.schema.fields
+    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    out_schema += ", might_contain boolean"
+
+    def _probe_group(cands: pd.DataFrame, blobs: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cands = cands.drop(columns=["bucket"])
+        if len(blobs) == 0 or len(cands) == 0:
+            cands["might_contain"] = False
+            return cands
+        bits = np.frombuffer(blobs["blob"].iloc[0], dtype=np.uint64)
+        m, k = int(blobs["m"].iloc[0]), int(blobs["k"].iloc[0])
+        fps = cands["url_fp"].to_numpy()
+        idx = _bloom_indices(fps.astype("int64"), m, k)
+        hit = np.ones(len(fps), dtype=bool)
+        for i in range(k):
+            word = (idx[i] // 64).astype(np.int64)
+            bit = np.uint64(1) << (idx[i] % np.uint64(64))
+            hit &= (bits[word] & bit) != 0
+        cands["might_contain"] = hit
+        return cands
+
+    bucketed = candidates.withColumn("bucket", bucket_of(F.col("url_fp"), n_buckets))
+    return (
+        bucketed.groupBy("bucket")
+        .cogroup(bloom.groupBy("bucket"))
+        .applyInPandas(_probe_group, schema=out_schema)
     )
-    return probed.drop("bucket", "blob", "m", "k")
 
 
 def dedupe_new_urls(
