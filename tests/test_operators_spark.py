@@ -89,6 +89,42 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     assert fp / 5000 < 0.01, f"bloom FP rate too high: {fp}/5000"
 
 
+def test_bloom_nonbroadcast_cogroup_path(spark):
+    import random
+
+    rng = random.Random(19)
+    seen_fps = [rng.getrandbits(63) for _ in range(5000)]
+    seen = spark.createDataFrame([Row(url_fp=f) for f in seen_fps])
+    bloom = D.build_bloom(seen, n_buckets=8, capacity=10000, fp_rate=0.001).cache()
+
+    probe_seen = D.bloom_might_contain(
+        spark.createDataFrame([Row(url_fp=f) for f in seen_fps[:1000]]),
+        bloom,
+        broadcast_blobs=False,
+    )
+    assert probe_seen.filter(~F.col("might_contain")).count() == 0
+
+    unseen = [rng.getrandbits(62) + (1 << 62) for _ in range(5000)]
+    probe_unseen = D.bloom_might_contain(
+        spark.createDataFrame([Row(url_fp=f) for f in unseen]),
+        bloom,
+        broadcast_blobs=False,
+    )
+    fp = probe_unseen.filter(F.col("might_contain")).count()
+    assert fp / 5000 < 0.01, f"bloom FP rate too high: {fp}/5000"
+
+
+def test_bucket_remix_spreads_skewed_fps(spark):
+    # all-even fps: raw pmod would land them in the even half of the
+    # buckets only; the xxhash64 remix must spread them across all of them
+    seen = spark.createDataFrame([Row(url_fp=2 * i) for i in range(8000)])
+    bloom = D.build_bloom(seen, n_buckets=8, capacity=16000, fp_rate=0.001)
+    per_bucket = {r["bucket"]: 1 for r in bloom.select("bucket").collect()}
+    assert len(per_bucket) == 8, f"skewed fps occupied only {sorted(per_bucket)}"
+    probe = D.bloom_might_contain(seen, bloom)
+    assert probe.filter(~F.col("might_contain")).count() == 0
+
+
 def test_two_tier_equals_exact(spark):
     import random
 
