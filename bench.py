@@ -12,8 +12,9 @@ The frontier bench is the north-rule metric: URLs canonicalized + deduped +
 politeness-scheduled per second over a skewed synthetic frontier generated
 JVM-side (no Python in the data path except the vectorized canonicalize UDF —
 the real hot path). Scaling efficiency is evidenced by running the same
-frontier job at local[8] vs local[32] in child processes (the sandbox
-stand-in for N vs 4N executors).
+frontier job at two pinned core budgets (N vs 4N, the sandbox stand-in for
+N vs 4N executors), each child launched in the north-rule deployment shape:
+spark-submit --py-files webcrawler_spark.zip from a clean staging dir.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_SCALING=0 to skip the
@@ -48,98 +49,7 @@ HEADLINE = [
 ]
 
 
-def synth_frontier(spark, n_urls: int, n_hosts: int = 1000):
-    """Skewed synthetic URL frontier, generated entirely JVM-side:
-    ~30% of URLs land on 3 hot hosts (the skew the salted top-k handles);
-    URL variants embed normalization traps (utm params, case, ports,
-    trailing slashes) so the canonicalize UDF does real work."""
-    from pyspark.sql import functions as F
-
-    df = spark.range(n_urls)
-    h = F.pmod(F.xxhash64("id"), F.lit(10000))
-    host_id = F.when(h < 3000, F.pmod(h, F.lit(3))).otherwise(
-        F.pmod(h, F.lit(n_hosts - 3)) + 3
-    )
-    variant = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5))
-    base = F.concat(
-        F.lit("https://site"), host_id.cast("string"), F.lit(".com/page-"),
-        F.col("id").cast("string"),
-    )
-    url = (
-        F.when(variant == 0, F.concat(base, F.lit("?utm_source=bench&id=1")))
-        .when(variant == 1, F.concat(base, F.lit("/")))
-        .when(variant == 2, F.upper(base))
-        .when(variant == 3, F.regexp_replace(base, "\\.com/", ".com:443/"))
-        .otherwise(base)
-    )
-    return df.select(
-        url.alias("url"),
-        F.lit(None).cast("string").alias("source_url"),
-        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(5)).cast("int").alias("depth"),
-        F.pmod(F.xxhash64("id", F.lit(17)), F.lit(20)).cast("int").alias("source_priority"),
-    )
-
-
-def frontier_bench(spark, n_urls: int) -> dict:
-    """Timed: canonicalize -> fingerprint -> anti-join dedup -> priority ->
-    politeness schedule -> count. Returns urls/sec."""
-    from pyspark.sql import functions as F
-
-    from webcrawler_spark.config import CrawlConfig
-    from webcrawler_spark.functions import columns as C
-    from webcrawler_spark.operators import dedup as D
-    from webcrawler_spark.operators import scheduler as S
-
-    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=8)
-
-    # seen set: first half of the id space, canonical fps (setup, untimed)
-    seen = (
-        D.canonicalize(synth_frontier(spark, n_urls // 2))
-        .select("url_fp")
-        .persist()
-    )
-    seen.count()
-
-    candidates = synth_frontier(spark, n_urls)
-    t0 = time.time()
-    canon = D.canonicalize(candidates)
-    merged = D.merge_candidates(canon)
-    new = D.dedupe_new_urls(merged, seen)
-    pending = (
-        new.withColumn(
-            "priority",
-            C.url_priority(F.col("url_norm"), F.col("depth"), F.col("source_priority")),
-        )
-        .withColumn("discovered_epoch", F.lit(0))
-        .withColumn("attempts", F.lit(0))
-        .drop("source_priority")
-    )
-    # materialize the frontier once: the schedule/deferred/rejected split
-    # re-reads the cached rows instead of re-running canonicalize+dedup per
-    # union branch (Spark does not reuse exchanges across union arms here) —
-    # epoch.py does the same with its schedule/fetched persists
-    pending = pending.persist()
-    schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
-    counts = {
-        r["st"]: r["n"]
-        for r in schedule.select(F.lit("s").alias("st"))
-        .unionAll(deferred.select(F.lit("d").alias("st")))
-        .groupBy("st")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    n_scheduled = counts.get("s", 0)
-    n_deferred = counts.get("d", 0)
-    elapsed = time.time() - t0
-    pending.unpersist()
-    seen.unpersist()
-    return {
-        "n_urls": n_urls,
-        "n_scheduled": n_scheduled,
-        "n_deferred": n_deferred,
-        "seconds": round(elapsed, 3),
-        "urls_per_sec": round(n_urls / elapsed, 1),
-    }
+from webcrawler_spark.benchlib import frontier_bench, synth_frontier  # noqa: E402,F401
 
 
 def crawl_bench(spark, n_pages: int = 20000, n_epochs: int = 4) -> dict:
@@ -221,17 +131,75 @@ def _child_main(cores: int, n_urls: int) -> None:
     spark.stop()
 
 
-def _run_child(cores: int, n_urls: int) -> dict:
-    env = dict(os.environ)
-    env.setdefault("SPARK_DRIVER_MEM", "48g")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_urls)],
-        capture_output=True, text=True, env=env, timeout=1800,
-    )
+def _parse_child_result(proc) -> dict:
     for line in proc.stdout.splitlines():
         if line.startswith("CHILD_RESULT "):
             return json.loads(line[len("CHILD_RESULT "):])
     raise RuntimeError(f"child bench failed: {proc.stdout[-2000:]} {proc.stderr[-2000:]}")
+
+
+def _submit_stage_dir() -> str | None:
+    """Build the --py-files staging dir once per bench run: the package zip
+    plus the child script, in a directory OUTSIDE the repo so the import
+    must resolve from the zip (the cluster deployment shape)."""
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if shutil.which("spark-submit") is None:
+        return None
+    stage = tempfile.mkdtemp(prefix="bench_submit_")
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    from package_pyfiles import build as build_zip
+
+    build_zip(os.path.join(stage, "webcrawler_spark.zip"))
+    shutil.copy(os.path.join(repo, "scripts", "run_frontier_bench.py"), stage)
+    return stage
+
+
+def _run_child(cores: int, n_urls: int, stage: str | None) -> dict:
+    """One scaling child, affinity-pinned to `cores` CPUs — the honest
+    stand-in for an N-core vs 4N-core cluster: without pinning, the small
+    run's python UDF workers silently spill onto the idle cores and the
+    comparison measures nothing. preexec_fn pins the launcher before exec,
+    so the JVM and every python worker it spawns inherit the mask.
+
+    With `stage` set, the child runs in the north-rule deployment shape:
+    spark-submit --py-files webcrawler_spark.zip from a clean directory.
+    Falls back to `python bench.py --child` when spark-submit is absent."""
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEM", "48g")
+
+    def _pin():
+        try:
+            os.sched_setaffinity(0, set(range(cores)))
+        except (AttributeError, OSError):
+            pass
+
+    if stage is not None:
+        from webcrawler_spark.session import session_confs
+
+        env.pop("PYTHONPATH", None)  # imports must come from the zip
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--driver-memory", env["SPARK_DRIVER_MEM"],
+            "--py-files", os.path.join(stage, "webcrawler_spark.zip"),
+        ]
+        for k, v in session_confs(2 * cores).items():
+            cmd += ["--conf", f"{k}={v}"]
+        cmd += [os.path.join(stage, "run_frontier_bench.py"), "--n-urls", str(n_urls)]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, timeout=1800,
+            cwd=stage, preexec_fn=_pin,
+        )
+        return _parse_child_result(proc)
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_urls)],
+        capture_output=True, text=True, env=env, timeout=1800, preexec_fn=_pin,
+    )
+    return _parse_child_result(proc)
 
 
 def main() -> None:
@@ -301,20 +269,22 @@ def main() -> None:
         n_scale = max(n_urls, 8_000_000)
         c_lo = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
         c_hi = int(os.environ.get("SPARK_GRAFT_SCALE_HI", str(4 * c_lo)))
+        stage = _submit_stage_dir()
         # best-of-2 per size: transient host/VM contention only ever
         # depresses a run, so the max is the honest capability estimate
         lo = max(
-            (_run_child(c_lo, n_scale) for _ in range(2)),
+            (_run_child(c_lo, n_scale, stage) for _ in range(2)),
             key=lambda r: r["urls_per_sec"],
         )
         hi = max(
-            (_run_child(c_hi, n_scale) for _ in range(2)),
+            (_run_child(c_hi, n_scale, stage) for _ in range(2)),
             key=lambda r: r["urls_per_sec"],
         )
         eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / (c_hi / c_lo)
         result["scaling"] = {
             "cores_lo": c_lo,
             "cores_hi": c_hi,
+            "deploy": "spark-submit --py-files" if stage else "python --child",
             "lo_urls_per_sec": lo["urls_per_sec"],
             "hi_urls_per_sec": hi["urls_per_sec"],
             "efficiency": round(eff, 3),

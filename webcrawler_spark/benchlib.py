@@ -1,0 +1,110 @@
+"""Frontier-bench workload, shared by the in-session bench harness
+(``bench.py``) and the spark-submit scaling children
+(``scripts/run_frontier_bench.py``).
+
+Lives inside the package so the scaling evidence can run in the
+north-rule deployment shape — ``spark-submit --py-files
+webcrawler_spark.zip`` from a clean directory, where only the zip is
+importable. The workload is the north-rule metric: URLs canonicalized +
+deduped + politeness-scheduled per second over a skewed synthetic
+frontier generated entirely JVM-side (no Python in the data path except
+the vectorized canonicalize UDF — the real hot path).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def synth_frontier(spark, n_urls: int, n_hosts: int = 1000):
+    """Skewed synthetic URL frontier, generated entirely JVM-side:
+    ~30% of URLs land on 3 hot hosts (the skew the salted top-k handles);
+    URL variants embed normalization traps (utm params, case, ports,
+    trailing slashes) so the canonicalize UDF does real work."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_urls)
+    h = F.pmod(F.xxhash64("id"), F.lit(10000))
+    host_id = F.when(h < 3000, F.pmod(h, F.lit(3))).otherwise(
+        F.pmod(h, F.lit(n_hosts - 3)) + 3
+    )
+    variant = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5))
+    base = F.concat(
+        F.lit("https://site"), host_id.cast("string"), F.lit(".com/page-"),
+        F.col("id").cast("string"),
+    )
+    url = (
+        F.when(variant == 0, F.concat(base, F.lit("?utm_source=bench&id=1")))
+        .when(variant == 1, F.concat(base, F.lit("/")))
+        .when(variant == 2, F.upper(base))
+        .when(variant == 3, F.regexp_replace(base, "\\.com/", ".com:443/"))
+        .otherwise(base)
+    )
+    return df.select(
+        url.alias("url"),
+        F.lit(None).cast("string").alias("source_url"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(5)).cast("int").alias("depth"),
+        F.pmod(F.xxhash64("id", F.lit(17)), F.lit(20)).cast("int").alias("source_priority"),
+    )
+
+
+def frontier_bench(spark, n_urls: int) -> dict:
+    """Timed: canonicalize -> fingerprint -> anti-join dedup -> priority ->
+    politeness schedule -> count. Returns urls/sec."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.functions import columns as C
+    from webcrawler_spark.operators import dedup as D
+    from webcrawler_spark.operators import scheduler as S
+
+    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=8)
+
+    # seen set: first half of the id space, canonical fps (setup, untimed)
+    seen = (
+        D.canonicalize(synth_frontier(spark, n_urls // 2))
+        .select("url_fp")
+        .persist()
+    )
+    seen.count()
+
+    candidates = synth_frontier(spark, n_urls)
+    t0 = time.time()
+    canon = D.canonicalize(candidates)
+    merged = D.merge_candidates(canon)
+    new = D.dedupe_new_urls(merged, seen)
+    pending = (
+        new.withColumn(
+            "priority",
+            C.url_priority(F.col("url_norm"), F.col("depth"), F.col("source_priority")),
+        )
+        .withColumn("discovered_epoch", F.lit(0))
+        .withColumn("attempts", F.lit(0))
+        .drop("source_priority")
+    )
+    # materialize the frontier once: the schedule/deferred/rejected split
+    # re-reads the cached rows instead of re-running canonicalize+dedup per
+    # union branch (Spark does not reuse exchanges across union arms here) —
+    # epoch.py does the same with its schedule/fetched persists
+    pending = pending.persist()
+    schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
+    counts = {
+        r["st"]: r["n"]
+        for r in schedule.select(F.lit("s").alias("st"))
+        .unionAll(deferred.select(F.lit("d").alias("st")))
+        .groupBy("st")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_scheduled = counts.get("s", 0)
+    n_deferred = counts.get("d", 0)
+    elapsed = time.time() - t0
+    pending.unpersist()
+    seen.unpersist()
+    return {
+        "n_urls": n_urls,
+        "n_scheduled": n_scheduled,
+        "n_deferred": n_deferred,
+        "seconds": round(elapsed, 3),
+        "urls_per_sec": round(n_urls / elapsed, 1),
+    }

@@ -11,6 +11,38 @@ import os
 from pyspark.sql import SparkSession
 
 
+def session_confs(shuffle_partitions: int) -> dict[str, str]:
+    """The workload's Spark conf block, as a dict so the spark-submit
+    launcher (``bench.py`` scaling children, cluster deploys) can pass the
+    exact same settings as ``--conf`` flags that ``get_spark`` applies
+    in-process."""
+    confs = {
+        # Arrow for every pandas-UDF crossing (the only JVM↔Python boundary)
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # AQE: runtime coalesce + skew-join splitting for hot hosts
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # runtime bloom filters on shuffle joins (Catalyst-injected)
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.files.maxPartitionBytes": "128m",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "32m",
+    }
+    # shuffle/spill on tmpfs when available: local-mode shuffle writes are
+    # disk I/O otherwise, which caps scaling (on a real cluster this is the
+    # executors' local SSDs)
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        confs["spark.local.dir"] = local_dir
+    return confs
+
+
 def get_spark(
     app_name: str = "webcrawler-spark",
     cores: int | None = None,
@@ -21,28 +53,8 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
-        # Arrow for every pandas-UDF crossing (the only JVM↔Python boundary)
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # AQE: runtime coalesce + skew-join splitting for hot hosts
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # runtime bloom filters on shuffle joins (Catalyst-injected)
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "32m")
     )
-    # shuffle/spill on tmpfs when available: local-mode shuffle writes are
-    # disk I/O otherwise, which caps scaling (on a real cluster this is the
-    # executors' local SSDs)
-    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
-    if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
-    if local_dir:
-        builder = builder.config("spark.local.dir", local_dir)
+    for k, v in session_confs(shuffle_partitions).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
