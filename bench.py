@@ -220,6 +220,25 @@ def main() -> None:
     from webcrawler_spark.session import get_spark
 
     spark = get_spark("webcrawler-bench", cores=cores, shuffle_partitions=2 * cores)
+
+    # untimed generic warmup — session fixed costs, not query work: parquet
+    # footer reads, whole-stage-codegen JIT on a trivial agg, and the Arrow
+    # python worker pool spawn (first pandas-UDF call pays ~2s of process
+    # forks otherwise). The queries themselves are NOT pre-run.
+    import glob as _glob
+
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).limit(1).count()
+
+    @_pudf("long")
+    def _warm(x):
+        return x
+
+    spark.range(100_000).select(_F.sum(_warm(_F.col("id")))).collect()
+
     timings = {}
     for name in HEADLINE:
         t0 = time.time()
