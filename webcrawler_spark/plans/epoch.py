@@ -287,6 +287,7 @@ def run_epoch(
 
     # ---- 9. commit: stage tables, then atomically publish the manifest (S14)
     counts = {}
+    to_stage: dict[str, DataFrame] = {}
     if cfg.use_bloom:
         # persistent prefilter: fold this epoch's new fingerprints into the
         # per-bucket blobs (incremental — SURVEY §7 hard-part 3). The cuckoo
@@ -304,29 +305,41 @@ def run_epoch(
         if cfg.seen_filter == "cuckoo":
             from ..operators import cuckoo as CK
 
-            filter_next = CK.update_cuckoo(
+            to_stage["seen_cuckoo"] = CK.update_cuckoo(
                 bloom_prev,
                 filter_fps,
                 cfg.bloom_buckets,
                 cfg.bloom_capacity,
             )
-            counts["seen_cuckoo"] = cat.stage("seen_cuckoo", epoch, filter_next)
         else:
-            bloom_next = D.update_bloom(
+            to_stage["seen_bloom"] = D.update_bloom(
                 bloom_prev,
                 filter_fps,
                 cfg.bloom_buckets,
                 cfg.bloom_capacity,
                 cfg.bloom_fp_rate,
             )
-            counts["seen_bloom"] = cat.stage("seen_bloom", epoch, bloom_next)
-    counts["schedule"] = cat.stage("schedule", epoch, schedule.drop("path"))
-    counts["seen"] = cat.stage("seen", epoch, seen_delta)
-    counts["frontier"] = cat.stage("frontier", epoch, frontier_next)
-    counts["deferred"] = cat.stage("deferred", epoch, deferred_out)
-    counts["links"] = cat.stage("links", epoch, links_df)
-    counts["web_content"] = cat.stage("web_content", epoch, web_delta)
-    counts["host_stats"] = cat.stage("host_stats", epoch, host_stats_new)
+    to_stage["schedule"] = schedule.drop("path")
+    to_stage["seen"] = seen_delta
+    to_stage["frontier"] = frontier_next
+    to_stage["deferred"] = deferred_out
+    to_stage["links"] = links_df
+    to_stage["web_content"] = web_delta
+    to_stage["host_stats"] = host_stats_new
+
+    # The 7-8 table writes are independent jobs over a handful of shared
+    # cached inputs; writing them from one thread serializes their per-job
+    # scheduling dead time. Materialize the shared caches once (so racing
+    # writers don't compute a persist twice), then write concurrently —
+    # Spark's scheduler interleaves the jobs across the executor slots.
+    schedule.count()  # materializes pending + new_frontier_rows transitively
+    fetched.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
+        futures = {t: pool.submit(cat.stage, t, epoch, df) for t, df in to_stage.items()}
+        for t, fut in futures.items():
+            counts[t] = fut.result()
 
     counters = {
         "epoch": epoch,

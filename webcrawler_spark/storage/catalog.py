@@ -79,15 +79,19 @@ class Catalog:
 
     def stage(self, table: str, epoch: int, df: DataFrame, partition_by: str | None = None) -> int:
         """Write one table's epoch partition; returns row count (lineage)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         path = self._epoch_dir(table, epoch)
         if os.path.exists(path):
             shutil.rmtree(path)  # idempotent re-run of an uncommitted epoch
-        writer = df.write.mode("overwrite")
+        # count rides the write job itself (Observation) — no second job
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
-        # cheap count from parquet footer metadata, no second job over data
-        return self.spark.read.parquet(path).count()
+        return int(obs.get["n"])
 
     def commit_epoch(self, epoch: int, table_counts: dict[str, int], counters: dict) -> None:
         """Atomic commit: epoch becomes visible only after manifest replace."""
