@@ -1114,6 +1114,32 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.groupBy("might_contain").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_bloom_probe_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 tier-1, the 10^10-fp probe path: candidates cogrouped with the
+    blob table by bucket instead of broadcasting the blobs (SCALE.md §3;
+    the path a 17 GB filter takes on a real cluster). Probing with exactly
+    the rows the filter was built from makes the output exact — a bloom
+    has no false negatives — so this entry is value-checked against a
+    plain SQL count even though the probe itself is probabilistic."""
+    from .operators import dedup as D
+
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("url_fp"))
+        .filter(F.col("url_fp") % 2 == 0)
+    )
+    bloom = D.build_bloom(seen, n_buckets=8, capacity=100_000, fp_rate=0.001)
+    probed = D.bloom_might_contain(seen, bloom, broadcast_blobs=False)
+    return probed.filter(F.col("might_contain")).agg(
+        F.count(F.lit(1)).alias("n_seen_hits")
+    )
+
+
+SQL_bloom_probe_cogroup = """
+SELECT count(*) AS n_seen_hits FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
 def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 parse step: raw robots.txt bodies -> the robots dimension table
     (politeness_manager.py:99-149 via urllib-parity state machine). Bodies
@@ -1311,6 +1337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
+    "bloom_probe_cogroup": q_bloom_probe_cogroup,
     "cuckoo_ttl_stats": q_cuckoo_ttl_stats,
     "robots_parse": q_robots_parse,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
@@ -1324,6 +1351,7 @@ ORACLE_SQL: dict[str, str] = {
     "delay_buckets": SQL_delay_buckets,
     "rate_limit_gate": SQL_rate_limit_gate,
     "anti_join_new": SQL_anti_join_new,
+    "bloom_probe_cogroup": SQL_bloom_probe_cogroup,
     "content_dedup": SQL_content_dedup,
     "dup_groups": SQL_dup_groups,
     "facet_source": SQL_facet_source,
