@@ -11,7 +11,7 @@ deletes in O(1) per fingerprint, so TTL expiry becomes a small per-epoch
 delta job against only the touched buckets.
 
 Layout mirrors the bloom: the fp space is split into ``n_buckets`` blobs by
-``pmod(url_fp, n_buckets)``; each blob is an independent cuckoo table of
+``dedup.bucket_of`` (xxhash64-remixed pmod); each blob is an independent cuckoo table of
 ``m`` (power of two) buckets x 4 slots x 16-bit tags (tag 0 = empty slot),
 ~1.05 bytes/key less overhead than a 0.1%-FP bloom while adding deletion.
 At 10^10 fps the whole filter is ~25 GB split across 2048 blobs of ~12 MB —
