@@ -30,9 +30,16 @@ def sessionize(
     (user_id, session_id, n_events, session_start).
     """
     w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(id_col))
-    gap = F.unix_timestamp(ts_col) - F.lag(F.unix_timestamp(ts_col)).over(w)
+    # Microsecond-exact integer gap: unix_timestamp() truncates to whole
+    # seconds, which flips `gap > threshold` at sub-second boundaries and
+    # desynchronizes from any fractional-second reference (DELTAS audit).
+    # (NTZ -> TZ cast shifts every value by the same session-zone offset,
+    # which cancels in the lag difference.)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = ts_us - F.lag(ts_us).over(w)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000).cast("long")
     sess = F.sum(
-        F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
     ).over(w)
     return (
         events.withColumn("session_id", sess)

@@ -306,14 +306,15 @@ def q_host_stats_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_host_stats_adaptive = """
 SELECT user_id, total_requests, failed_requests,
        round((total_requests - failed_requests) * 1.0 / total_requests, 6) AS success_rate,
-       CASE WHEN total_requests >= 10
-                 AND (total_requests - failed_requests) * 1.0 / total_requests < 0.8 THEN 1.5
-            WHEN total_requests >= 10
-                 AND (total_requests - failed_requests) * 1.0 / total_requests > 0.95 THEN 0.8
-            ELSE 1.0 END AS next_delay
+       CAST(CASE WHEN total_requests >= 10
+                      AND (total_requests - failed_requests) * 1.0 / total_requests < 0.8 THEN 1.5
+                 WHEN total_requests >= 10
+                      AND (total_requests - failed_requests) * 1.0 / total_requests > 0.95 THEN 0.8
+                 ELSE 1.0 END AS DOUBLE) AS next_delay
 FROM (
   SELECT user_id, count(*) AS total_requests,
-         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_requests
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS failed_requests
   FROM events GROUP BY user_id
 )
 """
@@ -876,14 +877,15 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_sessionize_events = """
-SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS session_start
 FROM (
   SELECT user_id, ts,
-         sum(CASE WHEN gap IS NULL OR gap > 86400 THEN 1 ELSE 0 END)
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 86400000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
   FROM (SELECT user_id, ts, event_id,
-               epoch(ts) - lag(epoch(ts))
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+               epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
         FROM events)
 )
 GROUP BY user_id, session_id
@@ -1058,7 +1060,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo: documents' bytes as opaque media payloads ->
-    mapInPandas feature extraction (decode stubbed; see operators/multimodal)."""
+    mapInPandas feature extraction (decode stubbed; see operators/multimodal).
+
+    The contract projection is fully hashable (no raw array columns — the
+    driver's canonicalizer can't sort lists): the float32 feature vector is
+    summarized as an exact integer checksum sum_j (j+1)*hist_j, where
+    hist_j = round(feature_j * n_bytes) recovers the pre-normalization byte
+    histogram exactly (|payload| << 2^23 keeps float32 round-trip lossless).
+    The oracle recomputes the same checksum character-wise in DuckDB."""
     from .operators import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
@@ -1071,7 +1080,28 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(64).alias("height"),
         F.lit(3000).alias("duration_ms"),
     )
-    return MM.extract_media_features(media, dim=16)
+    feats = MM.extract_media_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.expr(
+            "aggregate(zip_with(feature, sequence(1, size(feature)),"
+            " (f, i) -> cast(round(f * n_bytes) as bigint) * i),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("hist_checksum"),
+    )
+
+
+SQL_media_features = """
+SELECT doc_id AS media_id,
+       list_extract(['image', 'audio', 'video'], (doc_id % 3) + 1) AS kind,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum(list_transform(string_split(text, ''),
+                                             c -> ord(c) % 16 + 1)), 0)
+            AS BIGINT) AS hist_checksum
+FROM documents
+"""
 
 
 def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,6 +1357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "least_loaded_shard": q_least_loaded_shard,
     "subword_token_count": q_subword_token_count,
     "windowed_event_counts": q_windowed_event_counts,
+    "media_features": q_media_features,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -1334,7 +1365,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
-    "media_features": q_media_features,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "bloom_probe_cogroup": q_bloom_probe_cogroup,
@@ -1388,4 +1418,5 @@ ORACLE_SQL: dict[str, str] = {
     "least_loaded_shard": SQL_least_loaded_shard,
     "subword_token_count": SQL_subword_token_count,
     "windowed_event_counts": SQL_windowed_event_counts,
+    "media_features": SQL_media_features,
 }
