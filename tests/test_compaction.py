@@ -62,6 +62,38 @@ def test_compacted_crawl_matches_oracle(spark, web, compact_cat):
         assert got == oracle.schedules[e], f"epoch {e} order mismatch after compaction"
 
 
+def test_frontier_merge_compaction_identity(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    """Compacting the merge-on-read frontier (base = resolved latest-per-key
+    state) leaves read_merged value-identical, and later epochs stack on the
+    compacted base."""
+    root = tmp_path_factory.mktemp("crawl_frontier_compact")
+    cat = Catalog(spark, str(root))
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 2, CFG)
+    before = sorted(
+        (r["url_norm"], r["status"], r["status_epoch"])
+        for r in cat.read_merged("frontier", 1).collect()
+    )
+    n = cat.compact_delta("frontier", 1)
+    assert n == len(before)  # base holds exactly the resolved rows
+    assert before == sorted(
+        (r["url_norm"], r["status"], r["status_epoch"])
+        for r in cat.read_merged("frontier", 1).collect()
+    )
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 2, CFG)
+    merged = cat.read_merged("frontier", 3)
+    fps = [r["url_fp"] for r in merged.collect()]
+    assert len(fps) == len(set(fps))  # still one row per key after stacking
+    # expiry below the compaction point: current state intact, time travel
+    # below the boundary (raw dirs gone) refuses
+    state = sorted((r["url_norm"], r["status"]) for r in merged.collect())
+    cat.expire_deltas_before("frontier", 1)
+    assert state == sorted(
+        (r["url_norm"], r["status"]) for r in cat.read_merged("frontier", 3).collect()
+    )
+    with pytest.raises(ValueError, match="expired"):
+        cat.read_merged("frontier", 0)
+
+
 def test_expiry_semantics(compact_cat):
     cat, _ = compact_cat
     state_before = _seen_rows(cat, 3)
@@ -88,7 +120,7 @@ def test_expire_without_compaction_refused(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="not covered"):
         cat.expire_deltas_before("links", 0)
     with pytest.raises(ValueError, match="not a delta table"):
-        cat.compact_delta("frontier", 0)
+        cat.compact_delta("host_stats", 0)
 
 
 def test_auto_compaction_in_epoch_loop(spark, pages_df, seeds_df, robots_df, tmp_path_factory, web):

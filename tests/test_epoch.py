@@ -76,6 +76,35 @@ def test_deferred_rows_eventually_scheduled(crawl_run, oracle_run):
     assert counters[1]["urls_scheduled"] > 0
 
 
+def test_frontier_state_parity(crawl_run, oracle_run):
+    """Resolved merge-on-read frontier (latest status_epoch per url_fp)
+    matches the oracle's final per-URL statuses."""
+    cat, _ = crawl_run
+    got = {
+        (r["url_norm"], r["status"])
+        for r in cat.read_merged("frontier", N_EPOCHS - 1).collect()
+    }
+    want = {(n, row["status"]) for n, row in oracle_run.frontier.items()}
+    assert got == want
+
+
+def test_frontier_delta_is_touched_rows_only(spark, crawl_run):
+    """The scale contract of the MERGE-shaped frontier: epoch E's partition
+    holds exactly the rows E touched (one status_epoch==E outcome per url_fp,
+    never status='pending'), NOT a rewrite of the accumulated table."""
+    cat, counters = crawl_run
+    for e in range(N_EPOCHS):
+        delta = spark.read.parquet(cat._epoch_dir("frontier", e))
+        rows = delta.collect()
+        assert all(r["status_epoch"] == e for r in rows)
+        assert all(r["status"] != "pending" for r in rows)
+        fps = [r["url_fp"] for r in rows]
+        assert len(fps) == len(set(fps))  # one outcome per url per epoch
+        # bounded by epoch activity: scheduled + deferred snapshot + rejections
+        n_sched = counters[e]["urls_scheduled"]
+        assert len(rows) >= n_sched
+
+
 def test_resume_round_trip(spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run):
     """Run 0..2 in one go vs run 0..1, reopen catalog, run 2 — identical."""
     cat_full, _ = crawl_run
@@ -92,9 +121,9 @@ def test_resume_round_trip(spark, pages_df, seeds_df, robots_df, tmp_path_factor
     seen_a = {r["url_norm"] for r in cat_full.read_delta_union("seen", 2).collect()}
     seen_b = {r["url_norm"] for r in cat2b.read_delta_union("seen", 2).collect()}
     assert seen_a == seen_b
-    # frontier snapshots identical
-    fa = {(r["url_norm"], r["status"]) for r in cat_full.read_snapshot("frontier", 2).collect()}
-    fb = {(r["url_norm"], r["status"]) for r in cat2b.read_snapshot("frontier", 2).collect()}
+    # resolved frontier states identical
+    fa = {(r["url_norm"], r["status"]) for r in cat_full.read_merged("frontier", 2).collect()}
+    fb = {(r["url_norm"], r["status"]) for r in cat2b.read_merged("frontier", 2).collect()}
     assert fa == fb
 
 

@@ -106,7 +106,6 @@ def run_epoch(
     """Run one crawl epoch and commit its snapshot. Returns the counters."""
     prev = epoch - 1
     seen_prev = cat.read_delta_union("seen", prev)
-    frontier_prev = cat.read_snapshot("frontier", prev)
     deferred_prev = cat.read_snapshot("deferred", prev)
     host_stats_prev = cat.read_snapshot("host_stats", prev)
     _filter_table = "seen_cuckoo" if cfg.seen_filter == "cuckoo" else "seen_bloom"
@@ -136,22 +135,21 @@ def run_epoch(
         spark, candidates, seen_prev, epoch, cfg, bloom=bloom_prev
     ).persist()
 
-    # ---- 2. pending = prior pending frontier ∪ new rows ∪ ready deferred
+    # ---- 2. pending = new rows ∪ ready deferred
+    #
+    # Invariant (shared with the oracle): every row entering the pending pool
+    # receives a TERMINAL outcome within its epoch — schedule_epoch splits the
+    # pool exhaustively into schedule ∪ deferred ∪ rejected, and scheduled
+    # rows become fetched/failed. No committed frontier row is ever
+    # status='pending', so the pending pool never needs to read the frontier
+    # table at all. That is what lets the frontier be a pure merge-on-read
+    # delta (catalog MERGE_TABLES): epoch cost is O(epoch activity), never
+    # O(total frontier).
     cols = [
         "url", "url_norm", "url_fp", "host", "path", "priority", "depth",
         "source_url", "discovered_epoch",
     ]
-    new_pending = new_frontier_rows.select(*cols).withColumn("attempts", F.lit(0))
-    if frontier_prev is not None:
-        old_pending = (
-            frontier_prev.filter(F.col("status") == "pending")
-            .withColumn("path", F.expr("parse_url(url_norm, 'PATH')"))
-            .select(*cols)
-            .withColumn("attempts", F.lit(0))
-        )
-        pending = old_pending.unionByName(new_pending)
-    else:
-        pending = new_pending
+    pending = new_frontier_rows.select(*cols).withColumn("attempts", F.lit(0))
     if deferred_prev is not None:
         ready = (
             deferred_prev.filter(F.col("ready_epoch") <= epoch)
@@ -238,37 +236,29 @@ def run_epoch(
     )
     host_stats_new = S.adaptive_host_stats(fetch_results, host_stats_prev, epoch, cfg)
 
-    # ---- 7. next frontier snapshot: status transitions
-    fr_cols = [
+    # ---- 7. frontier delta: ONLY the rows this epoch touched (MERGE shape).
+    # Every pending-pool row has exactly one outcome, so the delta is the
+    # outcome projection of schedule/deferred/rejected — O(epoch activity)
+    # rows, one parquet append, no join against and no rewrite of the
+    # accumulated frontier. Current state = cat.read_merged("frontier", E)
+    # (latest status_epoch wins per url_fp — Iceberg merge-on-read).
+    fr_base = [
         "url", "url_norm", "url_fp", "host", "priority", "depth",
-        "source_url", "status", "discovered_epoch",
+        "source_url", "discovered_epoch",
     ]
-    frontier_all = (
-        frontier_prev.select(*fr_cols)
-        if frontier_prev is not None
-        else spark.createDataFrame([], _frontier_schema())
-    ).unionByName(new_frontier_rows.select(*fr_cols))
-    fetched_fps = ok.select("url_fp").withColumn("_f", F.lit(True))
-    scheduled_fps = schedule.select("url_fp").withColumn("_sch", F.lit(True))
-    deferred_fps = deferred_new.select("url_fp").withColumn("_d", F.lit(True))
-    rejected_fps = rejected.select("url_fp").withColumn("_r", F.lit(True))
-    frontier_next = (
-        frontier_all.join(scheduled_fps, "url_fp", "left")
-        .join(fetched_fps, "url_fp", "left")
-        .join(deferred_fps, "url_fp", "left")
-        .join(rejected_fps, "url_fp", "left")
-        .withColumn(
-            "status",
-            F.when(F.col("_f").isNotNull(), F.lit("fetched"))
-            .when(F.col("_sch").isNotNull(), F.lit("failed"))
-            # deferred rows leave the pending pool; they re-enter via the
-            # deferred table when their ready_epoch arrives (W3)
-            .when(F.col("_d").isNotNull(), F.lit("deferred"))
-            # robots/attempt rejections are terminal (P5/P10)
-            .when(F.col("_r").isNotNull(), F.lit("rejected"))
-            .otherwise(F.col("status")),
+    frontier_delta = (
+        fetched.select(
+            *fr_base,
+            F.when(F.col("html").isNotNull(), F.lit("fetched"))
+            .otherwise(F.lit("failed"))
+            .alias("status"),
         )
-        .drop("_sch", "_f", "_d", "_r")
+        # deferred rows leave the pending pool; they re-enter via the
+        # deferred table when their ready_epoch arrives (W3)
+        .unionByName(deferred_new.select(*fr_base, F.lit("deferred").alias("status")))
+        # robots/attempt rejections are terminal (P5/P10)
+        .unionByName(rejected.select(*fr_base, F.lit("rejected").alias("status")))
+        .withColumn("status_epoch", F.lit(epoch))
     )
 
     # ---- 8. seen delta = the new URLs admitted this epoch (U3)
@@ -321,7 +311,7 @@ def run_epoch(
             )
     to_stage["schedule"] = schedule.drop("path")
     to_stage["seen"] = seen_delta
-    to_stage["frontier"] = frontier_next
+    to_stage["frontier"] = frontier_delta
     to_stage["deferred"] = deferred_out
     to_stage["links"] = links_df
     to_stage["web_content"] = web_delta
@@ -357,12 +347,6 @@ def run_epoch(
     return counters
 
 
-def _frontier_schema() -> StructType:
-    from .. import schemas
-
-    return schemas.FRONTIER
-
-
 def run_epochs(
     spark: SparkSession,
     cat: Catalog,
@@ -394,9 +378,11 @@ def run_epochs(
             )
         )
         # periodic delta compaction (Iceberg rewrite_data_files cadence):
-        # the seen/links unions otherwise read one directory per prior epoch
+        # the seen/links unions otherwise read one directory per prior epoch;
+        # the frontier (merge table) additionally re-resolves superseded
+        # status rows on every read until compacted
         if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
-            for table in ("seen", "links"):
+            for table in ("seen", "links", "frontier"):
                 out[-1].setdefault("maintenance", {})[f"compact_{table}"] = (
                     cat.compact_delta(table, epoch)
                 )

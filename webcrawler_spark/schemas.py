@@ -53,7 +53,9 @@ ROBOTS = StructType(
 )
 
 # ---- engine state tables (checkpointed per epoch) ----------------------------
-# frontier: per init.sql:4-19 plus 64-bit fingerprint
+# frontier: per init.sql:4-19 plus 64-bit fingerprint. Stored merge-on-read
+# (catalog MERGE_TABLES): each epoch appends only touched rows; latest
+# status_epoch wins per url_fp. Read via Catalog.read_merged("frontier", E).
 FRONTIER = StructType(
     [
         StructField("url", StringType(), False),
@@ -63,8 +65,9 @@ FRONTIER = StructType(
         StructField("priority", IntegerType(), False),
         StructField("depth", IntegerType(), False),
         StructField("source_url", StringType(), True),
-        StructField("status", StringType(), False),  # pending|scheduled|fetched|rejected
+        StructField("status", StringType(), False),  # fetched|failed|deferred|rejected
         StructField("discovered_epoch", IntegerType(), False),
+        StructField("status_epoch", IntegerType(), False),  # latest-wins sequence
     ]
 )
 

@@ -35,15 +35,24 @@ MANIFEST = "manifest.json"
 
 # tables whose epoch partition is a *delta* (union across epochs = state)
 DELTA_TABLES = {"seen", "links", "web_content", "schedule"}
-# each delta row's lineage column (used to time-travel into a compacted base)
+# merge-on-read tables (Iceberg MERGE INTO shape): each epoch appends only the
+# rows it TOUCHED; current state = latest row per key. This is what keeps the
+# per-epoch frontier write O(epoch activity) instead of an O(total-frontier)
+# snapshot rewrite — the difference between a bounded epoch cost and a
+# full-table shuffle+rewrite per epoch at 10^10 frontier rows.
+MERGE_TABLES = {"frontier"}
+_MERGE_KEY = {"frontier": "url_fp"}
+# each delta/merge row's lineage column (used to time-travel into a compacted
+# base, and as the latest-wins sequence number for merge tables)
 _EPOCH_COL = {
     "seen": "epoch",
     "schedule": "epoch",
     "links": "discovered_epoch",
     "web_content": "crawled_epoch",
+    "frontier": "status_epoch",
 }
 # tables whose epoch partition is a full *snapshot* (latest wins)
-SNAPSHOT_TABLES = {"frontier", "deferred", "host_stats", "seen_bloom", "seen_cuckoo"}
+SNAPSHOT_TABLES = {"deferred", "host_stats", "seen_bloom", "seen_cuckoo"}
 
 
 class Catalog:
@@ -119,8 +128,16 @@ class Catalog:
             # lineage epoch column, time travel BELOW the compaction point
             # is a filter on the base — it keeps working even after the
             # original per-epoch dirs are expired.
+            #
+            # Merge tables are the exception: their compacted base keeps only
+            # the latest row per key (superseded statuses are gone), so time
+            # travel below the compaction point must read the raw per-epoch
+            # dirs — available until expired, exactly Iceberg's snapshot-
+            # expiry boundary.
             from pyspark.sql import functions as F
 
+            if table in MERGE_TABLES and comp["as_of"] > as_of_epoch:
+                return self._read_delta_raw(table, as_of_epoch)
             paths = [os.path.join(self.root, table, f"compact={comp['as_of']}")]
             paths += [self._epoch_dir(table, e) for e in committed if e > comp["as_of"]]
             df = self.spark.read.parquet(*paths)
@@ -128,6 +145,28 @@ class Catalog:
                 df = df.filter(F.col(_EPOCH_COL[table]) <= as_of_epoch)
             return df
         return self._read_delta_raw(table, as_of_epoch)
+
+    def read_merged(self, table: str, as_of_epoch: int) -> DataFrame | None:
+        """Resolved current state of a merge table as of an epoch: the latest
+        row per key across the touched-rows deltas (Iceberg merge-on-read).
+        One hash exchange on the merge key; per-epoch COMMITS never pay it —
+        only explicit state reads (analytics, tests, compaction) do."""
+        df = self.read_delta_union(table, as_of_epoch)
+        if df is None:
+            return None
+        return self._resolve_latest(table, df)
+
+    def _resolve_latest(self, table: str, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        key, seq = _MERGE_KEY[table], _EPOCH_COL[table]
+        w = Window.partitionBy(key).orderBy(F.desc(seq))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def read_snapshot(self, table: str, as_of_epoch: int) -> DataFrame | None:
         """Latest committed snapshot partition <= epoch."""
@@ -160,12 +199,19 @@ class Catalog:
         ``read_delta_union(t, E)`` still returns exactly the union of deltas
         <= E (base + post-compaction deltas). Original partitions are kept
         until ``expire_deltas_before`` (time travel below the compaction
-        point keeps working, as with Iceberg snapshot expiry)."""
-        if table not in DELTA_TABLES:
+        point keeps working, as with Iceberg snapshot expiry).
+
+        For merge tables the base is the RESOLVED state (latest row per key)
+        as of the compaction point — superseded statuses are dropped, so time
+        travel below the point needs the raw per-epoch dirs (kept until
+        ``expire_deltas_before``)."""
+        if table not in DELTA_TABLES | MERGE_TABLES:
             raise ValueError(f"{table} is not a delta table")
         df = self._read_delta_raw(table, as_of_epoch)
         if df is None:
             return 0
+        if table in MERGE_TABLES:
+            df = self._resolve_latest(table, df)
         path = os.path.join(self.root, table, f"compact={as_of_epoch}")
         if os.path.exists(path):
             shutil.rmtree(path)
