@@ -74,8 +74,12 @@ def crawl_bench(spark, n_pages: int = 20000, n_epochs: int = 4) -> dict:
         "url string, priority int, depth int",
     )
     robots = spark.createDataFrame(
-        [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in web["robots"]],
-        "host string, disallow_prefixes array<string>, crawl_delay double",
+        [
+            (r["host"], r["allow_prefixes"], r["disallow_prefixes"], r["crawl_delay"])
+            for r in web["robots"]
+        ],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
     )
     cfg = CrawlConfig(epoch_seconds=600, hot_host_salt=4)
     cat_dir = tempfile.mkdtemp(prefix="bench_crawl_")

@@ -68,8 +68,12 @@ def main() -> None:
             "url string, priority int, depth int",
         )
         robots = spark.createDataFrame(
-            [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in web["robots"]],
-            "host string, disallow_prefixes array<string>, crawl_delay double",
+            [
+                (r["host"], r["allow_prefixes"], r["disallow_prefixes"], r["crawl_delay"])
+                for r in web["robots"]
+            ],
+            "host string, allow_prefixes array<string>, "
+            "disallow_prefixes array<string>, crawl_delay double",
         )
     else:
         if not (args.pages and args.seeds):

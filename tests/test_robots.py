@@ -1,7 +1,8 @@
 """robots.txt parsing (functions/robots.py) — parity with the reference's
 authoritative path, urllib.robotparser.RobotFileParser.can_fetch
-(politeness_manager.py:120-125), on prefix-style rules, plus the dimension
-table feeding the native startswith gate (columns.robots_allows)."""
+(politeness_manager.py:120-125), on prefix-style rules INCLUDING Allow
+carve-outs, plus the dimension table feeding the native longest-match gate
+(columns.robots_allows)."""
 
 import urllib.robotparser
 
@@ -38,10 +39,22 @@ ROBOTS_BODIES = {
     "two_star_groups": (
         "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
     ),
+    # ---- Allow carve-outs (the reference hits these constantly in the wild)
+    "closed_with_public": "User-agent: *\nAllow: /public/\nDisallow: /\n",
+    # urllib is FIRST-match-wins: the Disallow shadows the later Allow
+    "allow_after_disallow": "User-agent: *\nDisallow: /a/\nAllow: /a/b/\n",
+    # ...but an earlier, longer Allow carves out of the later Disallow
+    "allow_before_disallow": "User-agent: *\nAllow: /a/b/\nDisallow: /a/\n",
+    "interleaved": (
+        "User-agent: *\nAllow: /private/keep/\nDisallow: /private/\n"
+        "Allow: /tmp/ok\nDisallow: /tmp/\nDisallow: /x\nAllow: /x/y\n"
+    ),
+    "empty_allow": "User-agent: *\nAllow:\nDisallow: /a/\n",
 }
 
-PATHS = ["/", "/private/x", "/tmp/", "/public/page", "/only-for-us/a",
-         "/for-everyone/b", "/x/y", "/a/1", "/b/2", "/shared/doc"]
+PATHS = ["/", "/private/x", "/private/keep/x", "/tmp/", "/tmp/ok/z",
+         "/public/page", "/only-for-us/a", "/for-everyone/b", "/x/y",
+         "/a/1", "/a/b/2", "/b/2", "/shared/doc"]
 
 
 def _urllib_allows(body: str, path: str) -> bool:
@@ -50,29 +63,51 @@ def _urllib_allows(body: str, path: str) -> bool:
     return rp.can_fetch(UA, f"https://example.com{path}")
 
 
+def _gate(allows, disallows, path) -> bool:
+    """Python mirror of columns.robots_allows: longest-match-wins over the
+    parse-time-pruned prefix sets (oracle._robots_allowed uses the same)."""
+    best_dis = max((len(p) for p in disallows if path.startswith(p)), default=-1)
+    best_allow = max((len(p) for p in allows if path.startswith(p)), default=-1)
+    return best_dis <= best_allow
+
+
 @pytest.mark.parametrize("name", sorted(ROBOTS_BODIES))
 def test_parity_with_urllib_robotparser(name):
     body = ROBOTS_BODIES[name]
-    disallows, _ = parse_robots_txt(body, UA)
+    allows, disallows, _ = parse_robots_txt(body, UA)
     for path in PATHS:
-        ours = not any(path.startswith(p) for p in disallows)
-        assert ours == _urllib_allows(body, path), (name, path, disallows)
+        ours = _gate(allows, disallows, path)
+        assert ours == _urllib_allows(body, path), (name, path, allows, disallows)
 
 
 def test_crawl_delay_selection():
-    _, delay = parse_robots_txt(ROBOTS_BODIES["named_group"], UA)
+    _, _, delay = parse_robots_txt(ROBOTS_BODIES["named_group"], UA)
     assert delay == 2.5  # the named group wins over the * group
-    _, delay = parse_robots_txt(ROBOTS_BODIES["star_only_delay"], UA)
+    _, _, delay = parse_robots_txt(ROBOTS_BODIES["star_only_delay"], UA)
     assert delay == 7.0
-    _, delay = parse_robots_txt(ROBOTS_BODIES["other_bot"], UA)
+    _, _, delay = parse_robots_txt(ROBOTS_BODIES["other_bot"], UA)
     assert delay is None  # no matching group -> unrestricted
 
 
 def test_missing_or_empty_content_allows_all():
     # fetch failure => allowed (politeness_manager.py:140-149)
-    assert parse_robots_txt(None, UA) == ([], None)
-    assert parse_robots_txt("", UA) == ([], None)
-    assert parse_robots_txt(ROBOTS_BODIES["no_groups"], UA) == ([], None)
+    assert parse_robots_txt(None, UA) == ([], [], None)
+    assert parse_robots_txt("", UA) == ([], [], None)
+    assert parse_robots_txt(ROBOTS_BODIES["no_groups"], UA) == ([], [], None)
+
+
+def test_shadow_pruning():
+    """First-match-wins collapses to longest-match only because shadowed
+    rules are pruned: a rule whose prefix extends an earlier rule's prefix
+    can never fire."""
+    allows, disallows, _ = parse_robots_txt(
+        ROBOTS_BODIES["allow_after_disallow"], UA
+    )
+    assert disallows == ["/a/"] and allows == []  # later Allow /a/b/ pruned
+    allows, disallows, _ = parse_robots_txt(
+        ROBOTS_BODIES["allow_before_disallow"], UA
+    )
+    assert allows == ["/a/b/"] and disallows == ["/a/"]  # both live
 
 
 def test_robots_table_feeds_scheduler_gate(spark):
@@ -81,6 +116,7 @@ def test_robots_table_feeds_scheduler_gate(spark):
             ("a.com", ROBOTS_BODIES["simple"]),
             ("b.com", ROBOTS_BODIES["named_group"]),
             ("c.com", None),
+            ("d.com", ROBOTS_BODIES["closed_with_public"]),
         ],
         "host string, robots_txt string",
     )
@@ -91,23 +127,33 @@ def test_robots_table_feeds_scheduler_gate(spark):
     assert rows["b.com"]["disallow_prefixes"] == ["/only-for-us/"]
     assert rows["b.com"]["crawl_delay"] == 2.5
     assert rows["c.com"]["disallow_prefixes"] == []
+    assert rows["d.com"]["allow_prefixes"] == ["/public/"]
+    assert rows["d.com"]["disallow_prefixes"] == ["/"]
 
     # plumb through the native P5 gate used by schedule_epoch
     from webcrawler_spark.functions import columns as C
 
     urls = spark.createDataFrame(
-        [("a.com", "/private/x"), ("a.com", "/ok"), ("b.com", "/only-for-us/a")],
+        [("a.com", "/private/x"), ("a.com", "/ok"), ("b.com", "/only-for-us/a"),
+         ("d.com", "/public/page"), ("d.com", "/secret")],
         "host string, path string",
     )
     gated = (
         urls.join(F.broadcast(dim), "host", "left")
-        .withColumn("allowed", C.robots_allows(F.col("disallow_prefixes"), F.col("path")))
+        .withColumn(
+            "allowed",
+            C.robots_allows(
+                F.col("disallow_prefixes"), F.col("path"), F.col("allow_prefixes")
+            ),
+        )
     )
     got = {(r["host"], r["path"]): r["allowed"] for r in gated.collect()}
     assert got == {
         ("a.com", "/private/x"): False,
         ("a.com", "/ok"): True,
         ("b.com", "/only-for-us/a"): False,
+        ("d.com", "/public/page"): True,   # Allow carve-out of Disallow: /
+        ("d.com", "/secret"): False,
     }
 
 
@@ -116,9 +162,10 @@ def test_robots_table_feeds_scheduler_gate(spark):
 
 def test_hypothesis_fuzz_vs_urllib():
     """Generated robots.txt files (agent runs, rules, delays, comments, blank
-    lines, junk) must agree with urllib.robotparser.can_fetch on prefix-rule
-    allowance for every generated path. Deterministic (fixed seed/derandomize)
-    so CI never flakes on example search."""
+    lines, junk) must agree EXACTLY with urllib.robotparser.can_fetch on
+    prefix-rule allowance for every generated path — two-sided parity, Allow
+    carve-outs included. Deterministic (fixed seed/derandomize) so CI never
+    flakes on example search."""
     from hypothesis import HealthCheck, given, settings, strategies as st
 
     agents = st.sampled_from(["*", "webcrawler", "googlebot", "other-bot", "WebCrawler"])
@@ -142,17 +189,12 @@ def test_hypothesis_fuzz_vs_urllib():
     @given(lines=lines)
     def _check(lines):
         body = "\n".join(lines)
-        disallows, _ = parse_robots_txt(body, UA)
+        allows, disallows, _ = parse_robots_txt(body, UA)
         rp = urllib.robotparser.RobotFileParser()
         rp.parse(body.splitlines())
         for path in ["/", "/a/b", "/priv/x", "/pub/x", "/tmp", "/zzz"]:
-            ours = not any(path.startswith(p) for p in disallows)
+            ours = _gate(allows, disallows, path)
             theirs = rp.can_fetch(UA, f"https://example.com{path}")
-            # Allow carve-outs are a documented delta: we may be stricter
-            # (ours False where urllib True is only legal if an Allow rule
-            # fired); we must NEVER be more permissive than urllib.
-            has_allow = any(l.lower().startswith("allow:") for l in lines)
-            if ours != theirs:
-                assert has_allow and theirs and not ours, (body, path, disallows)
+            assert ours == theirs, (body, path, allows, disallows)
 
     _check()

@@ -163,12 +163,32 @@ def classify_content_type(text: Column, title: Column) -> Column:
 # ---- robots gate (P5, politeness_manager.py:76-149) ---------------------------
 
 
-def robots_allows(disallow_prefixes: Column, path: Column) -> Column:
-    """NOT exists(prefixes, p -> startswith(path, p)); null rules => allowed
-    (fetch-failure => allowed, politeness_manager.py:140-149)."""
-    return F.when(
-        disallow_prefixes.isNull(), F.lit(True)
-    ).otherwise(~F.exists(disallow_prefixes, lambda p: path.startswith(p)))
+def robots_allows(
+    disallow_prefixes: Column, path: Column, allow_prefixes: Column | None = None
+) -> Column:
+    """urllib.robotparser.can_fetch parity gate as a native higher-order
+    expression: longest-match-wins over the parse-time-pruned Allow/Disallow
+    prefix sets (functions/robots.py prunes shadowed rules so urllib's
+    first-match-in-file-order collapses to longest-match). A path is allowed
+    unless its longest matching prefix is a Disallow; null rules => allowed
+    (fetch-failure => allowed, politeness_manager.py:140-149). The
+    ``allow_prefixes=None`` form keeps disallow-only dimension tables
+    working (no carve-outs => NOT exists semantics, unchanged)."""
+
+    def _longest(prefixes: Column) -> Column:
+        # length of the longest matching prefix, -1 if none match
+        return F.when(prefixes.isNull(), F.lit(-1)).otherwise(
+            F.aggregate(
+                F.filter(prefixes, lambda p: path.startswith(p)),
+                F.lit(-1),
+                lambda acc, p: F.greatest(acc, F.length(p)),
+            )
+        )
+
+    best_dis = _longest(disallow_prefixes)
+    if allow_prefixes is None:
+        return best_dis < 0
+    return best_dis <= _longest(allow_prefixes)
 
 
 # ---- misc ---------------------------------------------------------------------

@@ -4,7 +4,8 @@ The reference fetches robots.txt per domain, caches it, and gates URLs with
 ``urllib.robotparser.RobotFileParser.can_fetch`` (url-scheduler/
 politeness_manager.py:99-149; crude cached path :92-95; fetch failure =>
 allowed :140-149). Our epoch job consumes a pre-parsed dimension table
-(host, disallow_prefixes ARRAY<STRING>, crawl_delay DOUBLE) joined broadcast
+(host, allow_prefixes ARRAY<STRING>, disallow_prefixes ARRAY<STRING>,
+crawl_delay DOUBLE) joined broadcast
 against the schedule (SURVEY S11/P5). This module is the missing step
 between the two: parse the fetched robots.txt bodies into that table.
 
@@ -20,15 +21,23 @@ Group selection follows RFC 9309 / urllib.robotparser semantics:
 - empty/missing content or no matching group => no restrictions (allowed),
   matching the reference's fetch-failure behavior.
 
-v1 deltas (documented):
-- rules are plain path prefixes — the ``*``/``$`` wildcard extensions are
-  not expanded (urllib.robotparser treats them literally too, so parity
-  with the reference holds); percent-encoding is preserved as-is.
-- ``Allow`` lines are parsed (they advance the group state machine exactly
-  as in urllib) but not emitted: the dimension table is disallow-only, so a
-  file using Allow to carve exceptions out of a Disallow prefix gates
-  stricter here than can_fetch. None of the reference's test fixtures use
-  Allow carve-outs.
+``Allow`` carve-outs (``Disallow: /`` + ``Allow: /public/``) are honored
+with full urllib parity. urllib's ``Entry.allowance`` is FIRST-match-wins in
+file order over the interleaved Allow/Disallow rules; an order-free
+(allow_prefixes, disallow_prefixes) pair cannot express that directly, but
+for plain prefix rules it becomes expressible after a parse-time pruning:
+drop every rule shadowed by an EARLIER rule whose prefix is a prefix of it
+(such a rule can never be the first match for any path). In the pruned set,
+any two rules whose prefixes are nested have the longer one earlier, so
+first-match-wins ≡ longest-match-wins — which the native gate
+(columns.robots_allows) evaluates order-free from the two arrays. Empty-path
+rules (``Disallow:`` = allow-all, per urllib's RuleLine) become the ""
+prefix, which matches every path at length 0.
+
+v1 delta (documented): rules are plain path prefixes — the ``*``/``$``
+wildcard extensions are not expanded (urllib.robotparser treats them
+literally too, so parity with the reference holds); percent-encoding is
+preserved as-is.
 
 Parsing runs in a vectorized pandas UDF: robots.txt bodies are a per-host
 dimension (one row per host, ~10^7 rows at web scale — a fraction of a
@@ -43,13 +52,17 @@ from pyspark.sql import DataFrame
 _RULE_FIELDS = ("allow", "disallow")
 
 
-def parse_robots_txt(content: str | None, user_agent: str) -> tuple[list[str], float | None]:
+def parse_robots_txt(
+    content: str | None, user_agent: str
+) -> tuple[list[str], list[str], float | None]:
     """Parse one robots.txt body for ``user_agent``. Returns
-    (disallow_prefixes, crawl_delay). Empty disallow list => everything
-    allowed. Mirrors urllib.robotparser's group selection so the native
-    startswith gate agrees with the reference's can_fetch on prefix rules."""
+    (allow_prefixes, disallow_prefixes, crawl_delay). Empty lists =>
+    everything allowed. Mirrors urllib.robotparser's group selection AND its
+    first-match-wins rule ordering (via shadow pruning — see module
+    docstring) so the native longest-match gate agrees with the reference's
+    can_fetch on prefix rules, Allow carve-outs included."""
     if not content:
-        return [], None
+        return [], [], None
     # urllib matches on the product token: "MyBot/1.0" -> "mybot"
     agent_token = user_agent.split("/")[0].lower()
 
@@ -131,22 +144,38 @@ def parse_robots_txt(content: str | None, user_agent: str) -> tuple[list[str], f
 
     chosen = next((g for g in entries if _applies(g[0])), None) or default_entry
     if chosen is None:
-        return [], None
-    disallows = [v for f, v in chosen[1] if f == "disallow" and v]
-    return disallows, chosen[2]
+        return [], [], None
+    # urllib's RuleLine: an empty-value Disallow means "allow all" — it
+    # becomes an allow rule with the universal prefix "". Empty Allow is the
+    # same rule already.
+    rules = [
+        (v, f == "allow" or not v)  # (prefix, allowance)
+        for f, v in chosen[1]
+    ]
+    # Shadow pruning (first-match-wins -> longest-match-wins): a rule whose
+    # prefix extends an EARLIER rule's prefix can never be the first match.
+    kept: list[tuple[str, bool]] = []
+    for prefix, allowance in rules:
+        if any(prefix.startswith(p) for p, _ in kept):
+            continue
+        kept.append((prefix, allowance))
+    allows = [p for p, a in kept if a]
+    disallows = [p for p, a in kept if not a]
+    return allows, disallows, chosen[2]
 
 
 def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
     """(host, robots_txt) -> the robots dimension table consumed by
-    scheduler.schedule_epoch: (host, disallow_prefixes, crawl_delay).
-    Hosts whose robots.txt failed to fetch (null body) get no restrictions,
-    matching the reference (politeness_manager.py:140-149)."""
+    scheduler.schedule_epoch: (host, allow_prefixes, disallow_prefixes,
+    crawl_delay). Hosts whose robots.txt failed to fetch (null body) get no
+    restrictions, matching the reference (politeness_manager.py:140-149)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
 
     schema = StructType(
         [
+            StructField("allow_prefixes", ArrayType(StringType())),
             StructField("disallow_prefixes", ArrayType(StringType())),
             StructField("crawl_delay", DoubleType()),
         ]
@@ -157,8 +186,9 @@ def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
         parsed = [parse_robots_txt(c, user_agent) for c in content]
         return pd.DataFrame(
             {
-                "disallow_prefixes": [p[0] for p in parsed],
-                "crawl_delay": [p[1] for p in parsed],
+                "allow_prefixes": [p[0] for p in parsed],
+                "disallow_prefixes": [p[1] for p in parsed],
+                "crawl_delay": [p[2] for p in parsed],
             }
         )
 
@@ -167,6 +197,7 @@ def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
         _parse(F.col("robots_txt")).alias("_r"),
     ).select(
         "host",
+        F.col("_r.allow_prefixes").alias("allow_prefixes"),
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
         F.col("_r.crawl_delay").alias("crawl_delay"),
     )

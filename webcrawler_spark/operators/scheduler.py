@@ -61,13 +61,23 @@ def schedule_epoch(
 
     # ---- P5: robots gate via broadcast join (politeness_manager.py:76-149)
     if robots is not None:
-        rb = F.broadcast(robots.select("host", "disallow_prefixes", "crawl_delay"))
+        # Allow carve-outs (urllib can_fetch parity) ride an optional
+        # allow_prefixes column; disallow-only dimension tables keep working.
+        has_allow = "allow_prefixes" in robots.columns
+        rb_cols = ["host", "disallow_prefixes", "crawl_delay"] + (
+            ["allow_prefixes"] if has_allow else []
+        )
+        rb = F.broadcast(robots.select(*rb_cols))
         pending = pending.join(rb, "host", "left")
-        allowed = C.robots_allows(F.col("disallow_prefixes"), F.col("path"))
+        allowed = C.robots_allows(
+            F.col("disallow_prefixes"),
+            F.col("path"),
+            F.col("allow_prefixes") if has_allow else None,
+        )
         robots_rejected = pending.filter(~allowed).withColumn(
             "reject_reason", F.lit("robots_disallowed")
         )
-        pending = pending.filter(allowed).drop("disallow_prefixes")
+        pending = pending.filter(allowed).drop("disallow_prefixes", "allow_prefixes")
         pending = pending.withColumnRenamed("crawl_delay", "robots_delay")
     else:
         robots_rejected = None
@@ -137,7 +147,7 @@ def schedule_epoch(
     rejected = overdrawn
     if robots_rejected is not None:
         rejected = overdrawn.unionByName(
-            robots_rejected.drop("disallow_prefixes", "crawl_delay"),
+            robots_rejected.drop("disallow_prefixes", "allow_prefixes", "crawl_delay"),
             allowMissingColumns=True,
         )
     return schedule, deferred_next, rejected

@@ -40,6 +40,21 @@ def _canon_host_path(url_norm: str) -> tuple[str, str]:
     return p.netloc, p.path
 
 
+def _robots_allowed(rb: dict, path: str) -> bool:
+    """Longest-match over the pruned allow/disallow prefix sets — same rule
+    as columns.robots_allows (urllib can_fetch parity; see functions/robots).
+    With no allow prefixes this reduces to 'no disallow prefix matches'."""
+    best_dis = max(
+        (len(p) for p in (rb.get("disallow_prefixes") or []) if path.startswith(p)),
+        default=-1,
+    )
+    best_allow = max(
+        (len(p) for p in (rb.get("allow_prefixes") or []) if path.startswith(p)),
+        default=-1,
+    )
+    return best_dis <= best_allow
+
+
 def run_oracle(
     pages: list[dict],
     seeds: list[dict],
@@ -130,9 +145,7 @@ def run_oracle(
                 rejected.append((r, "max_attempts"))
                 continue
             rb = robots_by_host.get(r["host"])
-            if rb is not None and any(
-                r["path"].startswith(pref) for pref in rb["disallow_prefixes"]
-            ):
+            if rb is not None and not _robots_allowed(rb, r["path"]):
                 rejected.append((r, "robots_disallowed"))
                 continue
             by_host.setdefault(r["host"], []).append(r)

@@ -1174,8 +1174,9 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11 parse step: raw robots.txt bodies -> the robots dimension table
     (politeness_manager.py:99-149 via urllib-parity state machine). Bodies
     are synthesized deterministically per distinct document source so the
-    parse exercises named-group selection, crawl-delay, and the
-    fetch-failure path (every 3rd host gets a null body)."""
+    parse exercises named-group selection, Allow carve-outs, crawl-delay,
+    and the fetch-failure path (hosts with length%3==0 get a null body).
+    The oracle recomputes the expected group outcome arithmetically."""
     from .functions.robots import robots_table
 
     hosts = (
@@ -1184,7 +1185,9 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     body = F.concat(
-        F.lit("User-agent: webcrawler\nDisallow: /priv-"),
+        F.lit("User-agent: webcrawler\nAllow: /priv-"),
+        F.col("host"),
+        F.lit("/public/\nDisallow: /priv-"),
         F.col("host"),
         F.lit("/\nCrawl-delay: "),
         (F.length("host") % 5 + 1).cast("string"),
@@ -1192,13 +1195,24 @@ def q_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = hosts.withColumn(
         "robots_txt",
-        F.when(F.xxhash64("host") % 3 == 0, F.lit(None).cast("string")).otherwise(body),
+        F.when(F.length("host") % 3 == 0, F.lit(None).cast("string")).otherwise(body),
     )
     return robots_table(raw, "WebCrawler/1.0").select(
         "host",
+        F.size("allow_prefixes").alias("n_allow"),
         F.size("disallow_prefixes").alias("n_disallow"),
         "crawl_delay",
     )
+
+
+SQL_robots_parse = """
+SELECT source AS host,
+       CASE WHEN length(source) % 3 = 0 THEN 0 ELSE 1 END AS n_allow,
+       CASE WHEN length(source) % 3 = 0 THEN 0 ELSE 1 END AS n_disallow,
+       CASE WHEN length(source) % 3 = 0 THEN NULL
+            ELSE CAST(length(source) % 5 + 1 AS DOUBLE) END AS crawl_delay
+FROM (SELECT DISTINCT source FROM documents)
+"""
 
 
 def q_cuckoo_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1254,8 +1268,12 @@ def q_crawl_two_epoch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url string, priority int, depth int",
     )
     robots = spark.createDataFrame(
-        [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in web["robots"]],
-        "host string, disallow_prefixes array<string>, crawl_delay double",
+        [
+            (r["host"], r["allow_prefixes"], r["disallow_prefixes"], r["crawl_delay"])
+            for r in web["robots"]
+        ],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
     )
     cat = Catalog(spark, tempfile.mkdtemp(prefix="contract_crawl_"))
     counters = E.run_epochs(spark, cat, pages, seeds, robots, 2, cfg)
@@ -1286,8 +1304,12 @@ def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url string, priority int, depth int",
     )
     robots = spark.createDataFrame(
-        [(r["host"], r["disallow_prefixes"], r["crawl_delay"]) for r in web["robots"]],
-        "host string, disallow_prefixes array<string>, crawl_delay double",
+        [
+            (r["host"], r["allow_prefixes"], r["disallow_prefixes"], r["crawl_delay"])
+            for r in web["robots"]
+        ],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
     )
     cand = seeds.select(
         "url",
@@ -1419,4 +1441,5 @@ ORACLE_SQL: dict[str, str] = {
     "subword_token_count": SQL_subword_token_count,
     "windowed_event_counts": SQL_windowed_event_counts,
     "media_features": SQL_media_features,
+    "robots_parse": SQL_robots_parse,
 }

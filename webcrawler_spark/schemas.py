@@ -42,10 +42,13 @@ SEEDS = StructType(
     ]
 )
 
-# robots dimension table (replaces live fetch, politeness_manager.py:76-149)
+# robots dimension table (replaces live fetch, politeness_manager.py:76-149).
+# allow_prefixes carries urllib-parity Allow carve-outs; the gate is
+# longest-match-wins over both arrays (columns.robots_allows).
 ROBOTS = StructType(
     [
         StructField("host", StringType(), False),
+        StructField("allow_prefixes", ArrayType(StringType(), False), False),
         StructField("disallow_prefixes", ArrayType(StringType(), False), False),
         StructField("crawl_delay", DoubleType(), False),
         StructField("fetched_epoch", IntegerType(), False),

@@ -236,13 +236,20 @@ def generate_web(
     if host_urls[seed_hosts[0]][1:]:
         seeds.append({"url": host_urls[seed_hosts[0]][1], "priority": 0, "depth": 0})
 
-    # robots: most hosts open; some partial disallows; a couple fully closed
+    # robots: most hosts open; some partial disallows; a couple fully closed;
+    # some of the restricted hosts publish Allow carve-outs (the
+    # urllib-can_fetch longest-match path: Disallow:/ + Allow:/docs etc.)
     robots = []
     for i, h in enumerate(hosts):
+        allow: list[str] = []
         if i % 17 == 5:
             dis = ["/"]
+            if i % 2 == 1:
+                allow = ["/docs"]  # otherwise-closed host carves docs open
         elif i % 5 == 2:
             dis = ["/tag", "/archive"]
+            if i % 2 == 0:
+                allow = ["/tag/topic-1"]  # one topic carved back in
         else:
             dis = []
         delay = 1.0
@@ -251,7 +258,13 @@ def generate_web(
         elif i % 11 == 4:
             delay = 5.0
         robots.append(
-            {"host": h, "disallow_prefixes": dis, "crawl_delay": delay, "fetched_epoch": 0}
+            {
+                "host": h,
+                "allow_prefixes": allow,
+                "disallow_prefixes": dis,
+                "crawl_delay": delay,
+                "fetched_epoch": 0,
+            }
         )
 
     return {"pages": pages, "seeds": seeds, "robots": robots}
@@ -298,6 +311,9 @@ def write_parquet(web: dict, out_dir: str) -> None:
         pa.table(
             {
                 "host": [r["host"] for r in robots],
+                "allow_prefixes": pa.array(
+                    [r["allow_prefixes"] for r in robots], pa.list_(pa.string())
+                ),
                 "disallow_prefixes": pa.array(
                     [r["disallow_prefixes"] for r in robots], pa.list_(pa.string())
                 ),
