@@ -131,6 +131,31 @@ def test_update_equals_rebuild(spark):
     )
 
 
+def test_build_adaptive_blob_sizing_never_overflows(spark):
+    """A build whose configured capacity is far too small must not fail:
+    hot buckets get bigger blobs (per-blob m rides the row)."""
+    fps = _fps(30_000, seed=20)
+    seen = _seen_df(spark, fps)
+    ck = CK.build_cuckoo(seen, n_buckets=4, capacity=100)  # 25 fps/bucket cfg
+    assert CK.cuckoo_might_contain(seen, ck).filter(~F.col("might_contain")).count() == 0
+    # and the blobs really did grow beyond the configured share
+    assert all(r["m"] > CK._table_size(100 // 4) for r in ck.select("m").collect())
+
+
+def test_update_over_capacity_fails_fast_with_clear_error(spark):
+    """Inserting a delta that would overfill an existing blob must surface a
+    plan-level capacity error (lossy tags cannot be rehashed bigger in
+    place), not die deep in the kick loop."""
+    import re
+
+    a = _fps(400, seed=21)
+    ck = CK.build_cuckoo(_seen_df(spark, a), n_buckets=1, capacity=400).persist()
+    big_delta = _seen_df(spark, np.setdiff1d(_fps(30_000, seed=22), a))
+    with pytest.raises(Exception, match=re.escape("over capacity")):
+        CK.update_cuckoo(ck, big_delta, n_buckets=1, capacity=400).collect()
+    ck.unpersist()
+
+
 def test_delete_ttl_eviction(spark):
     fps = _fps(10_000, seed=12)
     expired, live = fps[:4_000], fps[4_000:]

@@ -156,6 +156,34 @@ def test_web_content_and_links_written(spark, crawl_run):
     assert "internal" in types and "external" in types
 
 
+def test_web_content_keywords_match_reference_rule(spark, crawl_run, web):
+    """web_content.keywords carries the per-doc top-20 keyword list
+    (parser/app.py:426-442 -> indexer truncation [:20]): tokens len>3,
+    de-stopworded, ordered by (freq desc, word asc). Recomputed per doc in
+    plain Python from the page text."""
+    import re
+    from collections import Counter
+
+    from webcrawler_spark.operators.textstats import STOPWORDS
+
+    cat, _ = crawl_run
+    rows = (
+        cat.read_delta_union("web_content", N_EPOCHS - 1)
+        .select("content", "keywords")
+        .collect()
+    )
+    assert rows and all(r["keywords"] is not None for r in rows)
+
+    def expected(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        counts = Counter(t for t in toks if len(t) > 3 and t not in STOPWORDS)
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [w for w, _ in ranked[:20]]
+
+    for r in rows[:50]:
+        assert r["keywords"] == expected(r["content"])
+
+
 def test_bloom_epoch_equivalence(spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run, oracle_run):
     """The persistent bloom prefilter is a pure optimization: with
     use_bloom=True the crawl order, seen set, and counters are identical

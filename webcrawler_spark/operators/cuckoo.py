@@ -199,10 +199,19 @@ _CUCKOO_SCHEMA = "bucket int, blob binary, m int"
 def build_cuckoo(seen: DataFrame, n_buckets: int, capacity: int) -> DataFrame:
     """Build per-bucket cuckoo blobs from the seen set's fingerprints.
     Returns DataFrame(bucket INT, blob BINARY, m INT) — same contract shape
-    as dedup.build_bloom minus k."""
-    m = _table_size(max(capacity // n_buckets, 1))
+    as dedup.build_bloom minus k.
+
+    Each blob's table size is adaptive: at least the configured capacity
+    share, grown (power of two, per-blob ``m`` rides the row) when the
+    bucket's actual row count exceeds it — a build never fails on a
+    hot-bucket overflow, it just allocates that blob bigger."""
+    m_default = _table_size(max(capacity // n_buckets, 1))
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(np.unique(pdf["url_fp"].to_numpy()))
+        m = max(m_default, _table_size(n))
         table = _new_table(m)
         _insert_fps(table, pdf["url_fp"].to_numpy())
         return pd.DataFrame(
@@ -230,6 +239,8 @@ def _apply_delta(
     m_default = _table_size(max(capacity // n_buckets, 1))
 
     def _merge(blobs: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         if len(blobs):
             bucket = int(blobs["bucket"].iloc[0])
             m = int(blobs["m"].iloc[0])
@@ -240,11 +251,30 @@ def _apply_delta(
                     {"bucket": "int32", "m": "int32"}
                 )
             bucket = int(delta["bucket"].iloc[0])
-            m = m_default
+            # fresh bucket: size adaptively like build_cuckoo — never
+            # under-allocate a hot bucket's first blob
+            m = max(m_default, _table_size(len(np.unique(delta["url_fp"].to_numpy()))))
             table = _new_table(m)
         if len(delta):
             fp_arr = delta["url_fp"].to_numpy()
             if op == "insert":
+                # Capacity pre-check BEFORE mutating: partial-key tags are
+                # lossy, so an existing blob cannot be rehashed into a
+                # bigger table in place — fail fast with an actionable
+                # plan-level error instead of dying mid-kick-loop with the
+                # blob half-written (a long crawl outgrowing
+                # cfg.bloom_capacity hits this; the bloom merely degrades
+                # its FP rate, the cuckoo must say so explicitly).
+                projected = int(np.count_nonzero(table)) + len(np.unique(fp_arr))
+                if projected > int(m * _SLOTS * 0.95):
+                    raise ValueError(
+                        f"cuckoo bucket {bucket} over capacity: {projected} "
+                        f"projected tags for {m}x{_SLOTS} slots (>95%). The "
+                        "seen set outgrew the configured capacity — rebuild "
+                        "the filter from the full seen set (build_cuckoo "
+                        "sizes blobs adaptively) or raise "
+                        "CrawlConfig.bloom_capacity/bloom_buckets."
+                    )
                 _insert_fps(table, fp_arr)
             else:
                 _delete_fps(table, fp_arr)

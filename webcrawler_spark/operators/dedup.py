@@ -92,14 +92,22 @@ def bucket_of(fp: "F.Column", n_buckets: int) -> "F.Column":
 
 
 def _table_n_buckets(blobs: DataFrame) -> int | None:
-    """Bucket modulus recorded in a blob table's nb column; falls back to
-    max(bucket)+1 for snapshots written before nb existed (only correct
-    when every bucket is populated — which dense fingerprint spaces give;
-    new writes always carry nb)."""
-    if "nb" in blobs.columns:
-        v = blobs.agg(F.max("nb")).first()[0]
-    else:
-        v = blobs.agg(F.max("bucket") + 1).first()[0]
+    """Bucket modulus recorded in a blob table's nb column.
+
+    A table without nb predates the xxhash64 remix in bucket_of: its blobs
+    were bucketed with a DIFFERENT function, so inferring a modulus and
+    probing it would look up the wrong blob for every old fingerprint —
+    silent tier-1 false negatives that route previously-seen URLs around the
+    authoritative anti-join. Refuse loudly instead; the epoch loop treats
+    such snapshots as absent and rebuilds the filter from the full seen set
+    (bootstrap guard in plans/epoch.py)."""
+    if "nb" not in blobs.columns:
+        raise ValueError(
+            "blob table has no 'nb' column: incompatible snapshot written "
+            "with a different bucket function — rebuild the filter from the "
+            "full seen set instead of probing it"
+        )
+    v = blobs.agg(F.max("nb")).first()[0]
     return int(v) if v else None
 
 _BLOOM_SALT1 = -7046029254386353131  # golden-ratio odd constant (public Kirsch-Mitzenmacher double hashing)
@@ -359,10 +367,15 @@ def fuzzy_dedupe(
             fuzz_max_score_udf(F.col("url_norm"), F.col("_seen_norm"))
         ),
     )
-    best = scored.groupBy(*[c for c in candidates.columns]).agg(
-        F.max("_score").alias("_best")
+    # aggregate on the 8-byte fingerprint, not the full wide-string candidate
+    # row (a multi-hundred-byte hash-agg key): candidates are unique per
+    # url_fp (merge_candidates), so every payload column is fp-determined
+    # and rides along as a min() aggregate, exactly as in merge_candidates
+    payload = [F.min(c).alias(c) for c in candidates.columns if c != "url_fp"]
+    best = scored.groupBy("url_fp").agg(F.max("_score").alias("_best"), *payload)
+    return best.filter(F.col("_best") < cfg.fuzzy_threshold).drop("_best").select(
+        *candidates.columns
     )
-    return best.filter(F.col("_best") < cfg.fuzzy_threshold).drop("_best")
 
 
 # ---- content dedup (J4) ----------------------------------------------------------

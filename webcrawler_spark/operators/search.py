@@ -213,6 +213,10 @@ def search_fuzzy(
     Classic Levenshtein (Spark/DuckDB built-in), not Damerau: a transposition
     counts 2 edits here vs ES's 1 — documented delta, same result set for
     non-transposed typos."""
+    # a repeated query token is one term (ES operator:and semantics) — and a
+    # duplicate qdf row would both double-count the score sum and make the
+    # require_all count (#distinct matched terms) unreachable
+    query_tokens = list(dict.fromkeys(query_tokens))
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),

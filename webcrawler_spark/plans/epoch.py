@@ -110,6 +110,12 @@ def run_epoch(
     host_stats_prev = cat.read_snapshot("host_stats", prev)
     _filter_table = "seen_cuckoo" if cfg.seen_filter == "cuckoo" else "seen_bloom"
     bloom_prev = cat.read_snapshot(_filter_table, prev) if cfg.use_bloom else None
+    if bloom_prev is not None and "nb" not in bloom_prev.columns:
+        # pre-bucket-versioning snapshot: bucketed with a different function,
+        # so probing it would silently miss every old fingerprint. Treat it
+        # as absent — the bootstrap guard below rebuilds from the FULL seen
+        # set this epoch, restoring a compatible filter.
+        bloom_prev = None
 
     # ---- 1. candidates: seeds at epoch 0, else links discovered last epoch (U1)
     if seeds is not None:
@@ -211,20 +217,44 @@ def run_epoch(
             fresh_docs["content_hash"] == F.col("_ch"),
             "left_anti",
         )
-    web_delta = fresh_docs.filter(F.col("action") == "indexed").select(
-        F.col("url").alias("url"),
-        "url_norm",
-        "host",
-        "title",
-        "description",
-        F.col("text").alias("content"),
-        "content_hash",
-        F.col("lang").alias("language"),
-        "content_type",
-        "quality_score",
-        "word_count",
-        F.lit(None).cast("array<string>").alias("keywords"),
-        F.lit(epoch).alias("crawled_epoch"),
+    indexed = fresh_docs.filter(F.col("action") == "indexed")
+    # per-doc top-20 keywords (F16; parser/app.py:426-442 feeding
+    # indexer/app.py:268-298, reference truncation [:20]). groupBy
+    # (url_norm, word) partial-aggregates map-side, so the extra shuffle is
+    # the distinct (doc, word) pairs of THIS epoch's newly indexed docs —
+    # bounded by epoch parse volume, never by the accumulated index.
+    from ..operators import textstats as TS
+
+    kw = TS.keywords_per_doc(
+        indexed.select("url_norm", "text"), "url_norm", "text", k=20
+    )
+    kw_arrays = kw.groupBy("url_norm").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rank", "word"))),
+            lambda s: s["word"],
+        ).alias("keywords")
+    )
+    web_delta = (
+        indexed.join(kw_arrays, "url_norm", "left")
+        .withColumn(
+            "keywords",
+            F.coalesce(F.col("keywords"), F.array().cast("array<string>")),
+        )
+        .select(
+            F.col("url").alias("url"),
+            "url_norm",
+            "host",
+            "title",
+            "description",
+            F.col("text").alias("content"),
+            "content_hash",
+            F.col("lang").alias("language"),
+            "content_type",
+            "quality_score",
+            "word_count",
+            "keywords",
+            F.lit(epoch).alias("crawled_epoch"),
+        )
     )
 
     # ---- 6. adaptive host stats (A3/A4); synthetic deterministic response time

@@ -1105,25 +1105,36 @@ FROM documents
 
 
 def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3: same-host fuzzy dedup (difflib max-ratio >= threshold) over a
-    deterministic URL set with near-miss variants; rows-only (the scoring
-    UDF has no SQL equivalent)."""
+    """J3: same-host fuzzy dedup (difflib max-ratio >= threshold against the
+    host's 100 most recent seen URLs, deduplicator.py:123-186) over a
+    deterministic fixture LARGE enough to exercise the recent-100 window
+    truncation: 110 recent catalog URLs (epoch 1) push the one legacy URL
+    (epoch 0) out of the window, so the candidate fuzzy-close ONLY to the
+    evicted legacy URL is KEPT (score 73 vs catalog < 85) while the
+    candidate fuzzy-close to the surviving catalog URLs is dropped (100).
+    Rows-only (the difflib scoring UDF has no SQL equivalent)."""
     from .config import CrawlConfig
     from .operators import dedup as D
 
-    seen_urls = [
-        ("https://siteA.com/page-1", 0), ("https://siteA.com/article-news", 0),
-        ("https://siteB.com/products/item", 0),
-    ]
+    seen_urls = [("https://fz.example.com/legacy-archive-post-0001", 0)] + [
+        (f"https://fz.example.com/catalog/product-page-{i:04d}", 1) for i in range(110)
+    ] + [("https://siteB.com/products/item", 0)]
     cand_urls = [
-        "https://siteA.com/page-2",          # fuzzy-close to page-1 -> dropped
-        "https://siteA.com/totally/else/deep/path",
-        "https://siteB.com/products/item2",  # fuzzy-close -> dropped
+        # close (98) to the legacy URL, but that URL was evicted from the
+        # recent-100 window by the 110 newer catalog URLs -> KEPT
+        "https://fz.example.com/legacy-archive-post-0002",
+        # close (100) to the in-window catalog URLs -> dropped
+        "https://fz.example.com/catalog/product-page-0007x",
+        "https://siteB.com/products/item2",  # fuzzy-close in-window -> dropped
         "https://siteC.com/products/item2",  # different host -> kept
     ]
-    seen = D.canonicalize(
-        spark.createDataFrame([(u,) for u, _ in seen_urls], "url string")
-    ).select("url_fp", "url_norm", "host", F.lit(0).alias("epoch"))
+    seen = (
+        D.canonicalize(spark.createDataFrame([(u,) for u, _ in seen_urls], "url string"))
+        .join(
+            spark.createDataFrame(seen_urls, "url string, epoch int"), "url"
+        )
+        .select("url_fp", "url_norm", "host", "epoch")
+    )
     cands = D.canonicalize(spark.createDataFrame([(u,) for u in cand_urls], "url string"))
     kept = D.fuzzy_dedupe(cands, seen, CrawlConfig(use_fuzzy=True))
     return kept.select("url_norm").orderBy("url_norm")
