@@ -118,3 +118,82 @@ def test_byte_identity_over_synthetic_web(web):
     """The per-row invariant: extract_text(html) == text for every page."""
     for p in web["pages"]:
         assert htmllib.extract_text(p["html"].decode("utf-8")) == p["text"]
+
+
+# ---- multi-method cascade selection (parser/app.py:259-277) --------------------
+# The heavyweight extractors are absent in this environment, so the
+# >200-char preference rule normally only ever sees the beautifulsoup
+# branch. Inject fakes into the import-gated slots to exercise selection
+# among >=2 live methods on every branch.
+
+
+class _FakeTrafilatura:
+    def __init__(self, out):
+        self.out = out
+
+    def extract(self, html, **kw):
+        if isinstance(self.out, Exception):
+            raise self.out
+        return self.out
+
+
+class _FakeJustext:
+    class _P:
+        def __init__(self, text):
+            self.text = text
+            self.is_boilerplate = False
+
+    def __init__(self, out):
+        self.out = out
+
+    def justext(self, html, stoplist):
+        return [self._P(self.out)]
+
+    def get_stoplist(self, lang):
+        return set()
+
+
+_BS_HTML = "<html><body><p>" + "soup words here " * 40 + "</p></body></html>"
+_BS_TEXT = htmllib._soup_branch(_BS_HTML)
+assert len(_BS_TEXT) > 200  # fixture sanity: the bs4 branch is a live contender
+
+
+def test_cascade_preferred_method_wins(monkeypatch):
+    long_traf = "trafilatura content " * 20  # > 200 chars
+    monkeypatch.setattr(htmllib, "trafilatura", _FakeTrafilatura(long_traf))
+    assert htmllib.extract_text(_BS_HTML) == long_traf.strip()
+
+
+def test_cascade_short_preferred_falls_through(monkeypatch):
+    """A valid (>100) but short (<=200) preferred method must NOT win; the
+    next method in preference order with >200 chars does."""
+    short_traf = "t" * 150
+    long_jx = "justext content " * 20
+    monkeypatch.setattr(htmllib, "trafilatura", _FakeTrafilatura(short_traf))
+    monkeypatch.setattr(htmllib, "justext", _FakeJustext(long_jx))
+    assert htmllib.extract_text(_BS_HTML) == long_jx.strip()
+
+
+def test_cascade_all_short_longest_valid_raw_wins(monkeypatch):
+    """No method clears 200 stripped chars -> longest valid raw output."""
+    traf = "t" * 120
+    jx = "j" * 180  # longest valid
+    monkeypatch.setattr(htmllib, "trafilatura", _FakeTrafilatura(traf))
+    monkeypatch.setattr(htmllib, "justext", _FakeJustext(jx))
+    short_html = "<html><body><p>" + "w " * 60 + "</p></body></html>"  # bs4 ~120
+    bs = htmllib._soup_branch(short_html)
+    assert 100 < len(bs) <= 200
+    expected = max([traf, jx, bs], key=len)
+    assert htmllib.extract_text(short_html) == expected
+
+
+def test_cascade_failing_method_degrades(monkeypatch):
+    """An extractor that raises contributes '' and the cascade continues."""
+    monkeypatch.setattr(htmllib, "trafilatura", _FakeTrafilatura(RuntimeError("boom")))
+    assert htmllib.extract_text(_BS_HTML) == _BS_TEXT
+
+
+def test_cascade_invalid_short_method_excluded(monkeypatch):
+    """<=100 stripped chars is invalid regardless of preference order."""
+    monkeypatch.setattr(htmllib, "trafilatura", _FakeTrafilatura("x" * 80))
+    assert htmllib.extract_text(_BS_HTML) == _BS_TEXT
