@@ -16,6 +16,21 @@ from __future__ import annotations
 import time
 
 
+def _stat_snap():
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals), vals[3] + vals[4]  # total jiffies, idle+iowait
+
+
+def sys_busy_cores_over(t0_snap, t1_snap, ncpu: int) -> float:
+    """Whole-box average busy cores between two /proc/stat snapshots
+    (includes our own work — a trial on an otherwise-idle box reports ~its
+    own core budget; anything well above that is co-tenant contention)."""
+    dt = t1_snap[0] - t0_snap[0]
+    di = t1_snap[1] - t0_snap[1]
+    return (1 - di / dt) * ncpu if dt else 0.0
+
+
 def synth_frontier(spark, n_urls: int, n_hosts: int = 1000):
     """Skewed synthetic URL frontier, generated entirely JVM-side:
     ~30% of URLs land on 3 hot hosts (the skew the salted top-k handles);
@@ -69,6 +84,12 @@ def frontier_bench(spark, n_urls: int) -> dict:
     seen.count()
 
     candidates = synth_frontier(spark, n_urls)
+    import os as _os
+
+    try:
+        stat0 = _stat_snap()
+    except OSError:
+        stat0 = None
     t0 = time.time()
     canon = D.canonicalize(candidates)
     merged = D.merge_candidates(canon)
@@ -99,6 +120,17 @@ def frontier_bench(spark, n_urls: int) -> dict:
     n_scheduled = counts.get("s", 0)
     n_deferred = counts.get("d", 0)
     elapsed = time.time() - t0
+    # whole-box busy-cores average over the timed window: the contention
+    # audit trail for the scaling trials (bursty co-tenant load arrives
+    # MID-trial; a pre-trial check alone cannot see it)
+    busy = None
+    if stat0 is not None:
+        try:
+            busy = round(
+                sys_busy_cores_over(stat0, _stat_snap(), _os.cpu_count() or 1), 2
+            )
+        except OSError:
+            pass
     pending.unpersist()
     seen.unpersist()
     return {
@@ -107,4 +139,5 @@ def frontier_bench(spark, n_urls: int) -> dict:
         "n_deferred": n_deferred,
         "seconds": round(elapsed, 3),
         "urls_per_sec": round(n_urls / elapsed, 1),
+        "sys_busy_avg": busy,
     }

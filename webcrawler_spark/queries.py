@@ -1299,6 +1299,48 @@ def q_crawl_two_epoch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_frontier_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read frontier surface: run two epochs on a small synthetic
+    web under a tight politeness budget (fetched/failed/rejected outcomes all
+    occur), then resolve the frontier (latest status_epoch per url_fp
+    via Catalog.read_merged) and return per-status counts. Rows-only
+    (statuses come from the crawl loop; parity vs the pure-Python oracle is
+    enforced in tests/test_epoch.py::test_frontier_state_parity)."""
+    import tempfile
+
+    from . import synth
+    from .config import CrawlConfig
+    from .plans import epoch as E
+    from .storage.catalog import Catalog
+
+    web = synth.generate_web(seed=42, n_hosts=12, n_pages=90)
+    cfg = CrawlConfig(epoch_seconds=3, hot_host_salt=2)
+    pages = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in web["pages"]],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [(s["url"], s["priority"], s["depth"]) for s in web["seeds"]],
+        "url string, priority int, depth int",
+    )
+    robots = spark.createDataFrame(
+        [
+            (r["host"], r["allow_prefixes"], r["disallow_prefixes"], r["crawl_delay"])
+            for r in web["robots"]
+        ],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="contract_frontier_"))
+    E.run_epochs(spark, cat, pages, seeds, robots, 2, cfg)
+    return (
+        cat.read_merged("frontier", 1)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )
+
+
 def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real flagship on a deterministic in-memory synthetic web: epoch-0
     fetch schedule under the politeness budget (rows-only; parity vs the
@@ -1405,6 +1447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_parse": q_robots_parse,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
+    "crawl_frontier_status": q_crawl_frontier_status,
 }
 
 ORACLE_SQL: dict[str, str] = {
