@@ -799,6 +799,71 @@ SELECT doc_id, n_chars, rn FROM (
 """
 
 
+# Q4: ES bool must+filter — non-scoring filter (lang term) first, then the
+# scoring must clause with operator:and (every query token required;
+# search-api/app.py:219-236 builds exactly this bool body)
+
+
+def q_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return SE.search(docs, _QUERY_TOKENS, "text", "doc_id", k=20, require_all=True)
+
+
+SQL_search_bool = f"""
+SELECT doc_id, score FROM (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
+                            [{_QT_SQL}])) AS score
+  FROM documents WHERE lang = 'en'
+) WHERE score >= {len(_QUERY_TOKENS)} ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+# Q5: ES highlight — snippet of context around the first match of the lead
+# query term (search-api/app.py:246-263 asks ES for highlight fragments;
+# relationally it is a pure projection, so it stays in whole-stage codegen)
+
+
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.instr(F.lower(F.col("text")), F.lit(_QUERY_TOKENS[0]))
+    snippet = F.expr(
+        f"substring(lower(text), greatest(instr(lower(text), '{_QUERY_TOKENS[0]}') - 30, 1), 80)"
+    )
+    return (
+        docs.filter(pos > 0)
+        .select("doc_id", snippet.alias("snippet"))
+        .orderBy(F.asc("doc_id"))
+        .limit(25)
+    )
+
+
+SQL_search_highlight = f"""
+SELECT doc_id,
+       substring(lower(text), greatest(strpos(lower(text), '{_QUERY_TOKENS[0]}') - 30, 1), 80) AS snippet
+FROM documents
+WHERE strpos(lower(text), '{_QUERY_TOKENS[0]}') > 0
+ORDER BY doc_id ASC LIMIT 25
+"""
+
+
+# Q6: get-by-id — ES mget / GET /_doc/<id> (search-api/app.py:289-301). At
+# 100 TB this is a partition-pruned point lookup on the id-sorted table;
+# here the IN-list pushes down to the parquet scan.
+
+
+def q_doc_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id").isin(7, 42, 99)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_doc_by_id = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN (7, 42, 99)
+"""
+
+
 # A6: shard-load imbalance ratio (rebalance signal, domain_sharding.py:201-276)
 
 
@@ -1423,6 +1488,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_grouping_sets": q_facet_grouping_sets,
     "search_best_fields": q_search_best_fields,
     "search_page2": q_search_page2,
+    "search_bool": q_search_bool,
+    "search_highlight": q_search_highlight,
+    "doc_by_id": q_doc_by_id,
     "shard_imbalance": q_shard_imbalance,
     "region_revenue": q_region_revenue,
     "semi_join_heavy": q_semi_join_heavy,
@@ -1485,6 +1553,9 @@ ORACLE_SQL: dict[str, str] = {
     "facet_grouping_sets": SQL_facet_grouping_sets,
     "search_best_fields": SQL_search_best_fields,
     "search_page2": SQL_search_page2,
+    "search_bool": SQL_search_bool,
+    "search_highlight": SQL_search_highlight,
+    "doc_by_id": SQL_doc_by_id,
     "shard_imbalance": SQL_shard_imbalance,
     "region_revenue": SQL_region_revenue,
     "semi_join_heavy": SQL_semi_join_heavy,
