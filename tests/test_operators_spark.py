@@ -336,3 +336,52 @@ def test_search_fuzzy_exact_term_scores_one(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="batch batch stream")])
     out = search_fuzzy(docs, ["batch"], "text", "doc_id", k=5).collect()
     assert len(out) == 1 and abs(out[0]["score"] - 1.0) < 1e-9
+
+
+# ---- PII scrubbing + repetition signals (training-data extensions) -------------
+
+
+def test_pii_scrub_masks_and_counts(spark):
+    from webcrawler_spark.operators import textstats as TS
+
+    rows = [
+        ("a@b.com and c.d+x@e.org meet", 2, 0, 0),
+        ("call 12-345-678-9012 or 99-888-777-6666 now", 0, 2, 0),
+        ("host 10.0.0.1 peer 255.255.255.255", 0, 0, 2),
+        ("mixed a@b.co 12-345-678-9012 1.2.3.4", 1, 1, 1),
+        ("no pii here", 0, 0, 0),
+        # phone \b guard: 9 leading digits is not a phone
+        ("123-456-789-0123", 0, 0, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "text string")
+    out = {r["text"]: r for r in TS.pii_scrub(df, "text").collect()}
+    for text, ne, np_, ni in rows:
+        r = out[text]
+        assert (r["n_email"], r["n_phone"], r["n_ipv4"]) == (ne, np_, ni), text
+        if ne:
+            assert "<EMAIL>" in r["masked"] and "@" not in r["masked"]
+        if np_:
+            assert "<PHONE>" in r["masked"]
+        if ni:
+            assert "<IP>" in r["masked"]
+    assert out["no pii here"]["masked"] == "no pii here"
+
+
+def test_repetition_signals_integers(spark):
+    from webcrawler_spark.operators import textstats as TS
+
+    df = spark.createDataFrame(
+        [("the the the cat cat extraordinarily",), ("",)], "text string"
+    )
+    got = (
+        df.select(F.col("text"), *TS.repetition_signals(F.col("text")))
+        .orderBy(F.desc("text"))
+        .collect()
+    )
+    full = got[0]
+    assert full["n_tokens"] == 6
+    assert full["n_distinct"] == 3
+    assert full["max_token_len"] == len("extraordinarily")
+    assert full["n_stopwords"] == 3  # 'the' x3 (cat not a stopword)
+    empty = got[1]
+    assert (empty["n_tokens"], empty["n_distinct"], empty["max_token_len"]) == (0, 0, 0)

@@ -110,6 +110,66 @@ def doc_quality(text: Column) -> Column:
     return length_score + F.least(F.lit(20.0), uniq * 25)
 
 
+# ---- PII scrubbing (training-data extension; all JVM-native regex) -------------
+#
+# Patterns are deliberately restricted to syntax that behaves identically in
+# Java regex (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, non-capturing groups, ASCII \b. No lookaround, no backrefs.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement tag)
+    "email": (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{2}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (full-match count)."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace every PII occurrence with its type tag. Masking order is the
+    dict order (email, phone, ipv4); the patterns are mutually non-overlapping
+    (emails need '@', phones are dash-separated, IPs dot-separated) so the
+    order does not change results — pinned anyway for determinism."""
+    out = text
+    for pattern, tag in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_scrub(df: DataFrame, text_col: str) -> DataFrame:
+    """Scrub a corpus: adds `masked` plus one count column per PII type.
+    Pure whole-stage-codegen projection — at 100 TB this is a map-only pass
+    with no shuffle; filters/counts fold into the same stage as the scan."""
+    out = df.withColumn("masked", mask_pii(F.col(text_col)))
+    for kind in PII_PATTERNS:
+        out = out.withColumn(f"n_{kind}", pii_count(F.col(text_col), kind))
+    return out
+
+
+def repetition_signals(text: Column) -> list[Column]:
+    """Gopher-style repetition/quality gates (Rae et al. 2021, public), kept
+    integer-valued so oracle comparison is exact: token count, distinct token
+    count (repetition = tokens - distinct), longest token length, stopword
+    occurrence count."""
+    toks = tokens(text)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return [
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.coalesce(
+            F.array_max(F.transform(toks, lambda t: F.length(t))), F.lit(0)
+        ).alias("max_token_len"),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stopwords"
+        ),
+    ]
+
+
 def keywords_per_doc(docs: DataFrame, id_col: str, text_col: str, k: int = 10) -> DataFrame:
     """Per-doc top-k keyword extraction (parser/app.py:426-442): tokenize,
     len>3, de-stopword, count, window top-k (freq desc, word asc)."""

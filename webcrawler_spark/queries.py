@@ -864,6 +864,108 @@ SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id IN (7, 42, 99)
 """
 
 
+# Training-data extension: PII scrubbing. The synthetic documents table is
+# PII-free by construction, so the corpus is derived deterministically from
+# the customer table (c_phone is a real phone-shaped column; an email is
+# synthesized from c_name for every even key) — the masked-text md5 is the
+# strong check that the Java-regex and RE2 mask byte-agree.
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (k % 90 + 10).cast("int"),
+        ((k * 7) % 900 + 100).cast("int"),
+        ((k * 13) % 900 + 100).cast("int"),
+        ((k * 31) % 9000 + 1000).cast("int"),
+    )
+    ip = F.format_string(
+        "%d.%d.%d.%d",
+        (k % 224 + 10).cast("int"),
+        ((k * 3) % 256).cast("int"),
+        ((k * 5) % 256).cast("int"),
+        (k % 254 + 1).cast("int"),
+    )
+    email = F.concat(
+        F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "."),
+        F.lit("@example.com"),
+    )
+    text = F.concat(
+        F.col("c_mktsegment"),
+        F.lit(" segment contact "),
+        phone,
+        F.when(k % 2 == 0, F.concat(F.lit(" or "), email)).otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.concat(F.lit(" from host "), ip)).otherwise(F.lit("")),
+    )
+    corpus = cust.select(k.alias("custkey"), text.alias("text"))
+    return TS.pii_scrub(corpus, "text").select(
+        "custkey",
+        F.md5("masked").alias("masked_md5"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+    )
+
+
+_SQL_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_SQL_PHONE_RE = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
+_SQL_IPV4_RE = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+SQL_pii_scrub = """
+WITH corpus AS (
+  SELECT c_custkey AS custkey,
+         c_mktsegment || ' segment contact ' ||
+         printf('%02d-%03d-%03d-%04d',
+                c_custkey % 90 + 10, (c_custkey * 7) % 900 + 100,
+                (c_custkey * 13) % 900 + 100, (c_custkey * 31) % 9000 + 1000) ||
+         CASE WHEN c_custkey % 2 = 0
+              THEN ' or ' || regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g') || '@example.com'
+              ELSE '' END ||
+         CASE WHEN c_custkey % 5 = 0
+              THEN ' from host ' || printf('%d.%d.%d.%d',
+                     c_custkey % 224 + 10, (c_custkey * 3) % 256,
+                     (c_custkey * 5) % 256, c_custkey % 254 + 1)
+              ELSE '' END AS text
+  FROM customer WHERE c_custkey <= 500)
+SELECT custkey,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{EMAIL}', '<EMAIL>', 'g'),
+             '{PHONE}', '<PHONE>', 'g'),
+             '{IPV4}', '<IP>', 'g')) AS masked_md5,
+       len(regexp_extract_all(text, '{EMAIL}')) AS n_email,
+       len(regexp_extract_all(text, '{PHONE}')) AS n_phone,
+       len(regexp_extract_all(text, '{IPV4}')) AS n_ipv4
+FROM corpus
+""".replace("{EMAIL}", _SQL_EMAIL_RE).replace("{PHONE}", _SQL_PHONE_RE).replace(
+    "{IPV4}", _SQL_IPV4_RE
+)
+
+
+# Training-data extension: Gopher-style repetition/quality signals, integer
+# valued end to end so the oracle comparison is exact.
+
+
+def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *TS.repetition_signals(F.col("text")))
+
+
+SQL_doc_signals = f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS max_token_len,
+       len(list_filter(toks, t -> list_contains([{_STOP_SQL}], t))) AS n_stopwords
+FROM (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'), t -> t != '') AS toks
+  FROM documents
+)
+"""
+
+
 # A6: shard-load imbalance ratio (rebalance signal, domain_sharding.py:201-276)
 
 
@@ -1491,6 +1593,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_bool": q_search_bool,
     "search_highlight": q_search_highlight,
     "doc_by_id": q_doc_by_id,
+    "pii_scrub": q_pii_scrub,
+    "doc_signals": q_doc_signals,
     "shard_imbalance": q_shard_imbalance,
     "region_revenue": q_region_revenue,
     "semi_join_heavy": q_semi_join_heavy,
@@ -1556,6 +1660,8 @@ ORACLE_SQL: dict[str, str] = {
     "search_bool": SQL_search_bool,
     "search_highlight": SQL_search_highlight,
     "doc_by_id": SQL_doc_by_id,
+    "pii_scrub": SQL_pii_scrub,
+    "doc_signals": SQL_doc_signals,
     "shard_imbalance": SQL_shard_imbalance,
     "region_revenue": SQL_region_revenue,
     "semi_join_heavy": SQL_semi_join_heavy,
