@@ -257,3 +257,48 @@ def test_filter_enabled_mid_run_bootstraps_full_seen(spark, pages_df, seeds_df, 
     assert CK.cuckoo_might_contain(seen_df, ck).filter(~F.col("might_contain")).count() == 0
     # and the crawl itself still matches the oracle
     assert _spark_schedules(cat, N_EPOCHS) == oracle_run.schedules
+
+
+def test_scrub_pii_masks_indexed_content(spark, tmp_path_factory):
+    """cfg.scrub_pii masks emails/phones/IPs in web_content.content while
+    content_hash stays computed on the unmasked text (dedup-invariant)."""
+    body = (
+        "contact me at alice@example.com or 12-345-678-9012 from host 10.0.0.7 "
+        + "filler words " * 30
+    )
+    html = f"<html><head><title>t</title></head><body><p>{body}</p></body></html>"
+    from webcrawler_spark.functions.htmllib import extract_text
+
+    pages = spark.createDataFrame(
+        [("http://pii.test/page", None, html.encode(), extract_text(html), "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [("http://pii.test/page", 10, 0)], "url string, priority int, depth int"
+    )
+    robots = spark.createDataFrame(
+        [("pii.test", [], [], 1.0)],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
+    )
+
+    outs = {}
+    for flag in (False, True):
+        root = tmp_path_factory.mktemp(f"pii_{flag}")
+        cat = Catalog(spark, str(root))
+        E.run_epochs(
+            spark, cat, pages, seeds, robots, 1,
+            CrawlConfig(epoch_seconds=60, scrub_pii=flag),
+        )
+        rows = cat.read_delta_union("web_content", 0).collect()
+        assert len(rows) == 1
+        outs[flag] = rows[0]
+
+    raw, masked = outs[False], outs[True]
+    assert "alice@example.com" in raw["content"]
+    assert "alice@example.com" not in masked["content"]
+    assert "<EMAIL>" in masked["content"]
+    assert "<PHONE>" in masked["content"]
+    assert "<IP>" in masked["content"]
+    # dedup identity: same content_hash with scrubbing on or off
+    assert raw["content_hash"] == masked["content_hash"]

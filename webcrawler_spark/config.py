@@ -44,6 +44,11 @@ class CrawlConfig:
     hot_host_salt: int = 8            # sub-partitions for skewed hosts in the top-k window
     hot_host_threshold: int = 100_000 # pending rows per host above which salting engages
 
+    # training-data extension: mask PII (email/phone/IPv4) in the indexed
+    # content column. content_hash stays computed on the UNMASKED text so
+    # dedup decisions are identical with scrubbing on or off.
+    scrub_pii: bool = False
+
     # parser gates (parser/app.py:453,515,534; url_normalizer.py:51)
     min_content_length: int = 100
     min_url_length: int = 10

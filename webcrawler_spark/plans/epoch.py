@@ -234,6 +234,10 @@ def run_epoch(
             lambda s: s["word"],
         ).alias("keywords")
     )
+    # optional PII scrub of the indexed content (training-data extension);
+    # content_hash above is already computed on the unmasked text, so dedup
+    # is unaffected by the flag
+    content_col = TS.mask_pii(F.col("text")) if cfg.scrub_pii else F.col("text")
     web_delta = (
         indexed.join(kw_arrays, "url_norm", "left")
         .withColumn(
@@ -246,7 +250,7 @@ def run_epoch(
             "host",
             "title",
             "description",
-            F.col("text").alias("content"),
+            content_col.alias("content"),
             "content_hash",
             F.col("lang").alias("language"),
             "content_type",

@@ -637,6 +637,75 @@ SELECT id_a, id_b, jaccard FROM (
 """
 
 
+# Training-data extension: near-dup CLUSTER collapse. Pairs alone miss
+# transitivity (A~B, B~C must drop two docs, not one); connected components
+# over the pair graph (operators/components.py, GraphX-style min-label
+# propagation) gives (doc_id, cluster_id); the keep list drops every
+# clustered doc except its cluster's min-id representative. Oracle:
+# DuckDB recursive CTE computes the same transitive closure.
+
+_SQL_JACCARD_CLUSTERS_CTE = """
+WITH RECURSIVE
+grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                       x -> x[1] || ' ' || x[2])) AS grams
+  FROM (SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           w -> w != '') AS t
+        FROM documents)
+),
+dup_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN grams b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.05
+),
+dup_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup_pairs
+  UNION ALL SELECT id_b, id_a FROM dup_pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM dup_edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN dup_edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+)
+"""
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import components as CC
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.05)
+    return CC.near_dup_clusters(pairs)
+
+
+SQL_near_dup_clusters = _SQL_JACCARD_CLUSTERS_CTE + """
+SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import components as CC
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.05)
+    clusters = CC.near_dup_clusters(pairs)
+    return CC.dedup_keep_list(docs, clusters).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_dedup_keep_list = _SQL_JACCARD_CLUSTERS_CTE + """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+"""
+
+
 # embedding-cosine near-dup pairs within label blocks (LSH buckets at scale)
 
 
@@ -1586,6 +1655,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_budget_drain": q_global_budget_drain,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
     "facet_grouping_sets": q_facet_grouping_sets,
     "search_best_fields": q_search_best_fields,
@@ -1653,6 +1724,8 @@ ORACLE_SQL: dict[str, str] = {
     "global_budget_drain": SQL_global_budget_drain,
     "doc_quality": SQL_doc_quality,
     "ngram_jaccard_pairs": SQL_ngram_jaccard_pairs,
+    "near_dup_clusters": SQL_near_dup_clusters,
+    "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
     "facet_grouping_sets": SQL_facet_grouping_sets,
     "search_best_fields": SQL_search_best_fields,
