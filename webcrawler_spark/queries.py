@@ -706,6 +706,135 @@ WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
 """
 
 
+# Training-data extension: corpus assembly (operators/corpus.py) — the last
+# mile from a deduped pool to training shards. Deterministic hash-gate
+# sampling (reproducible, partitioning-independent, unlike df.sample),
+# source mixing to target proportions, token-budget shard packing, and
+# benchmark decontamination by word-n-gram overlap.
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_TOTAL = 30
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    return CP.deterministic_sample(docs, 0.25).select("doc_id", "source", "n_chars")
+
+
+SQL_corpus_sample = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE ((doc_id % 10000) * 5761) % 10000 < 2500
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    return CP.mix_corpus(docs, _MIX_WEIGHTS, _MIX_TOTAL).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_corpus_mix = """
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+rates AS (
+  SELECT source,
+         CASE WHEN w IS NULL THEN NULL ELSE least(1.0, 30 * w / n) END AS rate
+  FROM (SELECT source, n,
+               CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                           WHEN 'src2' THEN 0.2 END AS w
+        FROM counts)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN rates r USING(source)
+WHERE r.rate IS NOT NULL
+  AND ((d.doc_id % 10000) * 5761) % 10000 < round(r.rate * 10000, 0)
+"""
+
+
+def q_corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    return CP.pack_shards(docs, budget_tokens=400)
+
+
+SQL_corpus_pack_shards = """
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(floor((cum - n_tokens) / 400.0) AS INT) AS shard_in_source
+FROM (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+  FROM (SELECT doc_id, source,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens
+        FROM documents)
+)
+"""
+
+
+_SQL_OVERLAP_CTE = """
+WITH eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM (
+    SELECT list_distinct(list_transform(range(1, len(t)-2),
+                         i -> array_to_string(t[i:i+3], ' '))) AS grams
+    FROM (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w != '') AS t
+          FROM documents WHERE source = 'src0')
+    WHERE len(t) >= 4)
+),
+doc_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM (
+    SELECT doc_id, list_distinct(list_transform(range(1, len(t)-2),
+                                 i -> array_to_string(t[i:i+3], ' '))) AS grams
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w != '') AS t
+          FROM documents WHERE source != 'src0')
+    WHERE len(t) >= 4)
+),
+flagged AS (
+  SELECT d.doc_id, CAST(count(DISTINCT d.gram) AS BIGINT) AS overlap_grams
+  FROM doc_grams d JOIN eval_grams e ON d.gram = e.gram
+  GROUP BY d.doc_id
+)
+"""
+
+
+def q_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return CP.ngram_overlap(corpus, eval_set, n=4)
+
+
+SQL_benchmark_overlap = _SQL_OVERLAP_CTE + """
+SELECT doc_id, overlap_grams FROM flagged
+"""
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return CP.decontaminate(corpus, eval_set, n=4).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+SQL_corpus_decontaminate = _SQL_OVERLAP_CTE + """
+SELECT doc_id, source, n_chars FROM documents
+WHERE source != 'src0'
+  AND doc_id NOT IN (SELECT doc_id FROM flagged WHERE overlap_grams >= 1)
+"""
+
+
 # embedding-cosine near-dup pairs within label blocks (LSH buckets at scale)
 
 
@@ -1655,6 +1784,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "global_budget_drain": q_global_budget_drain,
     "doc_quality": q_doc_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "corpus_sample": q_corpus_sample,
+    "corpus_mix": q_corpus_mix,
+    "corpus_pack_shards": q_corpus_pack_shards,
+    "benchmark_overlap": q_benchmark_overlap,
+    "corpus_decontaminate": q_corpus_decontaminate,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1724,6 +1858,11 @@ ORACLE_SQL: dict[str, str] = {
     "global_budget_drain": SQL_global_budget_drain,
     "doc_quality": SQL_doc_quality,
     "ngram_jaccard_pairs": SQL_ngram_jaccard_pairs,
+    "corpus_sample": SQL_corpus_sample,
+    "corpus_mix": SQL_corpus_mix,
+    "corpus_pack_shards": SQL_corpus_pack_shards,
+    "benchmark_overlap": SQL_benchmark_overlap,
+    "corpus_decontaminate": SQL_corpus_decontaminate,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
