@@ -1,0 +1,96 @@
+"""Line-level cleaning (operators/lines.py) on real multi-line text — the
+newline segmenter path the contract entries can't cover (the synthetic
+documents table is newline-free)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators import lines as L
+
+FOOTER = "copyright example corp all rights reserved"
+NAV = "home products about contact"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, f"unique alpha text one.\n{NAV}\nreal body sentence here.\n{FOOTER}"),
+        (2, f"{NAV}\nsecond doc body differs.\n{FOOTER}"),
+        (3, f"third doc standalone content.\n{FOOTER}"),
+        (4, f"{FOOTER}"),  # only boilerplate
+        (5, "short\n\n  \nok line with words."),  # blank lines dropped
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_line_table_skips_blank_lines(docs):
+    lt = L.line_table(docs, mode="lines")
+    d5 = {r["pos"]: r["line"] for r in lt.filter(F.col("doc_id") == 5).collect()}
+    assert d5 == {0: "short", 1: "ok line with words."}
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(docs):
+    out = {r["doc_id"]: r for r in L.dedup_lines(docs, max_doc_freq=1).collect()}
+    # FOOTER in 4 docs, NAV in 2 -> both removed everywhere
+    assert out[1]["text_clean"] == "unique alpha text one.\nreal body sentence here."
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_total"] == 4
+    assert out[3]["text_clean"] == "third doc standalone content."
+    # doc of pure boilerplate survives with empty text
+    assert out[4]["text_clean"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[4]["n_lines_total"] == 1
+
+
+def test_dedup_lines_threshold(docs):
+    # max_doc_freq=2 keeps NAV (2 docs) but still removes FOOTER (4 docs)
+    out = {r["doc_id"]: r["text_clean"]
+           for r in L.dedup_lines(docs, max_doc_freq=2).collect()}
+    assert NAV in out[2] and FOOTER not in out[2]
+
+
+def test_boilerplate_char_fraction(docs):
+    out = {r["doc_id"]: r["dup_line_char_frac"]
+           for r in L.boilerplate_char_fraction(docs, max_doc_freq=1).collect()}
+    assert out[4] == pytest.approx(1.0)
+    total1 = len("unique alpha text one.") + len(NAV) + \
+        len("real body sentence here.") + len(FOOTER)
+    assert out[1] == pytest.approx((len(NAV) + len(FOOTER)) / total1)
+
+
+def test_c4_line_filter_terminal_punct(docs):
+    out = L.c4_line_filter(
+        docs, min_words=3, min_lines=1, require_terminal_punct=True
+    )
+    got = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+    # only sentences ending in . survive; NAV/FOOTER (no punct) dropped
+    assert got[1] == "unique alpha text one.\nreal body sentence here."
+    assert 4 not in got  # zero kept lines < min_lines
+
+
+def test_c4_doc_level_gates(spark):
+    rows = [
+        (1, "a perfectly fine sentence here.\nanother good long line."),
+        (2, "lorem ipsum dolor sit amet.\nanother good long line."),
+        (3, "code block { return 1; }\nanother good long line."),
+        (4, "tiny.\nalso tiny."),  # every line < 3 words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = [r["doc_id"] for r in
+            L.c4_line_filter(df, min_words=3, min_lines=1).collect()]
+    assert kept == [1]
+
+
+def test_chunk_mode_matches_manual(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(19)))], ["doc_id", "text"]
+    )
+    lt = L.line_table(df, mode="chunks", width=8).orderBy("pos").collect()
+    assert [r["line"] for r in lt] == [
+        " ".join(f"w{i}" for i in range(8)),
+        " ".join(f"w{i}" for i in range(8, 16)),
+        " ".join(f"w{i}" for i in range(16, 19)),
+    ]
+    empty = L.line_table(
+        spark.createDataFrame([(2, "   ")], ["doc_id", "text"]),
+        mode="chunks",
+    )
+    assert empty.count() == 0

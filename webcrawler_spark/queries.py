@@ -835,6 +835,111 @@ WHERE source != 'src0'
 """
 
 
+# Line-level corpus cleaning (operators/lines.py): C4/RefinedWeb/CCNet-style
+# cross-doc boilerplate removal. The synthetic documents are newline-free,
+# so the contract entries use the oracle-expressible fixed-width token
+# chunker (mode="chunks", width 8) as the line segmenter; the newline path
+# is covered by tests/test_lines.py on handcrafted multi-line docs.
+
+_SQL_LINES_CTE = """
+WITH lines AS (
+  SELECT doc_id, i - 1 AS pos, chunks[i] AS line
+  FROM (
+    SELECT doc_id,
+           list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+                          i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS chunks
+    FROM (SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+          FROM documents)
+  ), unnest(range(1, len(chunks)+1)) AS u(i)
+),
+freq AS (
+  SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+)
+"""
+
+
+def q_line_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents")
+    lt = L.line_table(docs, mode="chunks")
+    return L.line_doc_freq(lt).filter(F.col("n_docs") > 1)
+
+
+SQL_line_dup_stats = _SQL_LINES_CTE + """
+SELECT line, n_docs FROM freq WHERE n_docs > 1
+"""
+
+
+def q_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents")
+    return L.dedup_lines(docs, max_doc_freq=1, mode="chunks")
+
+
+SQL_line_dedup_rebuild = _SQL_LINES_CTE + """
+SELECT t.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(coalesce(r.n_lines_kept, 0) AS INT) AS n_lines_kept,
+       CAST(t.n_lines_total AS INT) AS n_lines_total
+FROM (SELECT doc_id, count(*) AS n_lines_total FROM lines GROUP BY doc_id) t
+LEFT JOIN (
+  SELECT doc_id,
+         string_agg(line, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_lines_kept
+  FROM lines JOIN freq USING (line)
+  WHERE freq.n_docs <= 1
+  GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
+def q_boilerplate_char_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents")
+    return L.boilerplate_char_fraction(docs, max_doc_freq=1, mode="chunks")
+
+
+SQL_boilerplate_char_frac = _SQL_LINES_CTE + """
+SELECT doc_id,
+       CAST(sum(CASE WHEN n_docs > 1 THEN len(line) ELSE 0 END) AS DOUBLE)
+         / CAST(sum(len(line)) AS DOUBLE) AS dup_line_char_frac
+FROM lines JOIN freq USING (line)
+GROUP BY doc_id
+"""
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents")
+    return L.c4_line_filter(docs, min_words=3, min_lines=2, mode="chunks")
+
+
+SQL_c4_line_filter = """
+SELECT doc_id,
+       array_to_string(kept, ' ') AS text_clean,
+       CAST(len(kept) AS INT) AS n_lines_kept
+FROM (
+  SELECT doc_id, text,
+         list_filter(
+           list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+                          i -> array_to_string(t[i*8+1:i*8+8], ' ')),
+           l -> len(list_filter(string_split(l, ' '), w -> w != '')) >= 3
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+        FROM documents)
+)
+WHERE len(kept) >= 2
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{')
+"""
+
+
 # embedding-cosine near-dup pairs within label blocks (LSH buckets at scale)
 
 
@@ -1789,6 +1894,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_shards": q_corpus_pack_shards,
     "benchmark_overlap": q_benchmark_overlap,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "line_dup_stats": q_line_dup_stats,
+    "line_dedup_rebuild": q_line_dedup_rebuild,
+    "boilerplate_char_frac": q_boilerplate_char_frac,
+    "c4_line_filter": q_c4_line_filter,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1863,6 +1972,10 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_pack_shards": SQL_corpus_pack_shards,
     "benchmark_overlap": SQL_benchmark_overlap,
     "corpus_decontaminate": SQL_corpus_decontaminate,
+    "line_dup_stats": SQL_line_dup_stats,
+    "line_dedup_rebuild": SQL_line_dedup_rebuild,
+    "boilerplate_char_frac": SQL_boilerplate_char_frac,
+    "c4_line_filter": SQL_c4_line_filter,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
