@@ -162,3 +162,45 @@ def test_lang_id_multi_tiebreak_deterministic(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="los del dans pour")])
     out = docs.select(TS.lang_id_multi(F.col("text")).alias("p")).first()["p"]
     assert out == "es"
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    import math
+
+    from webcrawler_spark.operators import similarity as SIM
+
+    dim = 8
+
+    def unit(axis, eps=0.0, eps_axis=1):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v[eps_axis] += eps
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    # four well-separated base directions, each with one near-duplicate
+    # (cosine ~0.9997) and one distant vector on another axis
+    for i, axis in enumerate([0, 2, 4, 6]):
+        rows.append((10 * i, unit(axis), i))
+        rows.append((10 * i + 1, unit(axis, eps=0.025, eps_axis=axis + 1), i))
+        rows.append((10 * i + 2, unit(axis + 1), i))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    kept = SIM.semantic_dedup(
+        emb, n_centroids=4, n_iters=2, threshold=0.95, id_col="vec_id"
+    )
+    kept_ids = sorted(r["vec_id"] for r in kept.collect())
+    # the near-duplicate (id 10i+1) collapses into its representative 10i;
+    # the orthogonal companion survives
+    assert kept_ids == [0, 2, 10, 12, 20, 22, 30, 32]
+    # schema passes through unchanged
+    assert kept.columns == ["vec_id", "embedding", "label"]
+
+
+def test_semantic_dedup_deterministic(spark):
+    from webcrawler_spark.operators import similarity as SIM
+    from webcrawler_spark.queries import QUERIES
+
+    a = sorted(r["vec_id"] for r in QUERIES["semantic_dedup"](spark, "/root/testdata/sf0.001").collect())
+    b = sorted(r["vec_id"] for r in QUERIES["semantic_dedup"](spark, "/root/testdata/sf0.001").collect())
+    assert a == b and len(a) > 0

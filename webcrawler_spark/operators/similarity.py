@@ -480,3 +480,37 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    description): k-means-cluster the embeddings, compare pairs only WITHIN
+    a cluster, and drop all but one member of every semantic-duplicate
+    group (cosine >= threshold, transitively closed). Deterministic variant:
+    the kept representative is the min id of the component (the paper keeps
+    the member farthest from the centroid; any fixed rule works — this one
+    needs no extra distance pass).
+
+    Returns the kept rows of `embeddings`, schema unchanged.
+
+    100 TB shape: pair generation is confined to IVF cells (Σ|cell|² with
+    k sized so cells fit memory — k ~ sqrt(n) keeps cells ~sqrt(n)); the
+    component collapse shuffles only the pair graph; the drop set joins
+    left-anti against the corpus. No all-pairs stage anywhere.
+    """
+    from .components import dedup_keep_list, near_dup_clusters
+
+    clustered, _ = ivf_index(embeddings, n_centroids, n_iters, id_col, vec_col)
+    pairs = embedding_near_dups(
+        clustered, id_col=id_col, vec_col=vec_col,
+        block_col="cluster", threshold=threshold,
+    )
+    clusters = near_dup_clusters(pairs)
+    return dedup_keep_list(embeddings, clusters.withColumnRenamed("doc_id", id_col), id_col)

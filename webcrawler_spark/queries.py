@@ -1528,6 +1528,21 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, list(qvec), n_planes=8, dim=len(qvec), k=10)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: IVF-cluster the embeddings, drop semantic duplicates
+    (within-cell cosine >= threshold, transitive, keep min id). Rows-only
+    entry — the k-means step is iterative, not SQL-expressible; output is
+    deterministic (fixed init from the lowest-id vectors, argmin ties to
+    the first index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    # threshold 0.35, not the paper's ~0.95: the synthetic embeddings are
+    # near-orthogonal (max within-cell cosine ~0.51 at sf0.01), so a
+    # realistic threshold would collapse nothing and leave the drop path
+    # unexercised
+    kept = SIM.semantic_dedup(emb, n_centroids=8, n_iters=2, threshold=0.35)
+    return kept.select("vec_id", "label")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo: documents' bytes as opaque media payloads ->
     mapInPandas feature extraction (decode stubbed; see operators/multimodal).
@@ -1926,6 +1941,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "semantic_dedup": q_semantic_dedup,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "bloom_probe_cogroup": q_bloom_probe_cogroup,
