@@ -186,3 +186,33 @@ def test_bloom_probe_cogroup_path_single_bucket_shuffle(spark):
     # the live probe plan above it must hold exactly two bucket shuffles
     live = plan.split("InMemoryRelation")[0]
     assert live.count("Exchange hashpartitioning") == 2
+
+
+def test_corpus_ops_fully_native(spark):
+    """Corpus assembly (sample/mix/pack/decontaminate) and line cleaning
+    must stay in whole-stage codegen: no Python of any kind in the plan."""
+    for name in (
+        "corpus_sample", "corpus_mix", "corpus_pack_shards",
+        "corpus_decontaminate", "line_dup_stats", "line_dedup_rebuild",
+        "boilerplate_char_frac", "c4_line_filter",
+    ):
+        plan = plan_str(entry_mod.queries()[name](spark, SF_DIR))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_corpus_mix_broadcasts_rate_dim(spark):
+    plan = plan_str(entry_mod.queries()["corpus_mix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-set gram dim must broadcast (it's the small side by
+    construction); the corpus side must not shuffle for the probe join."""
+    plan = plan_str(entry_mod.queries()["benchmark_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_c4_line_filter_no_shuffle(spark):
+    """Per-doc higher-order-function filtering needs zero exchanges."""
+    plan = plan_str(entry_mod.queries()["c4_line_filter"](spark, SF_DIR))
+    assert "Exchange" not in plan
