@@ -370,6 +370,12 @@ def main() -> None:
         # run — with early exit once the target is cleared with margin.
         budget = [float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))]
         max_pairs = int(os.environ.get("SPARK_GRAFT_SCALE_PAIRS", "5"))
+        # wall-clock cap on the whole scaling phase: on a badly contended
+        # box best-of-5 with quiet waits is unbounded-ish (~25 min worst);
+        # past the cap we stop starting new pairs and record the best so
+        # far rather than risk the caller's (driver's) timeout
+        time_budget = float(os.environ.get("SPARK_GRAFT_SCALE_TIME_BUDGET", "1200"))
+        t_scale0 = time.time()
         lo_trials: list[dict] = []
         hi_trials: list[dict] = []
         try:
@@ -391,6 +397,8 @@ def main() -> None:
                 lo_best = max(t["urls_per_sec"] for t in lo_trials)
                 hi_best = max(t["urls_per_sec"] for t in hi_trials)
                 if (hi_best / lo_best) / (c_hi / c_lo) >= 0.85:
+                    break
+                if time.time() - t_scale0 > time_budget:
                     break
         finally:
             if stage is not None:

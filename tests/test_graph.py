@@ -1,0 +1,102 @@
+"""PageRank (operators/graph.py) against a hand-checked power iteration."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators import graph as G
+
+
+def _numpy_pagerank(edges, n_iter, d):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        nxt = np.full(n, (1.0 - d) / n)
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt += d * dangling / n
+        for u, vs in out.items():
+            share = r[idx[u]] / len(vs)
+            for v in vs:
+                nxt[idx[v]] += d * share
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.fixture(scope="module")
+def diamond_edges(spark):
+    # 1 -> {2,3} -> 4 ; 4 dangling ; 5 isolated-source -> 1
+    rows = [(1, 2), (1, 3), (2, 4), (3, 4), (5, 1), (1, 2)]  # dup edge collapses
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_pagerank_matches_power_iteration(spark, diamond_edges):
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(diamond_edges, n_iter=4, damping=0.85).collect()
+    }
+    want = _numpy_pagerank(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (5, 1)], n_iter=4, d=0.85
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    # sink with two in-links outranks everything; total mass conserved
+    assert got[4] == max(got.values())
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_deterministic(spark, diamond_edges):
+    a = sorted(G.pagerank(diamond_edges, n_iter=3).collect())
+    b = sorted(G.pagerank(diamond_edges, n_iter=3).collect())
+    assert a == b
+
+
+def test_host_rank_on_link_table(spark):
+    links = spark.createDataFrame(
+        [
+            ("a.com", "b.com"),
+            ("a.com", "a.com"),  # self-loop dropped
+            ("c.com", "b.com"),
+            ("b.com", "c.com"),
+        ],
+        ["src_host", "dst_host"],
+    )
+    out = {r["host"]: r["rank"] for r in G.host_rank(links, n_iter=5).collect()}
+    assert set(out) == {"a.com", "b.com", "c.com"}
+    # b has two in-links, a has none
+    assert out["b.com"] > out["c.com"] > out["a.com"]
+
+
+def test_recrawl_schedule_bands(spark):
+    from webcrawler_spark.operators.scheduler import recrawl_schedule
+
+    rows = [
+        # url 1: 5 fetches, 4 changes -> rate 1.0 -> interval 1
+        *[(1, t, f"h{t}") for t in range(5)],
+        # url 2: 5 fetches, 1 change -> rate 0.25 -> interval 2
+        (2, 0, "a"), (2, 1, "a"), (2, 2, "a"), (2, 3, "a"), (2, 4, "b"),
+        # url 3: 5 fetches, 0 changes -> rate 0.0 -> interval 8
+        *[(3, t, "same") for t in range(5)],
+        # url 4: single fetch -> rate NULL -> optimistic interval 1
+        (4, 0, "x"),
+        # url 5: 11 fetches, 1 change -> rate 0.1 -> interval 4
+        *[(5, t, "a") for t in range(10)], (5, 10, "b"),
+    ]
+    hist = spark.createDataFrame(rows, ["url_id", "fetch_no", "fp"])
+    out = {
+        r["url_id"]: r
+        for r in recrawl_schedule(
+            hist, id_col="url_id", order_col="fetch_no", fingerprint_col="fp"
+        ).collect()
+    }
+    assert out[1]["interval_epochs"] == 1 and out[1]["change_rate"] == 1.0
+    assert out[2]["interval_epochs"] == 2 and out[2]["change_rate"] == 0.25
+    assert out[3]["interval_epochs"] == 8 and out[3]["change_rate"] == 0.0
+    assert out[4]["interval_epochs"] == 1 and out[4]["change_rate"] is None
+    assert out[5]["interval_epochs"] == 4
+    assert out[5]["n_fetches"] == 11 and out[5]["n_changes"] == 1

@@ -236,3 +236,69 @@ def adaptive_host_stats(
         F.col("crawl_delay_n").alias("crawl_delay"),
         F.when(F.col("_dt") > 0, F.lit(epoch)).otherwise(F.coalesce("last_epoch", F.lit(epoch))).alias("last_epoch"),
     )
+
+
+def recrawl_schedule(
+    history: DataFrame,
+    id_col: str,
+    order_col: str,
+    fingerprint_col: str,
+    tiebreak_col: str | None = None,
+    rate_bands: tuple[tuple[float, int], ...] = ((0.5, 1), (0.25, 2), (0.1, 4)),
+    max_interval: int = 8,
+) -> DataFrame:
+    """Adaptive revisit policy (Cho & Garcia-Molina 2003's insight, in its
+    simplest deterministic form): estimate each URL's change rate from its
+    fetch history and band it into a revisit interval.
+
+    For each id, order its fetches by (order_col, tiebreak) and count
+    ADJACENT fetch pairs whose content fingerprint differs — the empirical
+    change frequency. change_rate = changes / (fetches - 1); single-fetch
+    ids have unknown rate (NULL) and get the fastest band (optimistic
+    revisit, matching a crawler's bias toward fresh discoveries).
+    interval_epochs walks rate_bands (rate >= threshold -> interval),
+    falling through to max_interval for cold pages.
+
+    One window over (id, order) — a single hash-partition shuffle on the
+    id; no global sort. Returns (id, n_fetches, n_changes, change_rate,
+    interval_epochs).
+
+    The reference has no revisit logic (every URL is fetched once per
+    lifetime unless re-seeded); this extends the scheduler the way a
+    production crawler's freshness loop does, and joins back onto the
+    frontier as a ready_epoch offset.
+    """
+    order = [F.asc(order_col)] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(id_col).orderBy(*order)
+    # when() not cast(): a NULL fingerprint makes the != NULL, and CASE
+    # semantics (0, not NULL) must match the SQL oracle's
+    changed = F.when(
+        F.lag(fingerprint_col).over(w).isNotNull()
+        & (F.col(fingerprint_col) != F.lag(fingerprint_col).over(w)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    per = (
+        history.select(
+            F.col(id_col), changed.alias("_chg")
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum("_chg").alias("n_changes"),
+        )
+    )
+    rate = F.when(
+        F.col("n_fetches") > 1,
+        F.col("n_changes").cast("double") / (F.col("n_fetches") - 1).cast("double"),
+    )
+    interval = F.lit(max_interval)
+    for threshold, band in reversed(rate_bands):
+        interval = F.when(rate >= threshold, F.lit(band)).otherwise(interval)
+    interval = F.when(rate.isNull(), F.lit(rate_bands[0][1])).otherwise(interval)
+    return per.select(
+        id_col,
+        F.col("n_fetches").cast("int"),
+        F.col("n_changes").cast("int"),
+        F.round(rate, 6).alias("change_rate"),
+        interval.cast("int").alias("interval_epochs"),
+    )

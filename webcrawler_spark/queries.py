@@ -940,6 +940,120 @@ WHERE len(kept) >= 2
 """
 
 
+# Link-graph analytics (operators/graph.py): damped PageRank with
+# dangling-mass redistribution. Contract graph: customer -> supplier edges
+# from lineitem ⋈ orders (node ids disambiguated as cust*2 / supp*2+1);
+# 3 iterations, d=0.85, unrolled in the DuckDB oracle. All suppliers are
+# dangling in this bipartite graph, so the redistribution term is live.
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    ranks = G.pagerank(edges, n_iter=3, damping=0.85)
+    return ranks.select("node", F.round(F.col("rank") * 1000.0, 6).alias("rank_permille"))
+
+
+SQL_pagerank = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0/(SELECT n FROM p) AS rank FROM nodes),
+d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r1 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85)/(SELECT n FROM p) + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d0)/(SELECT n FROM p)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r0 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r2 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85)/(SELECT n FROM p) + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d1)/(SELECT n FROM p)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r1 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r3 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85)/(SELECT n FROM p) + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d2)/(SELECT n FROM p)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r2 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+)
+SELECT node, round(rank * 1000.0, 6) AS rank_permille FROM r3
+"""
+
+
+# Adaptive revisit policy (operators/scheduler.recrawl_schedule): change
+# rate from adjacent-fetch fingerprint diffs -> banded revisit interval.
+# Contract mapping onto the events table: user_id = url id, ts = fetch
+# time (event_id tiebreak), event_type = content fingerprint.
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scheduler as S
+
+    events = _t(spark, sf_dir, "events")
+    return S.recrawl_schedule(
+        events, id_col="user_id", order_col="ts",
+        fingerprint_col="event_type", tiebreak_col="event_id",
+    )
+
+
+SQL_recrawl_schedule = """
+WITH seq AS (
+  SELECT user_id,
+         CASE WHEN lag(event_type) OVER w IS NOT NULL
+                   AND event_type != lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per AS (
+  SELECT user_id, count(*) AS n_fetches, sum(chg) AS n_changes
+  FROM seq GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_fetches AS INT) AS n_fetches,
+       CAST(n_changes AS INT) AS n_changes,
+       CASE WHEN n_fetches > 1
+            THEN round(CAST(n_changes AS DOUBLE) / CAST(n_fetches - 1 AS DOUBLE), 6)
+       END AS change_rate,
+       CAST(CASE
+         WHEN n_fetches = 1 THEN 1
+         WHEN CAST(n_changes AS DOUBLE) / (n_fetches - 1) >= 0.5 THEN 1
+         WHEN CAST(n_changes AS DOUBLE) / (n_fetches - 1) >= 0.25 THEN 2
+         WHEN CAST(n_changes AS DOUBLE) / (n_fetches - 1) >= 0.1 THEN 4
+         ELSE 8 END AS INT) AS interval_epochs
+FROM per
+"""
+
+
 # embedding-cosine near-dup pairs within label blocks (LSH buckets at scale)
 
 
@@ -1913,6 +2027,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_rebuild": q_line_dedup_rebuild,
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
+    "pagerank": q_pagerank,
+    "recrawl_schedule": q_recrawl_schedule,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1992,6 +2108,8 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
+    "pagerank": SQL_pagerank,
+    "recrawl_schedule": SQL_recrawl_schedule,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
