@@ -385,3 +385,85 @@ def test_repetition_signals_integers(spark):
     assert full["n_stopwords"] == 3  # 'the' x3 (cat not a stopword)
     empty = got[1]
     assert (empty["n_tokens"], empty["n_distinct"], empty["max_token_len"]) == (0, 0, 0)
+
+
+# ---- SURT key + mirror hosts ---------------------------------------------------
+
+
+def _surt_py(url: str) -> str:
+    """Independent Python reference for columns.surt_key (test oracle)."""
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", url)
+    host = (m.group(1) if m else "").lower()
+    host = re.sub(r"^www\.", "", host)
+    rev = ",".join(reversed(host.split(".")))
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", url)
+    path = m.group(1) if m else ""
+    return rev + ")" + (path or "/")
+
+
+def test_surt_key_matches_python_reference(spark):
+    from webcrawler_spark.functions import columns as C
+
+    urls = [
+        "https://www.Example.COM/Path/To?q=1#frag",
+        "http://sub.a.b.example.org/",
+        "https://example.com",
+        "https://example.com:8080/p",
+        "ftp://user:pw@Files.Example.net/pub/x.txt",
+        "https://www.example.co.uk/A/B/C",
+        "https://wwwx.example.com/keep-www-like-label",
+        "http://single/",
+        "https://deep.very.sub.example.io/MiXeD/Case?x=y",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["surt"] for r in df.select("url", C.surt_key(F.col("url")).alias("surt")).collect()}
+    for u in urls:
+        assert got[u] == _surt_py(u), u
+    # host + all subdomains share a single key prefix; unrelated hosts don't
+    assert got["https://www.Example.COM/Path/To?q=1#frag"].startswith("com,example)")
+    assert got["https://example.com"].startswith("com,example)")
+    assert got["https://wwwx.example.com/keep-www-like-label"].startswith("com,example,wwwx)")
+    # path case preserved, query dropped
+    assert got["https://deep.very.sub.example.io/MiXeD/Case?x=y"] == "io,example,sub,very,deep)/MiXeD/Case"
+
+
+def test_surt_prefix_orders_host_subtree_contiguously(spark):
+    from webcrawler_spark.functions import columns as C
+
+    urls = [
+        "https://a.example.com/1",
+        "https://b.example.com/1",
+        "https://example.com/1",
+        "https://www.example.com/2",
+        "https://example.net/1",
+        "https://aexample.com/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = sorted(r["surt"] for r in df.select(C.surt_key(F.col("url")).alias("surt")).collect())
+    in_tree = [s for s in rows if s.startswith("com,example")]
+    # the example.com subtree is one contiguous run in sorted key order
+    lo = rows.index(in_tree[0])
+    assert rows[lo:lo + len(in_tree)] == in_tree
+    assert len(in_tree) == 4
+
+
+def test_mirror_hosts_cap_and_jaccard(spark):
+    from webcrawler_spark.operators.mirrors import mirror_hosts
+
+    rows = []
+    # boilerplate fp on 5 hosts -> excluded by cap=4
+    for h in ["h1", "h2", "h3", "h4", "h5"]:
+        rows.append((h, "boiler"))
+    # h1/h2 mirror: share f1, f2; h1 also has f3 (and a duplicate row)
+    rows += [("h1", "f1"), ("h1", "f1"), ("h2", "f1"), ("h1", "f2"),
+             ("h2", "f2"), ("h1", "f3"), ("h3", "f9")]
+    df = spark.createDataFrame(rows, "host string, content_fp string")
+    out = {(r["host_a"], r["host_b"]): r for r in
+           mirror_hosts(df, min_shared=2, max_hosts_per_fp=4).collect()}
+    assert set(out) == {("h1", "h2")}
+    r = out[("h1", "h2")]
+    # sizes include the capped boilerplate fp (set sizes are per-host truth)
+    assert r["shared"] == 2 and r["n_a"] == 4 and r["n_b"] == 3
+    assert abs(r["jaccard"] - 2 / 5) < 1e-9

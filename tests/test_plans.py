@@ -216,3 +216,20 @@ def test_c4_line_filter_no_shuffle(spark):
     """Per-doc higher-order-function filtering needs zero exchanges."""
     plan = plan_str(entry_mod.queries()["c4_line_filter"](spark, SF_DIR))
     assert "Exchange" not in plan
+
+
+def test_surt_prefix_scan_pure_codegen(spark):
+    """SURT key + prefix filter is a map over the scan: zero exchanges,
+    no Python — the key must be cheap enough to cluster the whole frontier
+    table by it."""
+    plan = plan_str(entry_mod.queries()["surt_prefix_scan"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mirror_hosts_all_native(spark):
+    """Mirror detection is joins+aggs only (no Python); the frequency cap
+    keeps the fp self-join bounded, asserted functionally in
+    test_operators_spark.test_mirror_hosts_cap_and_jaccard."""
+    plan = plan_str(entry_mod.queries()["mirror_hosts"](spark, SF_DIR), "extended")
+    assert "EvalPython" not in plan

@@ -1988,6 +1988,118 @@ def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------------
 
+# SURT sort key + prefix range scan (functions/columns.surt_key): the
+# CDX-index ordering that makes host/domain-prefix frontier scans a
+# contiguous range read instead of a full scan (the scale replacement for
+# the reference's per-domain Redis queue keying, url_frontier/frontier/app.py).
+# Contract URLs synthesized from orders: www/sub-domain/port/query variants
+# so the key exercises www-strip, label reversal, and query-drop; the scan
+# picks one registrable host's whole subtree via a single key prefix.
+
+
+def q_surt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import columns as C
+
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("www."))
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("sub"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("Host"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.com"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/item/"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("?ref=abc")).otherwise(F.lit("")),
+    )
+    return (
+        orders.select("o_orderkey", url.alias("url"))
+        .withColumn("surt", C.surt_key(F.col("url")))
+        .filter(F.col("surt").startswith("com,example,host7"))
+        .select("o_orderkey", "url", "surt")
+    )
+
+
+SQL_surt_prefix_scan = """
+WITH u AS (
+  SELECT o_orderkey,
+         'https://' ||
+         CASE WHEN o_orderkey % 3 = 0 THEN 'www.'
+              WHEN o_orderkey % 3 = 1 THEN 'sub' || CAST(o_orderkey % 5 AS VARCHAR) || '.'
+              ELSE '' END ||
+         'Host' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' ||
+         CASE WHEN o_orderkey % 7 = 0 THEN ':8080' ELSE '' END ||
+         '/item/' || CAST(o_orderkey AS VARCHAR) ||
+         CASE WHEN o_orderkey % 4 = 0 THEN '?ref=abc' ELSE '' END AS url
+  FROM orders
+),
+k AS (
+  SELECT o_orderkey, url,
+         array_to_string(
+           list_reverse(string_split(
+             regexp_replace(
+               lower(regexp_extract(url,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+               '^www\\.', '')
+           , '.')), ',')
+         || ')' ||
+         CASE WHEN regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS surt
+  FROM u
+)
+SELECT o_orderkey, url, surt FROM k
+WHERE surt LIKE 'com,example,host7%'
+"""
+
+
+# Mirror-host detection (operators/mirrors.py): host pairs sharing many
+# content fingerprints -> drop whole mirrored hosts from the crawl budget.
+# Contract mapping: documents.source = host, md5 of the 60-char text prefix
+# = the content fingerprint (coarse enough that the synthetic corpus's
+# repeated templates collide across sources, standing in for the engine's
+# content_hash on mirrored pages).
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import mirrors as MI
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"),
+        F.md5(F.substring("text", 1, 60)).alias("content_fp"),
+    )
+    return MI.mirror_hosts(docs, min_shared=1, max_hosts_per_fp=8)
+
+
+SQL_mirror_hosts = """
+WITH d AS (
+  SELECT DISTINCT source AS host, md5(substr(text, 1, 60)) AS fp FROM documents
+),
+eligible AS (
+  SELECT fp FROM d GROUP BY fp HAVING count(*) BETWEEN 2 AND 8
+),
+dd AS (SELECT d.* FROM d SEMI JOIN eligible USING (fp)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM dd a JOIN dd b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= 1
+),
+sizes AS (SELECT host, count(*) AS n_fp FROM d GROUP BY host)
+SELECT host_a, host_b, shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       round(shared / CAST(sa.n_fp + sb.n_fp - shared AS DOUBLE), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.host = pairs.host_a
+JOIN sizes sb ON sb.host = pairs.host_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -2029,6 +2141,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "pagerank": q_pagerank,
     "recrawl_schedule": q_recrawl_schedule,
+    "surt_prefix_scan": q_surt_prefix_scan,
+    "mirror_hosts": q_mirror_hosts,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2110,6 +2224,8 @@ ORACLE_SQL: dict[str, str] = {
     "c4_line_filter": SQL_c4_line_filter,
     "pagerank": SQL_pagerank,
     "recrawl_schedule": SQL_recrawl_schedule,
+    "surt_prefix_scan": SQL_surt_prefix_scan,
+    "mirror_hosts": SQL_mirror_hosts,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
