@@ -302,3 +302,42 @@ def test_scrub_pii_masks_indexed_content(spark, tmp_path_factory):
     assert "<IP>" in masked["content"]
     # dedup identity: same content_hash with scrubbing on or off
     assert raw["content_hash"] == masked["content_hash"]
+
+
+def test_surt_clustered_writes_parity_and_file_order(
+    spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run
+):
+    """cluster_by_surt=True (Iceberg SORT ORDER emulation) must not change
+    crawl semantics — statuses/counters identical to the default run — and
+    every written frontier/seen parquet file must be internally sorted by
+    the surt key (what gives min/max-stat pruning its power)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("crawl_surt")
+    cat = Catalog(spark, str(root))
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2, cluster_by_surt=True)
+    counters = E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, N_EPOCHS, cfg)
+
+    base_cat, base_counters = crawl_run
+    assert counters == base_counters
+
+    # frontier state parity, ignoring the additive surt column
+    def state(c):
+        df = c.read_merged("frontier", N_EPOCHS - 1)
+        return {
+            (r["url_fp"], r["status"], r["status_epoch"])
+            for r in df.select("url_fp", "status", "status_epoch").collect()
+        }
+
+    assert state(cat) == state(base_cat)
+
+    # every written file is internally surt-sorted, and the column exists
+    checked = 0
+    for table in ("frontier", "seen"):
+        for f in glob.glob(f"{root}/{table}/epoch=*/**/*.parquet", recursive=True):
+            col = pq.read_table(f, columns=["surt"]).column("surt").to_pylist()
+            assert col == sorted(col), f
+            checked += 1 if col else 0
+    assert checked > 0

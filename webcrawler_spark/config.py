@@ -49,6 +49,15 @@ class CrawlConfig:
     # dedup decisions are identical with scrubbing on or off.
     scrub_pii: bool = False
 
+    # cluster frontier/seen delta writes by the SURT sort key
+    # (columns.surt_key): adds a `surt` column and sorts rows within each
+    # written file by it — the parquet emulation of an Iceberg table SORT
+    # ORDER, giving host/domain-subtree scans file-level min/max pruning
+    # and contiguous range reads. Off by default (snapshot schema parity
+    # with pre-existing catalogs); purely additive when on — readers that
+    # don't know the column ignore it.
+    cluster_by_surt: bool = False
+
     # parser gates (parser/app.py:453,515,534; url_normalizer.py:51)
     min_content_length: int = 100
     min_url_length: int = 10

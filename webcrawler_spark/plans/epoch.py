@@ -343,6 +343,16 @@ def run_epoch(
                 cfg.bloom_capacity,
                 cfg.bloom_fp_rate,
             )
+    # Iceberg-SORT-ORDER emulation (opt-in): cluster the frontier/seen
+    # deltas by the SURT key so a host/domain-subtree scan prunes on
+    # parquet min/max stats instead of reading every file. Additive column
+    # + per-file sort only — no extra shuffle, readers ignore the column.
+    sort_within: dict[str, str] = {}
+    if cfg.cluster_by_surt:
+        frontier_delta = frontier_delta.withColumn("surt", C.surt_key(F.col("url_norm")))
+        seen_delta = seen_delta.withColumn("surt", C.surt_key(F.col("url_norm")))
+        sort_within = {"frontier": "surt", "seen": "surt"}
+
     to_stage["schedule"] = schedule.drop("path")
     to_stage["seen"] = seen_delta
     to_stage["frontier"] = frontier_delta
@@ -361,7 +371,10 @@ def run_epoch(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
-        futures = {t: pool.submit(cat.stage, t, epoch, df) for t, df in to_stage.items()}
+        futures = {
+            t: pool.submit(cat.stage, t, epoch, df, None, sort_within.get(t))
+            for t, df in to_stage.items()
+        }
         for t, fut in futures.items():
             counts[t] = fut.result()
 

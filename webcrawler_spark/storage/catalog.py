@@ -86,14 +86,29 @@ class Catalog:
     def _epoch_dir(self, table: str, epoch: int) -> str:
         return os.path.join(self.root, table, f"epoch={epoch}")
 
-    def stage(self, table: str, epoch: int, df: DataFrame, partition_by: str | None = None) -> int:
-        """Write one table's epoch partition; returns row count (lineage)."""
+    def stage(
+        self,
+        table: str,
+        epoch: int,
+        df: DataFrame,
+        partition_by: str | None = None,
+        sort_within_by: str | None = None,
+    ) -> int:
+        """Write one table's epoch partition; returns row count (lineage).
+
+        ``sort_within_by`` sorts rows inside each written file by that
+        column before the write — the parquet emulation of an Iceberg SORT
+        ORDER (per-file clustering + min/max stats pruning), a per-partition
+        sort with no extra shuffle.
+        """
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         path = self._epoch_dir(table, epoch)
         if os.path.exists(path):
             shutil.rmtree(path)  # idempotent re-run of an uncommitted epoch
+        if sort_within_by:
+            df = df.sortWithinPartitions(sort_within_by)
         # count rides the write job itself (Observation) — no second job
         obs = Observation()
         writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
