@@ -1,0 +1,103 @@
+"""ExactSubstr-style duplicate-span detection vs a pure-Python reference."""
+
+import re
+
+import pytest
+
+from webcrawler_spark.operators import substr as SU
+
+
+def _spans_py(docs, n=8, stride=1):
+    """Independent reference: duplicated-n-gram positions, merged intervals."""
+    toks = {d: re.split(r"\s+", t.lower()) for d, t in docs}
+    counts = {}
+    for d, ts in toks.items():
+        for i in range(0, len(ts) - n + 1, stride):
+            g = " ".join(ts[i : i + n])
+            counts[g] = counts.get(g, 0) + 1
+    out = set()
+    for d, ts in toks.items():
+        hits = sorted(
+            i
+            for i in range(0, len(ts) - n + 1, stride)
+            if counts[" ".join(ts[i : i + n])] > 1
+        )
+        cur = None
+        for i in hits:
+            if cur and i <= cur[1]:
+                cur[1] = max(cur[1], i + n)
+            else:
+                if cur:
+                    out.add((d, cur[0], cur[1]))
+                cur = [i, i + n]
+        if cur:
+            out.add((d, cur[0], cur[1]))
+    return out
+
+
+def _strip_py(docs, spans):
+    by_doc = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    out = {}
+    for d, t in docs:
+        ts = re.split(r"\s+", t.lower())
+        keep = [
+            tok
+            for i, tok in enumerate(ts)
+            if not any(s <= i < e for s, e in by_doc.get(d, []))
+        ]
+        out[d] = " ".join(keep)
+    return out
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+
+def _corpus():
+    """Deterministic corpus with a planted 12-token run shared by docs 1/3,
+    an in-doc repeat in doc 2, and unique docs 0/4."""
+    run = " ".join(WORDS + WORDS[:2])  # 12 tokens
+    docs = []
+    for d in range(5):
+        uniq = " ".join(f"w{d}x{i}" for i in range(20))
+        if d in (1, 3):
+            text = f"{uniq} {run} tail{d}a tail{d}b"
+        elif d == 2:
+            text = f"{uniq} {run[:0]}{' '.join(WORDS[:9])} mid{d} {' '.join(WORDS[:9])} {uniq}"
+        else:
+            text = uniq
+        docs.append((d, text))
+    return docs
+
+
+@pytest.mark.parametrize("n,stride", [(8, 1), (8, 2), (5, 1)])
+def test_spans_match_python_reference(spark, n, stride):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in SU.duplicate_ngram_spans(df, n=n, stride=stride).collect()
+    }
+    assert got == _spans_py(docs, n=n, stride=stride)
+    if stride == 1 and n == 8:
+        # the planted cross-doc run is found in both docs
+        assert any(d == 1 for d, _, _ in got) and any(d == 3 for d, _, _ in got)
+
+
+def test_strip_spans_matches_python_reference(spark):
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    spans = SU.duplicate_ngram_spans(df, n=8)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in SU.strip_spans(df, spans).collect()
+    }
+    ref_spans = _spans_py(docs, n=8)
+    ref = _strip_py(docs, ref_spans)
+    assert got == ref
+    # untouched docs pass through (modulo lowercase+single-space normalize)
+    assert got[0] == docs[0][1].lower()
+    # cleaned docs no longer contain the planted run
+    run = " ".join(WORDS + WORDS[:2])
+    assert run not in got[1] and run not in got[3]

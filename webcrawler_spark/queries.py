@@ -2100,6 +2100,55 @@ JOIN sizes sb ON sb.host = pairs.host_b
 """
 
 
+# ExactSubstr-style duplicate-span detection (operators/substr.py): token
+# 8-gram windows, corpus-wide duplicated grams, per-doc interval merge.
+# The md5 gram key is computed identically in DuckDB; spans are 0-based
+# token offsets [span_start, span_end).
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import substr as SU
+
+    docs = _t(spark, sf_dir, "documents")
+    return SU.duplicate_ngram_spans(docs, n=8).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
+SQL_dup_ngram_spans = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+  FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+  WHERE len(toks) >= 8
+),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) > 1),
+hits AS (
+  SELECT DISTINCT doc_id, pos, pos + 8 AS e FROM g SEMI JOIN dup USING (gh)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl2 AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -2143,6 +2192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
     "mirror_hosts": q_mirror_hosts,
+    "dup_ngram_spans": q_dup_ngram_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2226,6 +2276,7 @@ ORACLE_SQL: dict[str, str] = {
     "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
     "mirror_hosts": SQL_mirror_hosts,
+    "dup_ngram_spans": SQL_dup_ngram_spans,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
