@@ -196,5 +196,50 @@ def test_hypothesis_fuzz_vs_urllib():
             ours = _gate(allows, disallows, path)
             theirs = rp.can_fetch(UA, f"https://example.com{path}")
             assert ours == theirs, (body, path, allows, disallows)
+        # sitemap collection parity (site_maps() is None when empty)
+        from webcrawler_spark.functions.robots import parse_sitemaps
+
+        assert parse_sitemaps(body) == (rp.site_maps() or []), body
 
     _check()
+
+
+def test_sitemap_parity_with_urllib():
+    """Sitemap: lines are collected globally (any group or none), comment
+    tails stripped, values percent-unquoted — exactly site_maps()."""
+    from webcrawler_spark.functions.robots import parse_sitemaps
+
+    body = "\n".join(
+        [
+            "Sitemap: https://e.com/before-any-group.xml",
+            "User-agent: webcrawler",
+            "Disallow: /x/",
+            "Sitemap: https://e.com/in%20group.xml  # trailing comment",
+            "",
+            "User-agent: *",
+            "sitemap: https://e.com/lowercase-field.xml",
+            "Sitemap:",  # empty value KEPT — urllib appends it
+            "# Sitemap: https://e.com/commented-out.xml",
+        ]
+    )
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(body.splitlines())
+    assert parse_sitemaps(body) == rp.site_maps()
+    assert parse_sitemaps(None) == [] and parse_sitemaps("") == []
+    assert "https://e.com/in group.xml" in parse_sitemaps(body)
+
+
+def test_sitemap_seeds_operator(spark):
+    from webcrawler_spark.functions.robots import robots_table, sitemap_seeds
+
+    raw = spark.createDataFrame(
+        [
+            ("a.com", "Sitemap: https://a.com/s1.xml\nSitemap: https://a.com/s2.xml\nUser-agent: *\nDisallow: /p/"),
+            ("b.com", "User-agent: *\nAllow: /"),
+            ("c.com", None),
+        ],
+        "host string, robots_txt string",
+    )
+    tbl = robots_table(raw, "WebCrawler/1.0")
+    got = {(r["host"], r["sitemap_url"]) for r in sitemap_seeds(tbl).collect()}
+    assert got == {("a.com", "https://a.com/s1.xml"), ("a.com", "https://a.com/s2.xml")}

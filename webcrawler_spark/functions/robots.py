@@ -164,11 +164,36 @@ def parse_robots_txt(
     return allows, disallows, chosen[2]
 
 
+def parse_sitemaps(content: str | None) -> list[str]:
+    """``Sitemap:`` directives of one robots.txt body, urllib-parity.
+
+    urllib.robotparser collects sitemap lines GLOBALLY — outside the group
+    state machine entirely (any line whose field is ``sitemap``, in any
+    group or none, even before the first User-agent) — with the value
+    percent-unquoted and the ``#`` comment tail stripped. ``site_maps()``
+    returns None when none were seen; we return [] (the DataFrame-friendly
+    spelling of the same thing)."""
+    from urllib.parse import unquote
+
+    if not content:
+        return []
+    out: list[str] = []
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0]
+        field, sep, value = line.partition(":")
+        if sep and field.strip().lower() == "sitemap":
+            # urllib appends the unquoted value unconditionally — even an
+            # empty one ("Sitemap:" with no URL); exact parity kept
+            out.append(unquote(value.strip()))
+    return out
+
+
 def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
     """(host, robots_txt) -> the robots dimension table consumed by
     scheduler.schedule_epoch: (host, allow_prefixes, disallow_prefixes,
-    crawl_delay). Hosts whose robots.txt failed to fetch (null body) get no
-    restrictions, matching the reference (politeness_manager.py:140-149)."""
+    crawl_delay, sitemaps). Hosts whose robots.txt failed to fetch (null
+    body) get no restrictions, matching the reference
+    (politeness_manager.py:140-149)."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, DoubleType, StringType, StructField, StructType
@@ -178,6 +203,7 @@ def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
             StructField("allow_prefixes", ArrayType(StringType())),
             StructField("disallow_prefixes", ArrayType(StringType())),
             StructField("crawl_delay", DoubleType()),
+            StructField("sitemaps", ArrayType(StringType())),
         ]
     )
 
@@ -189,6 +215,7 @@ def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
                 "allow_prefixes": [p[0] for p in parsed],
                 "disallow_prefixes": [p[1] for p in parsed],
                 "crawl_delay": [p[2] for p in parsed],
+                "sitemaps": [parse_sitemaps(c) for c in content],
             }
         )
 
@@ -200,4 +227,19 @@ def robots_table(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
         F.col("_r.allow_prefixes").alias("allow_prefixes"),
         F.col("_r.disallow_prefixes").alias("disallow_prefixes"),
         F.col("_r.crawl_delay").alias("crawl_delay"),
+        F.col("_r.sitemaps").alias("sitemaps"),
+    )
+
+
+def sitemap_seeds(robots: DataFrame) -> DataFrame:
+    """Distinct (host, sitemap_url) seed candidates from the parsed robots
+    dimension — the crawl bootstraps a host's URL inventory from its
+    declared sitemaps instead of link discovery alone. Dimension-scale
+    (rows ~ hosts), one explode, no shuffle beyond the distinct."""
+    from pyspark.sql import functions as F
+
+    return (
+        robots.select("host", F.explode("sitemaps").alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")  # urllib keeps empty values; seeds drop them
+        .distinct()
     )

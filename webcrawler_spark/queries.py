@@ -2100,6 +2100,52 @@ JOIN sizes sb ON sb.host = pairs.host_b
 """
 
 
+# Sitemap discovery (functions/robots.parse_sitemaps + sitemap_seeds):
+# urllib site_maps()-parity collection of Sitemap: directives -> seed
+# candidates. Bodies synthesized per host; hosts whose last-char codepoint
+# is divisible by 3 get a null body (fetch-failure path), even-length
+# hosts declare a second, percent-encoded sitemap (exercises unquoting).
+# The oracle recomputes the expected outcome arithmetically.
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.robots import robots_table, sitemap_seeds
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+    )
+    body = F.concat(
+        F.lit("Sitemap: https://"),
+        F.col("host"),
+        F.lit("/sitemap.xml\nUser-agent: *\nDisallow: /p/\n"),
+        F.when(
+            F.length("host") % 2 == 0,
+            F.concat(
+                F.lit("Sitemap: https://"), F.col("host"), F.lit("/news%20feed.xml\n")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    raw = hosts.withColumn(
+        "robots_txt",
+        F.when(
+            F.ascii(F.substring("host", -1, 1)) % 3 == 0, F.lit(None).cast("string")
+        ).otherwise(body),
+    )
+    return sitemap_seeds(robots_table(raw, "WebCrawler/1.0"))
+
+
+SQL_sitemap_discovery = """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+live AS (SELECT host FROM hosts WHERE ascii(substr(host, -1, 1)) % 3 <> 0)
+SELECT host, 'https://' || host || '/sitemap.xml' AS sitemap_url FROM live
+UNION ALL
+SELECT host, 'https://' || host || '/news feed.xml' AS sitemap_url
+FROM live WHERE length(host) % 2 = 0
+"""
+
+
 # ExactSubstr-style duplicate-span detection (operators/substr.py): token
 # 8-gram windows, corpus-wide duplicated grams, per-doc interval merge.
 # The md5 gram key is computed identically in DuckDB; spans are 0-based
@@ -2193,6 +2239,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surt_prefix_scan": q_surt_prefix_scan,
     "mirror_hosts": q_mirror_hosts,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "sitemap_discovery": q_sitemap_discovery,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2277,6 +2324,7 @@ ORACLE_SQL: dict[str, str] = {
     "surt_prefix_scan": SQL_surt_prefix_scan,
     "mirror_hosts": SQL_mirror_hosts,
     "dup_ngram_spans": SQL_dup_ngram_spans,
+    "sitemap_discovery": SQL_sitemap_discovery,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
