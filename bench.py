@@ -46,6 +46,9 @@ HEADLINE = [
     "lang_id_multi",
     "global_budget_drain",
     "cuckoo_ttl_stats",
+    "dup_ngram_spans",
+    "mirror_hosts",
+    "surt_prefix_scan",
 ]
 
 

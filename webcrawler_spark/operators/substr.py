@@ -13,11 +13,10 @@ token-n-gram fingerprinting:
   -> explode to (doc, pos, gram_hash)        # THE row blow-up: one row per
                                              # token; payload after project
                                              # is (8B id, 4B pos, 16B hash)
-  -> grams seen >1 time corpus-wide          # hash-agg on gram_hash,
-                                             # map-side partial
-  -> duplicated positions back-joined        # hash join on gram_hash; the
-                                             # dup-gram set is corpus-scale,
-                                             # NOT broadcast
+  -> grams seen >1 time corpus-wide          # count-window on gram_hash:
+                                             # one shuffle, one pass (an
+                                             # agg + back-join would
+                                             # recompute the explode)
   -> per-doc interval merge of [pos, pos+n)  # one window per doc
                                              # (gaps-and-islands cummax)
 
@@ -68,15 +67,16 @@ def duplicate_ngram_spans(
         )
     )
 
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus-wide gram count as a window over gh: ONE pass over the exploded
+    # grams (a groupBy+semi-join shape would recompute the explode+md5 for
+    # the rejoin — 2x the dominant cost). (doc_id, pos) is unique by
+    # construction, so no dedup is needed after the filter.
+    w_gh = Window.partitionBy("gh")
+    hits = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(w_gh))
         .filter(F.col("cnt") > 1)
-        .select("gh")
+        .select("doc_id", "pos", (F.col("pos") + n).alias("end"))
     )
-    hits = grams.join(dup, "gh", "left_semi").select(
-        "doc_id", "pos", (F.col("pos") + n).alias("end")
-    ).distinct()
 
     # gaps-and-islands interval merge: a new island starts when this gram
     # begins after every earlier gram in the doc has ended
