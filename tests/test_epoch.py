@@ -341,3 +341,69 @@ def test_surt_clustered_writes_parity_and_file_order(
             assert col == sorted(col), f
             checked += 1 if col else 0
     assert checked > 0
+
+
+def test_global_budget_caps_schedule(
+    spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run
+):
+    """cfg.global_budget keeps the EXACT top-k of the politeness schedule by
+    (priority desc, url_norm asc) and defers the rest with
+    reason='global_budget'."""
+    base_cat, _ = crawl_run
+    base_sched = base_cat.read_delta_union("schedule", 0).filter(F.col("epoch") == 0)
+    n_base = base_sched.count()
+    assert n_base >= 3
+    k = n_base - 2
+
+    root = tmp_path_factory.mktemp("crawl_gb")
+    cat = Catalog(spark, str(root))
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2, global_budget=k)
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 1, cfg)
+
+    sched = cat.read_delta_union("schedule", 0)
+    assert sched.count() == k
+    expected = {
+        r["url_norm"]
+        for r in base_sched.orderBy(F.desc("priority"), F.asc("url_norm"))
+        .limit(k)
+        .collect()
+    }
+    assert {r["url_norm"] for r in sched.collect()} == expected
+
+    deferred = cat.read_delta_union("deferred", 0)
+    bumped = deferred.filter(F.col("reason") == "global_budget")
+    assert bumped.count() == n_base - k
+    # bumped rows re-enter next epoch
+    assert bumped.filter(F.col("ready_epoch") == 1).count() == n_base - k
+
+
+def test_global_budget_host_rank_steering(spark):
+    """With a host-rank boost, the better-linked host wins the capacity
+    fight between equal-priority hosts (PageRank-ordered crawling)."""
+    cols = [
+        "url", "url_norm", "url_fp", "host", "path", "priority", "depth",
+        "source_url", "discovered_epoch", "attempts",
+    ]
+    rows = []
+    for h in ("aaa.com", "bbb.com"):
+        for i in range(2):
+            u = f"https://{h}/p{i}"
+            rows.append((u, u, hash(u), h, f"/p{i}", 5, 1, None, 0, 0))
+    sched = spark.createDataFrame(
+        rows,
+        "url string, url_norm string, url_fp long, host string, path string,"
+        " priority int, depth int, source_url string, discovered_epoch int,"
+        " attempts int",
+    )
+    links = spark.createDataFrame(
+        [(f"https://ccc{i}.com/x", "https://bbb.com/y") for i in range(5)]
+        + [("https://ccc0.com/x", "https://aaa.com/y")],
+        "source_url string, target_url string",
+    )
+    cfg = CrawlConfig(global_budget=2, host_rank_weight=100.0)
+    kept, bumped = E.apply_global_budget(
+        sched, links, 1, cfg, cols + ["ready_epoch", "reason"]
+    )
+    assert {r["host"] for r in kept.collect()} == {"bbb.com"}
+    assert {r["host"] for r in bumped.collect()} == {"aaa.com"}
+    assert {r["reason"] for r in bumped.collect()} == {"global_budget"}

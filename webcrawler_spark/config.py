@@ -49,6 +49,25 @@ class CrawlConfig:
     # dedup decisions are identical with scrubbing on or off.
     scrub_pii: bool = False
 
+    # global per-epoch fetch budget (fleet capacity) applied AFTER the
+    # per-host politeness schedule: the top `global_budget` schedule rows by
+    # (priority [+ host-rank boost] desc, url_norm asc) are kept — exact
+    # large-k selection via topk.threshold_topk, no full sort — and the rest
+    # are deferred with reason="global_budget". 0 = off (reference parity:
+    # the reference has no global cap, capacity is implicit in its fetcher
+    # shard count).
+    global_budget: int = 0
+
+    # PageRank-ordered crawling (the classic Cho/Page crawl-ordering
+    # policy): when on, the global-budget cut scores each schedule row with
+    # priority + host_rank_weight * normalized-host-PageRank computed from
+    # the links discovered so far — well-linked hosts win the capacity
+    # fight. Only meaningful with global_budget > 0 (the per-host politeness
+    # window is invariant to a host-constant boost).
+    use_host_rank: bool = False
+    host_rank_weight: float = 100.0
+    host_rank_iters: int = 3
+
     # cluster frontier/seen delta writes by the SURT sort key
     # (columns.surt_key): adds a `surt` column and sorts rows within each
     # written file by it — the parquet emulation of an Iceberg table SORT

@@ -93,6 +93,68 @@ def ingest_candidates(
     )
 
 
+def apply_global_budget(
+    schedule: DataFrame,
+    links_so_far: DataFrame | None,
+    epoch: int,
+    cfg: CrawlConfig,
+    deferred_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Cap the politeness schedule at ``cfg.global_budget`` rows (fleet
+    capacity), keeping the exact top-k by (score desc, url_norm asc) via the
+    quantile-threshold top-k (no full sort — the 10^10-row drain shape).
+
+    Score = priority, plus — when ``links_so_far`` is given — a
+    PageRank-ordered-crawling boost: ``host_rank_weight`` x the row's host
+    PageRank normalized by the max rank (host graph from the links
+    discovered so far; the rank dim is host-scale, broadcast). Returns
+    (kept_schedule, bumped) where bumped rows carry the deferred shape with
+    reason='global_budget' and ready_epoch=epoch+1.
+    """
+    from ..operators import topk as T
+
+    score = F.col("priority").cast("double")
+    sched = schedule
+    if links_so_far is not None:
+        from ..operators import graph as G
+
+        hr = G.host_rank(
+            links_so_far.select(
+                C.surt_host(F.col("source_url")).alias("src_host"),
+                C.surt_host(F.col("target_url")).alias("dst_host"),
+            ),
+            n_iter=cfg.host_rank_iters,
+        )
+        mx = hr.agg(F.max("rank").alias("_mx"))
+        boost = hr.crossJoin(F.broadcast(mx)).select(
+            F.col("host").alias("_rh"),
+            (F.col("rank") / F.col("_mx") * cfg.host_rank_weight).alias("_boost"),
+        )
+        # join key derived from url_norm with the SAME host function on both
+        # sides, so the boost lands regardless of how `host` was spelled
+        sched = (
+            sched.withColumn("_rh", C.surt_host(F.col("url_norm")))
+            .join(F.broadcast(boost), "_rh", "left")
+            .drop("_rh")
+        )
+        score = score + F.coalesce(F.col("_boost"), F.lit(0.0))
+
+    # no persist: upstream `pending` is already cached in run_epoch, so the
+    # extra passes (count, band filter, anti-join) re-run only the bounded
+    # scheduling windows; a persist here would outlive the epoch
+    sched = sched.withColumn("_gscore", score)
+    kept = T.threshold_topk(sched, "_gscore", cfg.global_budget, "url_norm")
+    bumped = (
+        sched.join(kept.select("url_norm"), "url_norm", "left_anti")
+        .withColumn("ready_epoch", F.lit(epoch + 1))
+        .withColumn("reason", F.lit("global_budget"))
+        .withColumn("attempts", F.col("attempts") + 1)
+        .select(*deferred_cols)
+    )
+    drop = [c for c in ("_gscore", "_boost") if c in kept.columns]
+    return kept.drop(*drop), bumped
+
+
 def run_epoch(
     spark: SparkSession,
     cat: Catalog,
@@ -174,6 +236,19 @@ def run_epoch(
     schedule, deferred_new, rejected = S.schedule_epoch(
         pending, robots, host_stats_prev, epoch, cfg
     )
+
+    # ---- 3b. global fetch budget (fleet capacity) over the politeness
+    # schedule, optionally PageRank-steered (CrawlConfig.global_budget)
+    if cfg.global_budget > 0:
+        links_so_far = (
+            cat.read_delta_union("links", epoch - 1)
+            if cfg.use_host_rank and epoch > 0
+            else None
+        )
+        schedule, bumped = apply_global_budget(
+            schedule, links_so_far, epoch, cfg, deferred_new.columns
+        )
+        deferred_new = deferred_new.unionByName(bumped)
     schedule = schedule.persist()
 
     # ---- 4. "fetch" = equi join against the page table (J5 replaces S10 HTTP)
