@@ -467,3 +467,26 @@ def test_mirror_hosts_cap_and_jaccard(spark):
     # sizes include the capped boilerplate fp (set sizes are per-host truth)
     assert r["shared"] == 2 and r["n_a"] == 4 and r["n_b"] == 3
     assert abs(r["jaccard"] - 2 / 5) < 1e-9
+
+
+def test_anchor_text_index_topk_and_ties(spark):
+    from webcrawler_spark.operators.links import anchor_text_index
+
+    links = spark.createDataFrame(
+        [
+            ("t1", "Great Widgets"),
+            ("t1", "great DEALS"),
+            ("t1", "widgets!! deals"),
+            ("t2", "only-one"),
+            ("t3", ""),
+        ],
+        "target_url string, anchor_text string",
+    )
+    rows = {(r["target"], r["term"]): (r["freq"], r["rank"])
+            for r in anchor_text_index(links, k=2).collect()}
+    # t1: great=2, widgets=2, deals=2 -> top-2 by (freq desc, term asc)
+    assert rows[("t1", "deals")] == (2, 1)
+    assert rows[("t1", "great")] == (2, 2)
+    assert ("t1", "widgets") not in rows
+    assert rows[("t2", "one")] == (1, 1) and rows[("t2", "only")] == (1, 2)
+    assert not any(t == "t3" for t, _ in rows)

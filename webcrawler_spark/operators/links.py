@@ -55,3 +55,43 @@ def discovered_candidates(
             F.lit(cfg.discovered_priority).alias("source_priority"),
         )
     )
+
+
+def anchor_text_index(
+    links: DataFrame,
+    target_col: str = "target_url",
+    anchor_col: str = "anchor_text",
+    k: int = 3,
+) -> DataFrame:
+    """Inbound anchor-text index: top-k anchor terms per link target.
+
+    The classic off-page search signal (the reference stores per-link
+    anchor_text in web_links, services/indexer mappings): what OTHER pages
+    call a page often describes it better than its own text. Tokenize every
+    inbound anchor, count per (target, term), keep the top-k by
+    (freq desc, term asc — deterministic).
+
+    Shape: explode is links-scale but the projected payload is (target,
+    short term); the count is a map-side-partial hash agg on (target, term);
+    the final window partitions by target over the counted dim (distinct
+    terms per target, ≪ inbound degree). Skew note: mega-inbound targets
+    (the google.com problem) are bounded by the same salt-then-merge
+    two-phase used for the frontier top-k if a single target's term dim
+    outgrows a task — at that point cap per-source anchors first.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        links.select(
+            F.col(target_col).alias("target"),
+            F.explode(F.split(F.lower(F.col(anchor_col)), r"[^a-z0-9]+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = terms.groupBy("target", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("target").orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("target", "term", "freq", "rank")
+    )

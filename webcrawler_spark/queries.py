@@ -2146,6 +2146,57 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# Anchor-text index (operators/links.anchor_text_index): top-k inbound
+# anchor terms per link target. Contract mapping: lineitem rows are links
+# to part targets; the anchor text is the linking order's customer
+# mktsegment + order priority (varies per source, realistic term mix).
+
+
+def q_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.links import anchor_text_index
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    links = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("l_partkey").cast("string").alias("target_url"),
+            F.concat_ws(" ", "c_mktsegment", "o_orderpriority").alias("anchor_text"),
+        )
+    )
+    return anchor_text_index(links, k=3).select(
+        F.col("target").cast("long").alias("target"), "term",
+        F.col("freq").cast("long").alias("freq"), "rank",
+    )
+
+
+SQL_anchor_text_index = """
+WITH links AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS target,
+         c_mktsegment || ' ' || o_orderpriority AS anchor
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+),
+terms AS (
+  SELECT target, t.term
+  FROM links, LATERAL unnest(string_split_regex(lower(anchor), '[^a-z0-9]+')) AS t(term)
+  WHERE t.term <> ''
+),
+counts AS (
+  SELECT target, term, count(*) AS freq FROM terms GROUP BY 1, 2
+)
+SELECT CAST(target AS BIGINT) AS target, term, CAST(freq AS BIGINT) AS freq, rank
+FROM (
+  SELECT target, term, freq,
+         ROW_NUMBER() OVER (PARTITION BY target ORDER BY freq DESC, term ASC) AS rank
+  FROM counts
+) WHERE rank <= 3
+"""
+
+
 # ExactSubstr-style duplicate-span detection (operators/substr.py): token
 # 8-gram windows, corpus-wide duplicated grams, per-doc interval merge.
 # The md5 gram key is computed identically in DuckDB; spans are 0-based
@@ -2240,6 +2291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_hosts": q_mirror_hosts,
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
+    "anchor_text_index": q_anchor_text_index,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2325,6 +2377,7 @@ ORACLE_SQL: dict[str, str] = {
     "mirror_hosts": SQL_mirror_hosts,
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
+    "anchor_text_index": SQL_anchor_text_index,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
