@@ -397,7 +397,10 @@ def _surt_py(url: str) -> str:
     m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", url)
     host = (m.group(1) if m else "").lower()
     host = re.sub(r"^www\.", "", host)
-    rev = ",".join(reversed(host.split(".")))
+    if re.fullmatch(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", host):
+        rev = host  # IPv4: not reversed (SURT convention)
+    else:
+        rev = ",".join(reversed(host.split(".")))
     m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", url)
     path = m.group(1) if m else ""
     return rev + ")" + (path or "/")
@@ -416,6 +419,8 @@ def test_surt_key_matches_python_reference(spark):
         "https://wwwx.example.com/keep-www-like-label",
         "http://single/",
         "https://deep.very.sub.example.io/MiXeD/Case?x=y",
+        "http://192.168.10.1:8080/admin",
+        "https://10.0.0.7/",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {r["url"]: r["surt"] for r in df.select("url", C.surt_key(F.col("url")).alias("surt")).collect()}
@@ -427,6 +432,8 @@ def test_surt_key_matches_python_reference(spark):
     assert got["https://wwwx.example.com/keep-www-like-label"].startswith("com,example,wwwx)")
     # path case preserved, query dropped
     assert got["https://deep.very.sub.example.io/MiXeD/Case?x=y"] == "io,example,sub,very,deep)/MiXeD/Case"
+    # IPv4 hosts keep octet order
+    assert got["http://192.168.10.1:8080/admin"] == "192.168.10.1)/admin"
 
 
 def test_surt_prefix_orders_host_subtree_contiguously(spark):
@@ -490,3 +497,39 @@ def test_anchor_text_index_topk_and_ties(spark):
     assert ("t1", "widgets") not in rows
     assert rows[("t2", "one")] == (1, 1) and rows[("t2", "only")] == (1, 2)
     assert not any(t == "t3" for t, _ in rows)
+
+
+def test_mirror_hosts_random_parity(spark):
+    """Seeded random (host, fp) relation — pair/overlap/jaccard parity with
+    a brute-force Python reference, cap applied on both sides."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    rows = [
+        (f"h{rng.randint(0, 11)}", f"f{rng.randint(0, 39)}") for _ in range(400)
+    ]
+    cap, min_shared = 6, 2
+    sets = {}
+    for h, fp in rows:
+        sets.setdefault(h, set()).add(fp)
+    fp_hosts = {}
+    for h, fps in sets.items():
+        for fp in fps:
+            fp_hosts.setdefault(fp, set()).add(h)
+    eligible = {fp for fp, hs in fp_hosts.items() if 2 <= len(hs) <= cap}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        shared = len(sets[a] & sets[b] & eligible)
+        if shared >= min_shared:
+            ja = shared / (len(sets[a]) + len(sets[b]) - shared)
+            expect[(a, b)] = (shared, len(sets[a]), len(sets[b]), round(ja, 6))
+
+    from webcrawler_spark.operators.mirrors import mirror_hosts
+
+    df = spark.createDataFrame(rows, "host string, content_fp string")
+    got = {
+        (r["host_a"], r["host_b"]): (r["shared"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in mirror_hosts(df, min_shared=min_shared, max_hosts_per_fp=cap).collect()
+    }
+    assert got == expect and len(expect) > 3

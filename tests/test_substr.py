@@ -101,3 +101,31 @@ def test_strip_spans_matches_python_reference(spark):
     # cleaned docs no longer contain the planted run
     run = " ".join(WORDS + WORDS[:2])
     assert run not in got[1] and run not in got[3]
+
+
+def test_spans_random_corpus_parity(spark):
+    """Seeded random corpus (repeated templates + noise, varied lengths,
+    sub-n docs) — full span-set parity with the Python reference."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"v{i}" for i in range(30)]
+    templates = [
+        " ".join(rng.choices(vocab, k=rng.randint(8, 14))) for _ in range(6)
+    ]
+    docs = []
+    for d in range(120):
+        parts = []
+        for _ in range(rng.randint(0, 4)):
+            if rng.random() < 0.4:
+                parts.append(rng.choice(templates))
+            else:
+                parts.append(" ".join(rng.choices(vocab, k=rng.randint(1, 20))))
+        docs.append((d, " ".join(parts) or "solo"))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in SU.duplicate_ngram_spans(df, n=6).collect()
+    }
+    assert got == _spans_py(docs, n=6)
+    assert len(got) > 20  # templates actually collided

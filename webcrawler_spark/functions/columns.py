@@ -227,7 +227,11 @@ def surt_key(url: Column) -> Column:
     (whole-stage codegen); host is lowercased, path case is preserved.
     """
     host = surt_host(url)
-    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # SURT convention: IPv4 hosts are NOT label-reversed (octet reversal
+    # would scatter a subnet's hosts across the keyspace)
+    rev = F.when(
+        host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"), host
+    ).otherwise(F.array_join(F.reverse(F.split(host, r"\.")), ","))
     path = F.regexp_extract(url, _SCHEME_AUTH + r"[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     return F.concat(rev, F.lit(")"), path)
