@@ -533,3 +533,29 @@ def test_mirror_hosts_random_parity(spark):
         for r in mirror_hosts(df, min_shared=min_shared, max_hosts_per_fp=cap).collect()
     }
     assert got == expect and len(expect) > 3
+
+
+def test_trap_signals_flags(spark):
+    from webcrawler_spark.operators.traps import trap_signals
+
+    urls = []
+    # good.com: 25 distinct authored-looking pages, varied templates
+    for i in range(25):
+        urls.append(f"https://good.com/{'abcde'[i % 5]}{i % 7}/page{i}x{i * 3}y")
+    # loopy.com: 25 pages with repeated segments
+    for i in range(25):
+        urls.append(f"https://loopy.com/a/b/a/b/a/{i}")
+    # gen.com: 25 pages, one digit template dominates
+    for i in range(25):
+        urls.append(f"https://gen.com/cal/{2000 + i}/{i % 12}/{i % 28}")
+    # tiny.com: trap-shaped but below min_urls
+    for i in range(5):
+        urls.append(f"https://tiny.com/x/x/x/x/{i}")
+    df = spark.createDataFrame([(u,) for u in urls], "url_norm string")
+    out = {r["host"]: r for r in trap_signals(df, min_urls=20).collect()}
+    assert not out["good.com"]["is_trap_suspect"]
+    assert out["loopy.com"]["is_trap_suspect"] and out["loopy.com"]["n_repeat"] == 25
+    assert out["gen.com"]["is_trap_suspect"]
+    assert out["gen.com"]["top_template"] == "/cal/{n}/{n}/{n}"
+    assert out["gen.com"]["top_template_share"] == 1.0
+    assert not out["tiny.com"]["is_trap_suspect"]

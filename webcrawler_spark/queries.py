@@ -2146,6 +2146,92 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# Crawl-trap detection (operators/traps.trap_signals): per-host URL-space
+# shape — deep paths, repeated segments, digit-template domination.
+# Contract URLs synthesized from orders: /item/{n} template pages, loop
+# paths (/loop/a/a/a/..) for orderkey%11==0, 9-deep paths for %13==0.
+
+
+def q_trap_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.traps import trap_signals
+
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".example.com"),
+        F.when(
+            F.col("o_orderkey") % 11 == 0,
+            F.concat(
+                F.lit("/loop/a/a/a/"), (F.col("o_custkey") % 7).cast("string")
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 13 == 0,
+            F.concat(
+                F.lit("/d1/d2/d3/d4/d5/d6/d7/d8/d9/"),
+                F.col("o_orderkey").cast("string"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("/item/"), F.col("o_orderkey").cast("string"))),
+    )
+    return trap_signals(orders.select(url.alias("url_norm")), min_urls=20)
+
+
+SQL_trap_signals = """
+WITH u AS (
+  SELECT 'https://host' || CAST(o_custkey % 10 AS VARCHAR) || '.example.com' ||
+         CASE WHEN o_orderkey % 11 = 0
+                THEN '/loop/a/a/a/' || CAST(o_custkey % 7 AS VARCHAR)
+              WHEN o_orderkey % 13 = 0
+                THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9/' || CAST(o_orderkey AS VARCHAR)
+              ELSE '/item/' || CAST(o_orderkey AS VARCHAR) END AS url
+  FROM orders
+),
+p AS (
+  SELECT regexp_replace(
+           lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+           '^www\\.', '') AS host,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM u
+),
+s AS (
+  SELECT host,
+         list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+         regexp_replace(path, '[0-9]+', '{n}', 'g') AS template
+  FROM p
+),
+per_url AS (
+  SELECT host, len(segs) AS depth,
+         len(segs) - len(list_distinct(segs)) AS repeat_deficit, template
+  FROM s
+),
+tpl AS (
+  SELECT host, template, count(*) AS n_tpl FROM per_url GROUP BY 1, 2
+),
+top_tpl AS (
+  SELECT host, template AS top_template, n_tpl FROM (
+    SELECT host, template, n_tpl,
+           ROW_NUMBER() OVER (PARTITION BY host ORDER BY n_tpl DESC, template ASC) AS r
+    FROM tpl
+  ) WHERE r = 1
+),
+per_host AS (
+  SELECT host, count(*) AS n_urls,
+         sum(CASE WHEN depth > 8 THEN 1 ELSE 0 END) AS n_deep,
+         sum(CASE WHEN repeat_deficit > 2 THEN 1 ELSE 0 END) AS n_repeat
+  FROM per_url GROUP BY 1
+)
+SELECT per_host.host, n_urls, n_deep, n_repeat, top_template,
+       round(n_tpl / CAST(n_urls AS DOUBLE), 6) AS top_template_share,
+       (n_urls >= 20 AND (n_deep > 0 OR n_repeat > 0
+          OR round(n_tpl / CAST(n_urls AS DOUBLE), 6) > 0.5)) AS is_trap_suspect
+FROM per_host JOIN top_tpl ON per_host.host = top_tpl.host
+"""
+
+
 # Anchor-text index (operators/links.anchor_text_index): top-k inbound
 # anchor terms per link target. Contract mapping: lineitem rows are links
 # to part targets; the anchor text is the linking order's customer
@@ -2292,6 +2378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
     "anchor_text_index": q_anchor_text_index,
+    "trap_signals": q_trap_signals,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2378,6 +2465,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
     "anchor_text_index": SQL_anchor_text_index,
+    "trap_signals": SQL_trap_signals,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
