@@ -100,3 +100,42 @@ def test_recrawl_schedule_bands(spark):
     assert out[4]["interval_epochs"] == 1 and out[4]["change_rate"] is None
     assert out[5]["interval_epochs"] == 4
     assert out[5]["n_fetches"] == 11 and out[5]["n_changes"] == 1
+
+
+def _numpy_hits(edges, n_iter):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = np.zeros((n, n))
+    for u, v in set(edges):
+        adj[idx[u], idx[v]] = 1.0
+    a = np.ones(n)
+    h = np.zeros(n)
+    for _ in range(n_iter):
+        h = adj @ a
+        h = h / (np.linalg.norm(h) or 1.0)
+        a = adj.T @ h
+        a = a / (np.linalg.norm(a) or 1.0)
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy(spark):
+    edges = [(1, 10), (1, 11), (2, 10), (2, 12), (3, 10), (10, 20), (12, 20)]
+    df = spark.createDataFrame(edges + [edges[0]], "src long, dst long")  # dup edge collapses
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in G.hits(df, n_iter=3).collect()}
+    ref = _numpy_hits(edges, 3)
+    assert set(got) == set(ref)
+    for v in ref:
+        assert got[v][0] == pytest.approx(ref[v][0], abs=1e-9), v
+        assert got[v][1] == pytest.approx(ref[v][1], abs=1e-9), v
+    # node 10 is the consensus target of the hubs -> top authority
+    assert max(ref, key=lambda v: got[v][1]) == 10
+
+
+def test_hits_deterministic(spark):
+    edges = [(1, 10), (2, 10), (2, 11), (3, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r1 = sorted(map(tuple, G.hits(df, n_iter=2).collect()))
+    r2 = sorted(map(tuple, G.hits(df, n_iter=2).collect()))
+    assert r1 == r2

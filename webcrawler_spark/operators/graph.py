@@ -114,3 +114,72 @@ def host_rank(
         .filter(F.col("src") != F.col("dst"))
     )
     return pagerank(edges, n_iter, damping).withColumnRenamed("node", "host")
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) after ``n_iter`` rounds.
+
+    The complementary structural signal to PageRank for a crawler: hub
+    scores find index/listing pages whose outlinks are worth expanding
+    (frontier steering), authority scores find the pages those hubs agree
+    on (index boosting). Same execution shape as :func:`pagerank`: per
+    half-iteration one edges⋈scores join (shuffle on the 8-byte node key)
+    + one partial-aggregated groupBy; the L2 norm is the only driver
+    scalar; localCheckpoint keeps lineage O(1). Returns
+    (node, hub, authority) — nodes with no out-edges have hub 0, no
+    in-edges authority 0.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))).first()[0] or 1.0
+        return df.withColumn(col, F.col(col) / F.lit(norm))
+
+    auth = nodes.withColumn("authority", F.lit(1.0))
+    hubs = None
+    for _ in range(n_iter):
+        h = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.col("authority").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("hub"))
+        )
+        hubs = _normalize(
+            nodes.join(h, "node", "left").select(
+                "node", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=True)
+        a = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .select(F.col("dst").alias("node"), F.col("hub").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("authority"))
+        )
+        auth = _normalize(
+            nodes.join(a, "node", "left").select(
+                "node", F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority")
+            ),
+            "authority",
+        )
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+    return hubs.join(auth, "node").select("node", "hub", "authority")

@@ -1009,6 +1009,76 @@ SELECT node, round(rank * 1000.0, 6) AS rank_permille FROM r3
 """
 
 
+# HITS hubs & authorities (operators/graph.hits): 2 iterations unrolled in
+# the DuckDB oracle over the same customer->supplier bipartite graph as
+# `pagerank`; L2-normalized per half-step, scores scaled x1000 and rounded.
+
+
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    out = G.hits(edges, n_iter=2)
+    return out.select(
+        "node",
+        F.round(F.col("hub") * 1000.0, 6).alias("hub_permille"),
+        F.round(F.col("authority") * 1000.0, 6).alias("auth_permille"),
+    )
+
+
+SQL_hits_scores = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+h1 AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS s FROM edges GROUP BY 1),
+h1n AS (
+  SELECT nodes.node,
+         coalesce(s, 0) / (SELECT sqrt(sum(s*s)) FROM h1) AS hub
+  FROM nodes LEFT JOIN h1 USING (node)
+),
+a1 AS (
+  SELECT dst AS node, sum(h.hub) AS s
+  FROM edges JOIN h1n h ON h.node = edges.src GROUP BY 1
+),
+a1n AS (
+  SELECT nodes.node,
+         coalesce(s, 0) / (SELECT sqrt(sum(s*s)) FROM a1) AS auth
+  FROM nodes LEFT JOIN a1 USING (node)
+),
+h2 AS (
+  SELECT src AS node, sum(a.auth) AS s
+  FROM edges JOIN a1n a ON a.node = edges.dst GROUP BY 1
+),
+h2n AS (
+  SELECT nodes.node,
+         coalesce(s, 0) / (SELECT sqrt(sum(s*s)) FROM h2) AS hub
+  FROM nodes LEFT JOIN h2 USING (node)
+),
+a2 AS (
+  SELECT dst AS node, sum(h.hub) AS s
+  FROM edges JOIN h2n h ON h.node = edges.src GROUP BY 1
+),
+a2n AS (
+  SELECT nodes.node,
+         coalesce(s, 0) / (SELECT sqrt(sum(s*s)) FROM a2) AS auth
+  FROM nodes LEFT JOIN a2 USING (node)
+)
+SELECT h2n.node, round(hub * 1000.0, 6) AS hub_permille,
+       round(auth * 1000.0, 6) AS auth_permille
+FROM h2n JOIN a2n ON h2n.node = a2n.node
+"""
+
+
 # Adaptive revisit policy (operators/scheduler.recrawl_schedule): change
 # rate from adjacent-fetch fingerprint diffs -> banded revisit interval.
 # Contract mapping onto the events table: user_id = url id, ts = fetch
@@ -2379,6 +2449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_discovery": q_sitemap_discovery,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
+    "hits_scores": q_hits_scores,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2466,6 +2537,7 @@ ORACLE_SQL: dict[str, str] = {
     "sitemap_discovery": SQL_sitemap_discovery,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
+    "hits_scores": SQL_hits_scores,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
