@@ -559,3 +559,26 @@ def test_trap_signals_flags(spark):
     assert out["gen.com"]["top_template"] == "/cal/{n}/{n}/{n}"
     assert out["gen.com"]["top_template_share"] == 1.0
     assert not out["tiny.com"]["is_trap_suspect"]
+
+
+def test_strip_tracking_params(spark):
+    from webcrawler_spark.functions import columns as C
+
+    cases = {
+        "https://e.com/p?utm_source=x&utm_medium=y": "https://e.com/p",
+        "https://e.com/p?utm_source=x&page=2": "https://e.com/p?page=2",
+        "https://e.com/p?page=2&FBCLID=z&sort=asc": "https://e.com/p?page=2&sort=asc",
+        "https://e.com/p?gclid=1": "https://e.com/p",
+        "https://e.com/p?a=1&b=2": "https://e.com/p?a=1&b=2",
+        "https://e.com/p": "https://e.com/p",
+        "https://e.com/p?utmx=1": "https://e.com/p?utmx=1",  # not utm_ prefix
+        "https://e.com/p?mc_cid=7&mc_eid=8&q=k": "https://e.com/p?q=k",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["clean"]
+        for r in df.select(
+            "url", C.strip_tracking_params(F.col("url")).alias("clean")
+        ).collect()
+    }
+    assert got == cases

@@ -201,6 +201,37 @@ def ready_bucket(ts: Column, bucket_seconds: int = 30) -> Column:
 
 _SCHEME_AUTH = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
 
+# the public tracking-parameter blocklist (utm family by prefix, the rest
+# exact); lowercase comparison
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "yclid", "igshid", "mc_cid", "mc_eid")
+
+
+def strip_tracking_params(url: Column) -> Column:
+    """Remove tracking query parameters (``utm_*`` + TRACKING_PARAMS).
+
+    Opt-in canonicalization EXTRA — not part of the byte-parity normalize
+    path (the reference keeps queries verbatim, url_normalizer semantics);
+    real crawls enable it because the same page arrives once per marketing
+    campaign otherwise. Pure codegen: split the query on ``&``, drop pairs
+    whose lowercased name matches the blocklist, rejoin; a query emptied by
+    the filter drops its ``?`` entirely. Fragmentless input assumed (the
+    normalizer has already removed fragments).
+    """
+    base = F.substring_index(url, "?", 1)
+    query = F.regexp_extract(url, r"\?(.*)$", 1)
+    name = lambda p: F.lower(F.substring_index(p, "=", 1))  # noqa: E731
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(
+            name(p).startswith("utm_") | name(p).isin(*TRACKING_PARAMS)
+        ),
+    )
+    return (
+        F.when(F.instr(url, "?") == 0, url)
+        .when(F.size(kept) == 0, base)
+        .otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+    )
+
 
 def surt_host(url: Column) -> Column:
     """Lowercased registrable host of an absolute URL, `www.` stripped, no port.

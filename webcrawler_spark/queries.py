@@ -2216,6 +2216,70 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# Tracking-param stripping (columns.strip_tracking_params): opt-in
+# canonicalization extra — utm_*/fbclid/gclid/... query params dropped,
+# '?' removed when the query empties. URL mix synthesized from orders.
+
+
+def q_strip_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import columns as C
+
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop.example.com/item/"),
+        F.col("o_orderkey").cast("string"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(
+                F.lit("?utm_source=news&utm_campaign=c"),
+                (F.col("o_custkey") % 5).cast("string"),
+                F.lit("&page=2"),
+            ),
+        )
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("?fbclid=abc123"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("?page=3&GCLID=x&sort=asc"))
+        .otherwise(F.lit("")),
+    )
+    return orders.select(
+        "o_orderkey",
+        url.alias("url"),
+        C.strip_tracking_params(url).alias("clean_url"),
+    )
+
+
+SQL_strip_tracking = """
+WITH u AS (
+  SELECT o_orderkey,
+         'https://shop.example.com/item/' || CAST(o_orderkey AS VARCHAR) ||
+         CASE WHEN o_orderkey % 4 = 0
+                THEN '?utm_source=news&utm_campaign=c' ||
+                     CAST(o_custkey % 5 AS VARCHAR) || '&page=2'
+              WHEN o_orderkey % 4 = 1 THEN '?fbclid=abc123'
+              WHEN o_orderkey % 4 = 2 THEN '?page=3&GCLID=x&sort=asc'
+              ELSE '' END AS url
+  FROM orders
+),
+k AS (
+  SELECT o_orderkey, url,
+         string_split(url, '?')[1] AS base,
+         CASE WHEN instr(url, '?') = 0 THEN NULL
+              ELSE list_filter(
+                string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                p -> NOT (lower(string_split(p, '=')[1]) LIKE 'utm\\_%' ESCAPE '\\'
+                          OR lower(string_split(p, '=')[1]) IN
+                             ('fbclid','gclid','msclkid','yclid','igshid',
+                              'mc_cid','mc_eid')))
+         END AS kept
+  FROM u
+)
+SELECT o_orderkey, url,
+       CASE WHEN kept IS NULL THEN url
+            WHEN len(kept) = 0 THEN base
+            ELSE base || '?' || array_to_string(kept, '&') END AS clean_url
+FROM k
+"""
+
+
 # Crawl-trap detection (operators/traps.trap_signals): per-host URL-space
 # shape — deep paths, repeated segments, digit-template domination.
 # Contract URLs synthesized from orders: /item/{n} template pages, loop
@@ -2450,6 +2514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
+    "strip_tracking": q_strip_tracking,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2538,6 +2603,7 @@ ORACLE_SQL: dict[str, str] = {
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
+    "strip_tracking": SQL_strip_tracking,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
