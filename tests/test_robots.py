@@ -243,3 +243,92 @@ def test_sitemap_seeds_operator(spark):
     tbl = robots_table(raw, "WebCrawler/1.0")
     got = {(r["host"], r["sitemap_url"]) for r in sitemap_seeds(tbl).collect()}
     assert got == {("a.com", "https://a.com/s1.xml"), ("a.com", "https://a.com/s2.xml")}
+
+
+# ---- RFC 9309 wildcard mode ----------------------------------------------------
+
+
+def test_rfc_allowed_most_octets_semantics():
+    from webcrawler_spark.functions.robots import rfc_allowed
+
+    # longest (most octets) rule wins
+    assert rfc_allowed("/page", [("/p", True), ("/", False)])
+    assert not rfc_allowed("/else", [("/p", True), ("/", False)])
+    # allow wins exact length ties
+    assert rfc_allowed("/folder/x", [("/folder", False), ("/folder", True)])
+    # wildcard rule outranks a shorter literal
+    assert not rfc_allowed("/page.htm", [("/page", True), ("/*.htm", False)])
+    # $ anchors the end
+    assert not rfc_allowed("/index.php", [("/*.php$", False)])
+    assert rfc_allowed("/index.php5", [("/*.php$", False)])
+    assert rfc_allowed("/index.php?x=1", [("/*.php$", False)])
+    # * mid-rule
+    assert not rfc_allowed("/fishing/rods", [("/fish*", False)])
+    assert not rfc_allowed("/a/b/c/secret.html", [("/a/*/secret*", False)])
+    assert rfc_allowed("/a/secret.html", [("/a/*/secret*", False)])
+    # no rules / no match => allowed
+    assert rfc_allowed("/anything", [])
+    assert rfc_allowed("/other", [("/priv/", False)])
+
+
+def test_parse_robots_rules_preserves_wildcards():
+    from webcrawler_spark.functions.robots import parse_robots_rules
+
+    body = "\n".join(
+        [
+            "User-agent: webcrawler",
+            "Disallow: /*.gif$",
+            "Allow: /pub*",
+            "Disallow:",  # empty => dropped in RFC mode
+            "Crawl-delay: 4",
+        ]
+    )
+    rules, delay = parse_robots_rules(body, "WebCrawler/1.0")
+    assert rules == [("/*.gif$", False), ("/pub*", True)]
+    assert delay == 4.0
+    assert parse_robots_rules(None, "x") == ([], None)
+
+
+def test_rfc_robots_filter_two_tier(spark):
+    from webcrawler_spark.functions.robots import (
+        rfc_allowed,
+        parse_robots_rules,
+        robots_table_rfc,
+        rfc_robots_filter,
+    )
+
+    bodies = {
+        "wild.com": "User-agent: *\nDisallow: /*.php$\nAllow: /shop\nDisallow: /shop/private*",
+        "plain.com": "User-agent: *\nDisallow: /priv/\nAllow: /priv/ok",
+        "none.com": None,
+    }
+    raw = spark.createDataFrame(
+        list(bodies.items()), "host string, robots_txt string"
+    )
+    robots = robots_table_rfc(raw, "WebCrawler/1.0")
+    # the wildcard flag routes hosts correctly
+    flags = {r["host"]: r["has_wildcard"] for r in robots.collect()}
+    assert flags == {"wild.com": True, "plain.com": False, "none.com": False}
+
+    paths = [
+        "/x.php", "/x.php5", "/shop/item.php", "/shop/private/x", "/shop/a",
+        "/priv/", "/priv/ok/x", "/priv/no", "/free",
+    ]
+    urls = [(h, p) for h in bodies for p in paths]
+    df = spark.createDataFrame(urls, "host string, path string")
+    got = {
+        (r["host"], r["path"]): r["robots_ok"]
+        for r in rfc_robots_filter(df, robots).collect()
+    }
+    for h, p in urls:
+        rules, _ = parse_robots_rules(bodies[h], "WebCrawler/1.0")
+        assert got[(h, p)] == rfc_allowed(p, rules), (h, p)
+    # spot semantics: .php anchored, shop carve-out, private override
+    assert not got[("wild.com", "/x.php")]
+    assert got[("wild.com", "/x.php5")]
+    assert not got[("wild.com", "/shop/item.php")]
+    assert not got[("wild.com", "/shop/private/x")]
+    assert got[("wild.com", "/shop/a")]
+    assert got[("plain.com", "/priv/ok/x")]
+    assert not got[("plain.com", "/priv/no")]
+    assert all(got[("none.com", p)] for p in paths)

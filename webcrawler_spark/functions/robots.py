@@ -34,10 +34,13 @@ first-match-wins ≡ longest-match-wins — which the native gate
 rules (``Disallow:`` = allow-all, per urllib's RuleLine) become the ""
 prefix, which matches every path at length 0.
 
-v1 delta (documented): rules are plain path prefixes — the ``*``/``$``
-wildcard extensions are not expanded (urllib.robotparser treats them
-literally too, so parity with the reference holds); percent-encoding is
-preserved as-is.
+Default-mode delta (documented, DELTAS #7): rules are plain path prefixes —
+the ``*``/``$`` wildcard extensions are not expanded (urllib.robotparser
+treats them literally too, so parity with the reference holds);
+percent-encoding is preserved as-is. The opt-in RFC 9309 mode at the bottom
+of this module (``parse_robots_rules`` / ``robots_table_rfc`` /
+``rfc_robots_filter``) honors the wildcards with most-octets-wins
+semantics for real-world robots files.
 
 Parsing runs in a vectorized pandas UDF: robots.txt bodies are a per-host
 dimension (one row per host, ~10^7 rows at web scale — a fraction of a
@@ -52,17 +55,14 @@ from pyspark.sql import DataFrame
 _RULE_FIELDS = ("allow", "disallow")
 
 
-def parse_robots_txt(
-    content: str | None, user_agent: str
-) -> tuple[list[str], list[str], float | None]:
-    """Parse one robots.txt body for ``user_agent``. Returns
-    (allow_prefixes, disallow_prefixes, crawl_delay). Empty lists =>
-    everything allowed. Mirrors urllib.robotparser's group selection AND its
-    first-match-wins rule ordering (via shadow pruning — see module
-    docstring) so the native longest-match gate agrees with the reference's
-    can_fetch on prefix rules, Allow carve-outs included."""
-    if not content:
-        return [], [], None
+def _chosen_group(
+    content: str, user_agent: str
+) -> tuple[list[tuple[str, str]], float | None] | None:
+    """urllib-parity state machine + group selection: the matched group's
+    raw ``(field, value)`` rules in file order, plus its crawl-delay, or
+    None when no group applies. Shared by the urllib-parity prefix mode
+    (:func:`parse_robots_txt`) and the RFC 9309 wildcard mode
+    (:func:`parse_robots_rules`)."""
     # urllib matches on the product token: "MyBot/1.0" -> "mybot"
     agent_token = user_agent.split("/")[0].lower()
 
@@ -144,13 +144,31 @@ def parse_robots_txt(
 
     chosen = next((g for g in entries if _applies(g[0])), None) or default_entry
     if chosen is None:
+        return None
+    return chosen[1], chosen[2]
+
+
+def parse_robots_txt(
+    content: str | None, user_agent: str
+) -> tuple[list[str], list[str], float | None]:
+    """Parse one robots.txt body for ``user_agent``. Returns
+    (allow_prefixes, disallow_prefixes, crawl_delay). Empty lists =>
+    everything allowed. Mirrors urllib.robotparser's group selection AND its
+    first-match-wins rule ordering (via shadow pruning — see module
+    docstring) so the native longest-match gate agrees with the reference's
+    can_fetch on prefix rules, Allow carve-outs included."""
+    if not content:
         return [], [], None
+    chosen = _chosen_group(content, user_agent)
+    if chosen is None:
+        return [], [], None
+    raw_rules, delay = chosen
     # urllib's RuleLine: an empty-value Disallow means "allow all" — it
     # becomes an allow rule with the universal prefix "". Empty Allow is the
     # same rule already.
     rules = [
         (v, f == "allow" or not v)  # (prefix, allowance)
-        for f, v in chosen[1]
+        for f, v in raw_rules
     ]
     # Shadow pruning (first-match-wins -> longest-match-wins): a rule whose
     # prefix extends an EARLIER rule's prefix can never be the first match.
@@ -161,7 +179,7 @@ def parse_robots_txt(
         kept.append((prefix, allowance))
     allows = [p for p, a in kept if a]
     disallows = [p for p, a in kept if not a]
-    return allows, disallows, chosen[2]
+    return allows, disallows, delay
 
 
 def parse_sitemaps(content: str | None) -> list[str]:
@@ -243,3 +261,172 @@ def sitemap_seeds(robots: DataFrame) -> DataFrame:
         .filter(F.col("sitemap_url") != "")  # urllib keeps empty values; seeds drop them
         .distinct()
     )
+
+
+# ---- RFC 9309 wildcard mode (opt-in; beyond urllib/reference parity) ----------
+#
+# urllib.robotparser (and therefore the reference's politeness gate) treats
+# '*' and '$' in rule paths literally; real-world robots.txt relies on them
+# (RFC 9309 §2.2.3, Google's parser). This mode implements the RFC
+# semantics: '*' matches any octet sequence, a trailing '$' anchors the
+# end, rules are prefix matches otherwise, the MOST OCTETS matching rule
+# wins, allow wins length ties, no match => allowed. Group selection stays
+# urllib's (first matching named group, else '*' group). Two-tier gate:
+# hosts whose rules are wildcard-free use the native longest-prefix gate
+# (columns.robots_allows — identical semantics for literal rules); only
+# URLs of wildcard-bearing hosts cross into an Arrow UDF.
+
+import re as _re
+from functools import lru_cache
+
+
+def parse_robots_rules(
+    content: str | None, user_agent: str
+) -> tuple[list[tuple[str, bool]], float | None]:
+    """RFC-mode parse: the chosen group's rules as ordered
+    (pattern, allowance) with wildcards preserved; empty-value rules are
+    dropped (RFC: an empty Disallow is no rule)."""
+    if not content:
+        return [], None
+    chosen = _chosen_group(content, user_agent)
+    if chosen is None:
+        return [], None
+    raw_rules, delay = chosen
+    return [(v, f == "allow") for f, v in raw_rules if v], delay
+
+
+@lru_cache(maxsize=4096)
+def rfc_rule_regex(pattern: str) -> "_re.Pattern[str]":
+    """Translated, anchored regex for one RFC rule path."""
+    end = pattern.endswith("$")
+    core = pattern[:-1] if end else pattern
+    body = "".join(".*" if ch == "*" else _re.escape(ch) for ch in core)
+    return _re.compile("^" + body + ("$" if end else ""))
+
+
+def rfc_allowed(path: str, rules: list[tuple[str, bool]]) -> bool:
+    """RFC 9309 most-octets match over (pattern, allowance) rules; allow
+    wins length ties; no matching rule => allowed."""
+    best_len = -1
+    best_allow = True
+    for pattern, allow in rules:
+        if rfc_rule_regex(pattern).match(path):
+            n = len(pattern)
+            if n > best_len:
+                best_len, best_allow = n, allow
+            elif n == best_len and allow:
+                best_allow = True
+    return best_allow
+
+
+def robots_table_rfc(raw: DataFrame, user_agent: str = "WebCrawler") -> DataFrame:
+    """(host, robots_txt) -> RFC-mode robots dimension:
+    (host, rules ARRAY<STRUCT<pattern,allow>>, crawl_delay, has_wildcard,
+    allow_prefixes, disallow_prefixes). The prefix arrays are valid ONLY
+    for wildcard-free hosts (the native fast path); wildcard hosts carry
+    has_wildcard=true and route through the UDF gate."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rule_t = StructType(
+        [StructField("pattern", StringType()), StructField("allow", BooleanType())]
+    )
+    schema = StructType(
+        [
+            StructField("rules", ArrayType(rule_t)),
+            StructField("crawl_delay", DoubleType()),
+            StructField("has_wildcard", BooleanType()),
+        ]
+    )
+
+    @pandas_udf(schema)
+    def _parse(content: pd.Series) -> pd.DataFrame:
+        parsed = [parse_robots_rules(c, user_agent) for c in content]
+        return pd.DataFrame(
+            {
+                "rules": [
+                    [{"pattern": p, "allow": a} for p, a in rules]
+                    for rules, _ in parsed
+                ],
+                "crawl_delay": [d for _, d in parsed],
+                "has_wildcard": [
+                    any("*" in p or p.endswith("$") for p, _ in rules)
+                    for rules, _ in parsed
+                ],
+            }
+        )
+
+    out = raw.select("host", _parse(F.col("robots_txt")).alias("_r")).select(
+        "host",
+        F.col("_r.rules").alias("rules"),
+        F.col("_r.crawl_delay").alias("crawl_delay"),
+        F.col("_r.has_wildcard").alias("has_wildcard"),
+    )
+    # literal-rule prefix arrays for the native fast path
+    return out.withColumn(
+        "allow_prefixes",
+        F.transform(
+            F.filter(F.col("rules"), lambda r: r["allow"]), lambda r: r["pattern"]
+        ),
+    ).withColumn(
+        "disallow_prefixes",
+        F.transform(
+            F.filter(F.col("rules"), lambda r: ~r["allow"]), lambda r: r["pattern"]
+        ),
+    )
+
+
+def rfc_robots_filter(
+    df: DataFrame, robots_rfc: DataFrame, path_col: str = "path"
+) -> DataFrame:
+    """Two-tier RFC gate: adds ``robots_ok`` to ``df`` (which carries
+    ``host`` + ``path_col``). Wildcard-free hosts evaluate in the native
+    longest-prefix gate (whole-stage codegen, identical semantics for
+    literal rules); URLs of wildcard-bearing hosts — the rare tier — cross
+    into a vectorized Arrow UDF running :func:`rfc_allowed` with
+    lru-cached compiled patterns. Hosts with no robots row are allowed."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    from .columns import robots_allows
+
+    @pandas_udf(BooleanType())
+    def _gate(path: pd.Series, rules: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                rfc_allowed(
+                    p or "",
+                    [(r["pattern"], r["allow"]) for r in (rs if rs is not None else [])],
+                )
+                for p, rs in zip(path, rules)
+            ]
+        )
+
+    joined = df.join(F.broadcast(robots_rfc), "host", "left")
+    out_cols = [*df.columns, "robots_ok"]
+    # real split, not a CASE: Spark evaluates an Arrow UDF appearing in any
+    # CASE branch for EVERY row — a filter+union keeps wildcard-free rows
+    # (the vast majority) entirely JVM-side
+    native_side = joined.filter(
+        F.col("rules").isNull() | (F.col("has_wildcard") == F.lit(False))
+    ).withColumn(
+        "robots_ok",
+        F.when(F.col("rules").isNull(), F.lit(True)).otherwise(
+            robots_allows(
+                F.col("disallow_prefixes"), F.col(path_col), F.col("allow_prefixes")
+            )
+        ),
+    )
+    udf_side = joined.filter(F.col("has_wildcard") == F.lit(True)).withColumn(
+        "robots_ok", _gate(F.col(path_col), F.col("rules"))
+    )
+    return native_side.select(*out_cols).unionByName(udf_side.select(*out_cols))

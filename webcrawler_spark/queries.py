@@ -2216,6 +2216,59 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# RFC 9309 wildcard robots gate (functions/robots.robots_table_rfc +
+# rfc_robots_filter): '*'/'$' rules, most-octets-wins, allow wins ties —
+# the beyond-urllib mode. Even-length hosts get a wildcard body (routed
+# through the Arrow-UDF tier), odd-length hosts a literal body (native
+# tier); the oracle hand-encodes the per-(body, path) RFC outcome.
+
+
+def q_robots_rfc_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.robots import rfc_robots_filter, robots_table_rfc
+
+    hosts = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("source").alias("host"))
+        .distinct()
+    )
+    wild = "User-agent: *\nDisallow: /*.php$\nAllow: /shop\nDisallow: /shop/private*"
+    plain = "User-agent: *\nDisallow: /priv/\nAllow: /priv/ok"
+    raw = hosts.withColumn(
+        "robots_txt",
+        F.when(F.length("host") % 2 == 0, F.lit(wild)).otherwise(F.lit(plain)),
+    )
+    robots = robots_table_rfc(raw, "WebCrawler/1.0")
+    paths = [
+        "/x.php", "/x.php5", "/shop/item.php", "/shop/private/x", "/shop/a",
+        "/priv/", "/priv/ok/x", "/priv/no", "/free",
+    ]
+    urls = hosts.crossJoin(
+        spark.createDataFrame([(p,) for p in paths], "path string")
+    )
+    return rfc_robots_filter(urls, robots)
+
+
+SQL_robots_rfc_gate = """
+WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+paths AS (
+  SELECT * FROM (VALUES
+    ('/x.php',          false, true),
+    ('/x.php5',         true,  true),
+    ('/shop/item.php',  false, true),
+    ('/shop/private/x', false, true),
+    ('/shop/a',         true,  true),
+    ('/priv/',          true,  false),
+    ('/priv/ok/x',      true,  true),
+    ('/priv/no',        true,  false),
+    ('/free',           true,  true)
+  ) AS t(path, wild_ok, plain_ok)
+)
+SELECT host, path,
+       CASE WHEN length(host) % 2 = 0 THEN wild_ok ELSE plain_ok END AS robots_ok
+FROM hosts CROSS JOIN paths
+"""
+
+
 # Tracking-param stripping (columns.strip_tracking_params): opt-in
 # canonicalization extra — utm_*/fbclid/gclid/... query params dropped,
 # '?' removed when the query empties. URL mix synthesized from orders.
@@ -2515,6 +2568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
     "strip_tracking": q_strip_tracking,
+    "robots_rfc_gate": q_robots_rfc_gate,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2604,6 +2658,7 @@ ORACLE_SQL: dict[str, str] = {
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
     "strip_tracking": SQL_strip_tracking,
+    "robots_rfc_gate": SQL_robots_rfc_gate,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
