@@ -407,3 +407,32 @@ def test_global_budget_host_rank_steering(spark):
     assert {r["host"] for r in kept.collect()} == {"bbb.com"}
     assert {r["host"] for r in bumped.collect()} == {"aaa.com"}
     assert {r["reason"] for r in bumped.collect()} == {"global_budget"}
+
+
+def test_trap_defense_rejects_suspect_hosts(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    """cfg.detect_traps drops whole trap-shaped hosts from the pending pool
+    before scheduling; clean hosts are untouched; off by default."""
+    from webcrawler_spark.operators import dedup as D
+
+    # seeds: a trap host (one dominant digit template, > min_urls URLs) and
+    # the normal synthetic-web seeds
+    trap_urls = [
+        (f"https://trap.example.com/cal/{2000 + i}/{i % 12}/{i % 28}", 5, 0)
+        for i in range(30)
+    ]
+    seeds_plus = seeds_df.unionByName(
+        spark.createDataFrame(trap_urls, "url string, priority int, depth int")
+    )
+    root = tmp_path_factory.mktemp("crawl_trap")
+    cat = Catalog(spark, str(root))
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2, detect_traps=True)
+    E.run_epochs(spark, cat, pages_df, seeds_plus, robots_df, 1, cfg)
+
+    sched = cat.read_delta_union("schedule", 0)
+    hosts = {r["host"] for r in sched.select("host").distinct().collect()}
+    assert not any("trap.example.com" in h for h in hosts)
+    assert len(hosts) > 0  # normal hosts still scheduled
+    fr = cat.read_merged("frontier", 0)
+    trap_rows = fr.filter(F.col("url_norm").contains("trap.example.com"))
+    assert {r["status"] for r in trap_rows.collect()} == {"rejected"}
+    assert trap_rows.count() == 30

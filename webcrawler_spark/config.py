@@ -68,6 +68,15 @@ class CrawlConfig:
     host_rank_weight: float = 100.0
     host_rank_iters: int = 3
 
+    # crawl-trap defense (operators/traps.trap_signals) applied to the
+    # pending pool each epoch: URLs of hosts whose URL-space shape trips
+    # the trap heuristics (deep paths / repeated segments / one dominant
+    # digit-template) are rejected with reason="trap_suspect" BEFORE the
+    # politeness stage spends budget on them. Off by default (reference
+    # parity — the reference has no trap defense).
+    detect_traps: bool = False
+    trap_min_urls: int = 20
+
     # cluster frontier/seen delta writes by the SURT sort key
     # (columns.surt_key): adds a `surt` column and sorts rows within each
     # written file by it — the parquet emulation of an Iceberg table SORT

@@ -233,9 +233,28 @@ def run_epoch(
     # pending feeds three outputs (schedule/deferred/rejected); persist so
     # the scheduling windows re-read cached rows instead of re-ingesting
     pending = pending.persist()
+
+    # ---- 2b. crawl-trap defense (opt-in): drop whole suspect hosts from
+    # the pool before politeness spends budget on them
+    trap_rejected = None
+    if cfg.detect_traps:
+        from ..operators.traps import trap_signals
+
+        suspects = (
+            trap_signals(pending, url_col="url_norm", min_urls=cfg.trap_min_urls)
+            .filter(F.col("is_trap_suspect"))
+            .select(F.col("host").alias("_th"))
+        )
+        # the signal's host key is surt-derived; join on the same derivation
+        keyed = pending.withColumn("_th", C.surt_host(F.col("url_norm")))
+        trap_rejected = keyed.join(F.broadcast(suspects), "_th", "left_semi").drop("_th")
+        pending = keyed.join(F.broadcast(suspects), "_th", "left_anti").drop("_th")
+
     schedule, deferred_new, rejected = S.schedule_epoch(
         pending, robots, host_stats_prev, epoch, cfg
     )
+    if trap_rejected is not None:
+        rejected = rejected.unionByName(trap_rejected, allowMissingColumns=True)
 
     # ---- 3b. global fetch budget (fleet capacity) over the politeness
     # schedule, optionally PageRank-steered (CrawlConfig.global_budget)
