@@ -436,3 +436,31 @@ def test_trap_defense_rejects_suspect_hosts(spark, pages_df, seeds_df, robots_df
     trap_rows = fr.filter(F.col("url_norm").contains("trap.example.com"))
     assert {r["status"] for r in trap_rows.collect()} == {"rejected"}
     assert trap_rows.count() == 30
+
+
+def test_strip_tracking_collapses_campaign_variants(
+    spark, pages_df, seeds_df, robots_df, tmp_path_factory
+):
+    """cfg.strip_tracking: seeds differing only in utm/click-id params
+    collapse to one frontier row (one url_fp, one schedule slot)."""
+    extra = [
+        ("https://camp.example.com/landing?utm_source=a&utm_campaign=x", 5, 0),
+        ("https://camp.example.com/landing?utm_source=b", 5, 0),
+        ("https://camp.example.com/landing?fbclid=zzz", 5, 0),
+        ("https://camp.example.com/landing", 5, 0),
+        ("https://camp.example.com/other?gclid=1&page=2", 5, 0),
+    ]
+    seeds_plus = seeds_df.unionByName(
+        spark.createDataFrame(extra, "url string, priority int, depth int")
+    )
+    root = tmp_path_factory.mktemp("crawl_striptrk")
+    cat = Catalog(spark, str(root))
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2, strip_tracking=True)
+    E.run_epochs(spark, cat, pages_df, seeds_plus, robots_df, 1, cfg)
+    seen = cat.read_delta_union("seen", 0)
+    camp = [r["url_norm"] for r in seen.collect() if "camp.example.com" in r["url_norm"]]
+    # 4 landing variants -> 1 row; the ?page=2 survivor keeps its real param
+    assert sorted(camp) == [
+        "https://camp.example.com/landing",
+        "https://camp.example.com/other?page=2",
+    ]

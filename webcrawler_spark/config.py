@@ -68,6 +68,13 @@ class CrawlConfig:
     host_rank_weight: float = 100.0
     host_rank_iters: int = 3
 
+    # strip tracking query params (columns.strip_tracking_params: utm_*,
+    # fbclid, gclid, ...) from url_norm at ingest, re-fingerprinting — URLs
+    # differing only in campaign tags collapse to ONE frontier row. Off by
+    # default (byte-parity with the reference normalizer, which keeps
+    # queries verbatim).
+    strip_tracking: bool = False
+
     # crawl-trap defense (operators/traps.trap_signals) applied to the
     # pending pool each epoch: URLs of hosts whose URL-space shape trips
     # the trap heuristics (deep paths / repeated segments / one dominant

@@ -75,6 +75,13 @@ def ingest_candidates(
     """Entry point A (SURVEY §3.1): normalize -> batch-dedup -> seen anti-join
     -> priority. Returns new frontier rows."""
     canon = D.canonicalize(candidates)
+    if cfg.strip_tracking:
+        # campaign-tag dedup: strip utm_*/click-ids from the normalized URL
+        # and re-fingerprint so variants collapse in the within-batch merge
+        # and the seen anti-join (pure codegen, rides the same projection)
+        canon = canon.withColumn(
+            "url_norm", C.strip_tracking_params(F.col("url_norm"))
+        ).withColumn("url_fp", C.url_fp(F.col("url_norm")))
     merged = D.merge_candidates(canon)
     if bloom is not None and cfg.seen_filter == "cuckoo":
         from ..operators import cuckoo as CK
