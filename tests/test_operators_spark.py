@@ -582,3 +582,27 @@ def test_strip_tracking_params(spark):
         ).collect()
     }
     assert got == cases
+
+
+def test_phrase_count_positional_semantics(spark):
+    from webcrawler_spark.operators.search import phrase_count, search_phrase
+
+    rows = [
+        (1, "new york is big; I love New York!"),      # 2 occurrences
+        (2, "newark york road"),                        # adjacency, not substring
+        (3, "new and york"),                            # not adjacent
+        (4, "york new"),                                # wrong order
+        (5, "new new york"),                            # 1 occurrence
+        (6, ""),                                        # empty
+        (7, "new"),                                     # shorter than phrase
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", phrase_count(F.col("text"), ["new", "york"]).alias("c")
+        ).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0}
+    hits = search_phrase(df, "New-York", k=10).collect()
+    assert [(r["doc_id"], r["phrase_freq"]) for r in hits] == [(1, 2), (5, 1)]

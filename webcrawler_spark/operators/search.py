@@ -263,3 +263,44 @@ def suggest_prefix(
         .orderBy(F.desc(rank_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def phrase_count(text: Column, phrase_tokens: list[str]) -> Column:
+    """Occurrences of the exact token sequence (ES ``match_phrase``
+    semantics: positional adjacency over the analyzed token stream, NOT a
+    substring test — "new york" does not match "newark, york road").
+    Native: one pass over candidate start positions with a higher-order
+    filter; no explode, no shuffle."""
+    toks = tokens(text)
+    n = len(phrase_tokens)
+    starts = F.sequence(F.lit(1), F.size(toks) - n + 1)
+
+    def _match(i: Column) -> Column:
+        cond = F.lit(True)
+        for j, t in enumerate(phrase_tokens):
+            cond = cond & (F.element_at(toks, i + j) == t)
+        return cond
+
+    return F.when(F.size(toks) < n, F.lit(0)).otherwise(
+        F.size(F.filter(starts, _match))
+    )
+
+
+def search_phrase(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """match_phrase query: docs containing the token sequence, scored by
+    occurrence count, deterministic top-k."""
+    phrase_tokens = [t for t in __import__("re").split("[^a-z0-9]+", phrase.lower()) if t]
+    scored = df.select(
+        F.col(id_col), phrase_count(F.col(text_col), phrase_tokens).alias("phrase_freq")
+    )
+    return (
+        scored.filter(F.col("phrase_freq") > 0)
+        .orderBy(F.desc("phrase_freq"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2216,6 +2216,57 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# match_phrase (operators/search.search_phrase): positional token-sequence
+# match (ES match_phrase), scored by occurrence count.
+
+
+def q_search_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_phrase(docs, "batch window", k=20)
+
+
+SQL_search_phrase = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(list_filter(generate_series(1, len(toks) - 1),
+             i -> toks[i] = 'batch' AND toks[i+1] = 'window')) AS phrase_freq
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id, phrase_freq FROM scored
+WHERE phrase_freq > 0
+ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20
+"""
+
+
+# ES percentile aggregations: exact linear-interpolation percentiles per
+# group (Spark `percentile` == DuckDB `quantile_cont`).
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+SQL_value_percentiles = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 # RFC 9309 wildcard robots gate (functions/robots.robots_table_rfc +
 # rfc_robots_filter): '*'/'$' rules, most-octets-wins, allow wins ties —
 # the beyond-urllib mode. Even-length hosts get a wildcard body (routed
@@ -2569,6 +2620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hits_scores": q_hits_scores,
     "strip_tracking": q_strip_tracking,
     "robots_rfc_gate": q_robots_rfc_gate,
+    "search_phrase": q_search_phrase,
+    "value_percentiles": q_value_percentiles,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2659,6 +2712,8 @@ ORACLE_SQL: dict[str, str] = {
     "hits_scores": SQL_hits_scores,
     "strip_tracking": SQL_strip_tracking,
     "robots_rfc_gate": SQL_robots_rfc_gate,
+    "search_phrase": SQL_search_phrase,
+    "value_percentiles": SQL_value_percentiles,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
