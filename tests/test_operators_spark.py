@@ -606,3 +606,21 @@ def test_phrase_count_positional_semantics(spark):
     assert got == {1: 2, 2: 0, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0}
     hits = search_phrase(df, "New-York", k=10).collect()
     assert [(r["doc_id"], r["phrase_freq"]) for r in hits] == [(1, 2), (5, 1)]
+
+
+def test_significant_terms_jlh(spark):
+    from webcrawler_spark.operators.search import significant_terms
+
+    rows = (
+        [(i, "spark", "apple banana unique" + str(i)) for i in range(5)]
+        + [(i + 5, "other", "apple cherry filler" + str(i)) for i in range(15)]
+    )
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r["term"]: r for r in significant_terms(
+        df, F.col("source") == "spark", k=5, min_doc_count=3).collect()}
+    # banana: fg 5/5 vs bg 5/20 -> strongly significant; apple: uniform -> score 0 (excluded)
+    assert "banana" in out and "apple" not in out
+    b = out["banana"]
+    assert (b["fg_count"], b["bg_count"]) == (5, 5)
+    fgp, bgp = 5 / 5, 5 / 20
+    assert b["score"] == round((fgp - bgp) * (fgp / bgp), 6)

@@ -304,3 +304,41 @@ def search_phrase(
         .orderBy(F.desc("phrase_freq"), F.asc(id_col))
         .limit(k)
     )
+
+
+def significant_terms(
+    df: DataFrame,
+    subset: Column,
+    text_col: str = "text",
+    k: int = 10,
+    min_doc_count: int = 3,
+) -> DataFrame:
+    """ES ``significant_terms`` aggregation: terms overrepresented in the
+    ``subset`` docs vs the whole corpus, JLH-scored
+    (``(fgP - bgP) * (fgP / bgP)`` over document frequencies).
+
+    One pass, no join: explode each doc's DISTINCT tokens, then a single
+    hash-agg per term with a conditional foreground count (map-side
+    partial). Background totals are two scalars. Deterministic top-k by
+    (score desc, term asc)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    exploded = df.select(subset.alias("_fg"), F.explode(toks).alias("term"))
+    totals = df.agg(
+        F.count(F.lit(1)).alias("n_bg"),
+        F.sum(subset.cast("long")).alias("n_fg"),
+    ).first()
+    n_bg, n_fg = totals["n_bg"], totals["n_fg"] or 0
+    per_term = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bg_count"),
+        F.sum(F.col("_fg").cast("long")).alias("fg_count"),
+    )
+    fg_p = F.col("fg_count") / F.lit(float(n_fg or 1))
+    bg_p = F.col("bg_count") / F.lit(float(n_bg))
+    return (
+        per_term.filter(F.col("fg_count") >= min_doc_count)
+        .withColumn("score", F.round((fg_p - bg_p) * (fg_p / bg_p), 6))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+        .select("term", "fg_count", "bg_count", "score")
+    )

@@ -2216,6 +2216,45 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# significant_terms (operators/search.significant_terms): ES aggregation —
+# terms overrepresented in a foreground subset vs the corpus, JLH-scored.
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.significant_terms(docs, F.col("source") == "src1", k=10)
+
+
+SQL_significant_terms = """
+WITH t AS (
+  SELECT source = 'src1' AS fg,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS term
+  FROM documents
+),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_bg,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS DOUBLE) AS n_fg
+  FROM documents
+),
+pt AS (
+  SELECT term, count(*) AS bg_count,
+         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count
+  FROM t GROUP BY 1
+),
+scored AS (
+  SELECT term, fg_count, bg_count,
+         round((fg_count / (SELECT n_fg FROM tot)
+                - bg_count / (SELECT n_bg FROM tot))
+               * (fg_count / (SELECT n_fg FROM tot))
+               / (bg_count / (SELECT n_bg FROM tot)), 6) AS score
+  FROM pt WHERE fg_count >= 3
+)
+SELECT term, fg_count, bg_count, score FROM scored
+WHERE score > 0 ORDER BY score DESC, term ASC LIMIT 10
+"""
+
+
 # match_phrase (operators/search.search_phrase): positional token-sequence
 # match (ES match_phrase), scored by occurrence count.
 
@@ -2622,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_rfc_gate": q_robots_rfc_gate,
     "search_phrase": q_search_phrase,
     "value_percentiles": q_value_percentiles,
+    "significant_terms": q_significant_terms,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2714,6 +2754,7 @@ ORACLE_SQL: dict[str, str] = {
     "robots_rfc_gate": SQL_robots_rfc_gate,
     "search_phrase": SQL_search_phrase,
     "value_percentiles": SQL_value_percentiles,
+    "significant_terms": SQL_significant_terms,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
