@@ -624,3 +624,26 @@ def test_significant_terms_jlh(spark):
     assert (b["fg_count"], b["bg_count"]) == (5, 5)
     fgp, bgp = 5 / 5, 5 / 20
     assert b["score"] == round((fgp - bgp) * (fgp / bgp), 6)
+
+
+def test_more_like_this_and_collapse(spark):
+    from webcrawler_spark.operators.search import more_like_this, search_collapse
+
+    rows = [
+        (1, "s1", "zebra quantum flux common common filler"),
+        (2, "s1", "zebra quantum other words here common filler"),
+        (3, "s2", "quantum flux deep content common filler"),
+        (4, "s2", "totally unrelated text body common filler"),
+        (5, "s3", "zebra flux quantum trio match common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    mlt = [(r["doc_id"], r["mlt_score"]) for r in
+           more_like_this(df, like_id=1, max_query_terms=3, k=5).collect()]
+    # doc 1's rare terms (zebra/quantum/flux beat 'common' on idf): doc5
+    # shares 3, doc2/doc3 share 2, doc4 none
+    assert mlt[0] == (5, 3)
+    assert set(mlt[1:]) == {(2, 2), (3, 2)}
+    col = search_collapse(df, ["zebra", "quantum", "flux"], k=5).collect()
+    # one hit per source, best first: doc1 (s1, 3), doc5 (s3, 3), doc3 (s2, 2)
+    assert [(r["doc_id"], r["source"], r["score"]) for r in col] == [
+        (1, "s1", 3), (5, "s3", 3), (3, "s2", 2)]

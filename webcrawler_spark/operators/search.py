@@ -342,3 +342,81 @@ def significant_terms(
         .limit(k)
         .select("term", "fg_count", "bg_count", "score")
     )
+
+
+def more_like_this(
+    df: DataFrame,
+    like_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_query_terms: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """ES ``more_like_this``: select the source doc's most characteristic
+    terms by tf-idf (tf * ln(N/df), ES's interestingness ranking,
+    ``max_query_terms`` cap), then score every other doc by how many of
+    those terms it contains.
+
+    The query-term set is driver-side but bounded (``max_query_terms``
+    rows — the same bounded-metadata class as an ANN query vector); doc
+    frequencies come from one distinct-token explode + hash-agg."""
+    import math
+
+    n_docs = df.count()
+    toks = tokens(F.col(text_col))
+    term_tf = (
+        df.filter(F.col(id_col) == like_id)
+        .select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        df.select(F.explode(F.array_distinct(toks)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ranked = (
+        term_tf.join(dfreq, "term")
+        .withColumn(
+            "tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(max_query_terms)
+    )
+    query_terms = [r["term"] for r in ranked.collect()]
+    scored = df.filter(F.col(id_col) != like_id).select(
+        F.col(id_col), match_score(F.col(text_col), query_terms).alias("mlt_score")
+    )
+    return (
+        scored.filter(F.col("mlt_score") > 0)
+        .orderBy(F.desc("mlt_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def search_collapse(
+    df: DataFrame,
+    query_tokens: list[str],
+    collapse_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """ES field collapsing: score docs, keep only the best hit per
+    ``collapse_col`` group (one result per host/source), then the global
+    top-k. One window per group over the scored, filtered set."""
+    from pyspark.sql import Window
+
+    scored = df.select(
+        F.col(id_col),
+        F.col(collapse_col),
+        match_score(F.col(text_col), query_tokens).alias("score"),
+    ).filter(F.col("score") > 0)
+    w = Window.partitionBy(collapse_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2216,6 +2216,81 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# more_like_this (operators/search.more_like_this): ES MLT — tf-idf top
+# terms of the source doc, other docs scored by shared-term count.
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.more_like_this(docs, like_id=7, max_query_terms=10, k=10)
+
+
+SQL_more_like_this = """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+src_tf AS (
+  SELECT t.term, count(*) AS tf
+  FROM documents,
+       LATERAL unnest(list_filter(
+         string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS t(term)
+  WHERE doc_id = 7 GROUP BY 1
+),
+dfreq AS (
+  SELECT t.term, count(*) AS df
+  FROM documents,
+       LATERAL unnest(list_distinct(list_filter(
+         string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS t(term)
+  GROUP BY 1
+),
+qterms AS (
+  SELECT src_tf.term
+  FROM src_tf JOIN dfreq ON src_tf.term = dfreq.term
+  ORDER BY tf * ln((SELECT n_docs FROM n) / df) DESC, src_tf.term ASC
+  LIMIT 10
+),
+dtoks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS toks
+  FROM documents WHERE doc_id <> 7
+),
+scored AS (
+  SELECT doc_id, len(list_intersect(toks, ql.qlist)) AS mlt_score
+  FROM dtoks CROSS JOIN (SELECT list(term) AS qlist FROM qterms) ql
+)
+SELECT doc_id, mlt_score FROM scored WHERE mlt_score > 0
+ORDER BY mlt_score DESC, doc_id ASC LIMIT 10
+"""
+
+
+# ES field collapsing (operators/search.search_collapse): best hit per
+# source group, then global top-k.
+
+
+def q_search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_collapse(docs, _QUERY_TOKENS, k=10)
+
+
+SQL_search_collapse = """
+WITH scored AS (
+  SELECT doc_id, source,
+         len(list_intersect(
+           list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')),
+           ['customer', 'window', 'batch'])) AS score
+  FROM documents
+),
+best AS (
+  SELECT doc_id, source, score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id ASC) AS r
+  FROM scored WHERE score > 0
+)
+SELECT doc_id, source, score FROM best WHERE r = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # significant_terms (operators/search.significant_terms): ES aggregation —
 # terms overrepresented in a foreground subset vs the corpus, JLH-scored.
 
@@ -2662,6 +2737,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_phrase": q_search_phrase,
     "value_percentiles": q_value_percentiles,
     "significant_terms": q_significant_terms,
+    "more_like_this": q_more_like_this,
+    "search_collapse": q_search_collapse,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2755,6 +2832,8 @@ ORACLE_SQL: dict[str, str] = {
     "search_phrase": SQL_search_phrase,
     "value_percentiles": SQL_value_percentiles,
     "significant_terms": SQL_significant_terms,
+    "more_like_this": SQL_more_like_this,
+    "search_collapse": SQL_search_collapse,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
