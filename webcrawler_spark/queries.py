@@ -2216,6 +2216,94 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# Corpus length histogram: log2-bucketed token counts per source — the
+# standard corpus-report shape for training-data length distributions.
+
+
+def q_corpus_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), _TOKEN_RE), lambda t: t != ""))
+    bucket = F.floor(F.log2(F.greatest(n_tok, F.lit(1)))).cast("int")
+    return (
+        docs.select("source", bucket.alias("len_bucket"), n_tok.alias("n"))
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+SQL_corpus_histogram = """
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '')) AS n
+  FROM documents
+)
+SELECT source, CAST(floor(log2(greatest(n, 1))) AS INT) AS len_bucket,
+       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+# Host degree stats over a link table: out/in degree + distinct peers per
+# host — the link-graph health report feeding crawl prioritization.
+
+
+def q_host_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    links = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), (F.col("o_custkey") % 50).cast("string")).alias("src_host"),
+            F.concat(F.lit("s"), (F.col("l_suppkey") % 30).cast("string")).alias("dst_host"),
+        )
+    )
+    out_deg = links.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("out_links"),
+        F.countDistinct("dst_host").alias("out_hosts"),
+    )
+    in_deg = links.groupBy(F.col("dst_host").alias("host")).agg(
+        F.count(F.lit(1)).alias("in_links"),
+        F.countDistinct("src_host").alias("in_hosts"),
+    )
+    return (
+        out_deg.join(in_deg, "host", "full")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+        )
+    )
+
+
+SQL_host_degree_stats = """
+WITH links AS (
+  SELECT 'c' || CAST(o_custkey % 50 AS VARCHAR) AS src_host,
+         's' || CAST(l_suppkey % 30 AS VARCHAR) AS dst_host
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+o AS (
+  SELECT src_host AS host, count(*) AS out_links,
+         count(DISTINCT dst_host) AS out_hosts
+  FROM links GROUP BY 1
+),
+i AS (
+  SELECT dst_host AS host, count(*) AS in_links,
+         count(DISTINCT src_host) AS in_hosts
+  FROM links GROUP BY 1
+)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(out_links, 0) AS out_links, coalesce(out_hosts, 0) AS out_hosts,
+       coalesce(in_links, 0) AS in_links, coalesce(in_hosts, 0) AS in_hosts
+FROM o FULL JOIN i ON o.host = i.host
+"""
+
+
 # more_like_this (operators/search.more_like_this): ES MLT — tf-idf top
 # terms of the source doc, other docs scored by shared-term count.
 
@@ -2739,6 +2827,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "significant_terms": q_significant_terms,
     "more_like_this": q_more_like_this,
     "search_collapse": q_search_collapse,
+    "corpus_histogram": q_corpus_histogram,
+    "host_degree_stats": q_host_degree_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
@@ -2834,6 +2924,8 @@ ORACLE_SQL: dict[str, str] = {
     "significant_terms": SQL_significant_terms,
     "more_like_this": SQL_more_like_this,
     "search_collapse": SQL_search_collapse,
+    "corpus_histogram": SQL_corpus_histogram,
+    "host_degree_stats": SQL_host_degree_stats,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
