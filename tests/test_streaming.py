@@ -138,3 +138,63 @@ def test_streaming_seen_set_anti_join(spark, dirs):
     I.run_ingest(I.stream_candidates(spark, dirs["in"]), dirs["out"], dirs["ckpt"], seen=seen)
     out = {r["url_norm"] for r in spark.read.parquet(dirs["out"]).collect()}
     assert out == {"https://site2.com/b", "https://site4.com/d"}
+
+
+def test_streaming_sessionize_timeout_close(spark, tmp_path):
+    """Event-time sessionization: a session emits once the watermark passes
+    last_event + gap; open sessions stay in state. Within-batch gaps close
+    immediately."""
+    import pandas as pd
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    # batch 1: users 1, 2 (user 1 has a within-batch gap -> 2 sessions)
+    write("b1.parquet", [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:05"),
+        (1, "2024-01-01 00:10:00"),  # > 60s gap -> closes first session inline
+        (2, "2024-01-01 00:00:03"),
+    ])
+    write("b2.parquet", [(3, "2024-01-01 01:00:00")])
+    write("b3.parquet", [(4, "2024-01-01 02:00:00")])
+
+    from webcrawler_spark.streaming.ingest import streaming_sessionize
+
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 seconds")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_sessionize(events, gap_seconds=60)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # user 1's first session closed by the within-batch gap; the second
+    # (00:10:00) and user 2's time out once the watermark passes last+60s;
+    # user 3 closes in the final no-data batch (watermark 01:59:50 > its
+    # 01:01:00 timeout); user 4 stays open — the watermark never passes
+    # 02:01:00, so no session row is emitted for it
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:00:05", 2),
+        (1, "2024-01-01 00:10:00", "2024-01-01 00:10:00", 1),
+        (2, "2024-01-01 00:00:03", "2024-01-01 00:00:03", 1),
+        (3, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
+    }

@@ -147,3 +147,87 @@ def host_rate_gate(deduped: DataFrame, budget_per_host: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def streaming_sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Event-time session windows with timeout-based close (the streaming
+    form of operators/sessions.sessionize: same gap rule, but sessions
+    EMIT when the watermark passes last_event + gap instead of at
+    end-of-batch). applyInPandasWithState keyed by user_id with
+    EventTimeTimeout; state is three longs per open session — at web scale
+    the state store holds one tiny row per ACTIVE user, not per event.
+
+    ``events`` must carry (user_id long, ts timestamp) WITH a watermark
+    already applied (the timeout clock is the watermark)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def sessionize(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # Arrow hands timestamps to pandas as datetime64[ns]
+            ts_us = (
+                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            ).sort_values()
+            for t in ts_us:
+                if start_us is None:
+                    start_us, last_us = int(t), int(t)
+                elif t - last_us > gap_us:
+                    # gap within arriving data: close the old session now
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "session_start": [pd.Timestamp(start_us, unit="us")],
+                            "session_end": [pd.Timestamp(last_us, unit="us")],
+                            "n_events": [n],
+                        }
+                    )
+                    start_us, last_us, n = int(t), int(t), 0
+                else:
+                    last_us = max(last_us, int(t))
+                n += 1
+        if start_us is not None:
+            state.update((start_us, last_us, n))
+            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        sessionize,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
