@@ -233,3 +233,33 @@ def test_mirror_hosts_all_native(spark):
     test_operators_spark.test_mirror_hosts_cap_and_jaccard."""
     plan = plan_str(entry_mod.queries()["mirror_hosts"](spark, SF_DIR), "extended")
     assert "EvalPython" not in plan
+
+
+def test_bucketed_seen_anti_join_shuffles_probe_side_only(spark):
+    """SCALE.md §2's storage-partitioned-join claim, demonstrated: with the
+    seen table stored bucketed on url_fp (Iceberg bucket(url_fp) analog),
+    the anti-join shuffles ONLY the candidate side — the accumulated seen
+    table is read bucket-aligned (Bucketed: true scan, no Exchange above
+    it). At 10^10 rows that is the difference between shuffling 10 GB of
+    candidates and shuffling a 900 GB table every epoch."""
+    spark.sql("DROP TABLE IF EXISTS seen_bucketed_audit")
+    seen = spark.range(100_000).select(F.xxhash64("id").alias("url_fp"))
+    (seen.write.bucketBy(8, "url_fp").sortBy("url_fp")
+         .mode("overwrite").saveAsTable("seen_bucketed_audit"))
+    try:
+        # half the candidates are genuinely new
+        cand = spark.range(4000).select(
+            F.xxhash64(F.col("id") + 98_000).alias("url_fp")
+        )
+        new = cand.join(spark.table("seen_bucketed_audit").hint("merge"),
+                        "url_fp", "left_anti")
+        plan = plan_str(new, "simple")
+        assert plan.count("Exchange") == 1, plan
+        assert "Bucketed: true" in plan
+        # exchange sits above the candidate range, not the bucketed scan
+        scan_idx = plan.index("Bucketed: true")
+        assert "Exchange" not in plan[scan_idx:]
+        # and the join is correct: ids 100000..101999 are unseen
+        assert new.count() == 2000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_bucketed_audit")

@@ -198,3 +198,55 @@ def test_streaming_sessionize_timeout_close(spark, tmp_path):
         (2, "2024-01-01 00:00:03", "2024-01-01 00:00:03", 1),
         (3, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
     }
+
+
+def test_stream_to_catalog_exactly_once(spark, dirs, tmp_path):
+    """Streaming ingest commits each micro-batch as a catalog epoch;
+    replays of committed batches are no-ops; resume picks up only new
+    files; readers see exactly the committed union."""
+    from webcrawler_spark.storage.catalog import Catalog
+    from webcrawler_spark.streaming.ingest import (
+        commit_stream_batch,
+        stream_to_catalog,
+        stream_candidates,
+        canonical_dedup_stream,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    _write_batch(
+        f"{dirs['in']}/b1.parquet",
+        [("https://s1.com/a", None, 0, 0, "2024-01-01 00:00:00"),
+         ("https://s2.com/b", None, 0, 0, "2024-01-01 00:00:01")],
+    )
+    stream = canonical_dedup_stream(stream_candidates(spark, dirs["in"]))
+    stream_to_catalog(stream.select("url_norm", "url_fp", "host"), cat, dirs["ckpt"])
+    e0 = cat.last_committed_epoch()
+    assert e0 is not None
+    seen0 = {r["url_norm"] for r in cat.read_delta_union("seen", e0).collect()}
+    assert seen0 == {"https://s1.com/a", "https://s2.com/b"}
+
+    # new file arrives; resume from the same checkpoint -> one more epoch
+    # (batch ids from the checkpoint may skip over trailing empty batches,
+    # so epoch ids are monotone but not necessarily dense)
+    _write_batch(
+        f"{dirs['in']}/b2.parquet",
+        [("https://s3.com/c", None, 0, 0, "2024-01-01 00:01:00")],
+    )
+    stream = canonical_dedup_stream(stream_candidates(spark, dirs["in"]))
+    stream_to_catalog(stream.select("url_norm", "url_fp", "host"), cat, dirs["ckpt"])
+    e1 = cat.last_committed_epoch()
+    assert e1 > e0
+    seen1 = {r["url_norm"] for r in cat.read_delta_union("seen", e1).collect()}
+    assert seen1 == seen0 | {"https://s3.com/c"}
+
+    # no new files -> no new epochs
+    stream = canonical_dedup_stream(stream_candidates(spark, dirs["in"]))
+    stream_to_catalog(stream.select("url_norm", "url_fp", "host"), cat, dirs["ckpt"])
+    assert cat.last_committed_epoch() == e1
+
+    # direct replay of a committed batch id is a no-op (exactly-once)
+    replay = spark.createDataFrame(
+        [("https://dup.com/x", 1, "dup.com")], "url_norm string, url_fp long, host string"
+    )
+    assert commit_stream_batch(cat, "seen", e1, replay) == 0
+    assert {r["url_norm"] for r in cat.read_delta_union("seen", e1).collect()} == seen1

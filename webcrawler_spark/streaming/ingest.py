@@ -231,3 +231,47 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def commit_stream_batch(cat, table: str, epoch: int, batch_df: DataFrame) -> int:
+    """Stage + commit one micro-batch as a catalog epoch, idempotently.
+
+    Structured Streaming replays a failed batch under the SAME batch_id;
+    both halves tolerate that: `Catalog.stage` overwrites the (uncommitted)
+    epoch dir, and a batch whose epoch is already in the manifest is
+    skipped entirely. Data staged by a crash that never reached
+    commit_epoch is invisible to readers (snapshot isolation) and simply
+    overwritten on replay."""
+    committed = cat.last_committed_epoch()
+    if committed is not None and committed >= epoch:
+        return 0  # replay of an already-committed batch
+    n = cat.stage(table, epoch, batch_df)
+    cat.commit_epoch(epoch, {table: n}, {"epoch": epoch, "rows": n})
+    return n
+
+
+def stream_to_catalog(
+    deduped: DataFrame,
+    cat,
+    checkpoint: str,
+    table: str = "seen",
+    base_epoch: int = 0,
+) -> None:
+    """foreachBatch sink: the streaming ingest feeds the SAME
+    snapshot-versioned tables the batch epochs read — each micro-batch
+    becomes one committed catalog epoch (``base_epoch + batch_id``),
+    exactly-once (see :func:`commit_stream_batch`). Use a dedicated
+    catalog root (or table) per stream; epoch ids must stay monotone."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # availableNow can fire a trailing empty batch
+        commit_stream_batch(cat, table, base_epoch + int(batch_id), batch_df)
+
+    q = (
+        deduped.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
