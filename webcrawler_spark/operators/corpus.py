@@ -177,3 +177,44 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+def sequence_plan(
+    docs: DataFrame,
+    seq_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing plan: map each doc onto the fixed-length
+    token sequences it feeds (the final LLM-data step — documents
+    concatenated per source stream in deterministic (source, id) order,
+    chunked into ``seq_len``-token training sequences that CROSS doc
+    boundaries). Computed without materializing a single token: one
+    per-source cumulative-sum window gives every doc its global token
+    offset, and the sequence indices fall out arithmetically —
+
+        seq_first    = floor(cum_before / L)
+        seq_last     = floor((cum_before + n - 1) / L)
+        first_offset = cum_before % L   (doc's first token within seq_first)
+
+    Per-source streams keep the window partitioned (pack_shards' rule: a
+    GLOBAL order cumsum would be a single-partition window); training
+    mixtures are assembled per source anyway. Empty docs are dropped."""
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    n = whitespace_tokens(F.col(text_col))
+    d = docs.select(
+        F.col(source_col).alias("source"), F.col(id_col).alias("doc_id"), n.alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    cum = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("cum_before")
+    return d.select("source", "doc_id", "n_tokens", cum).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / seq_len).cast("long").alias("seq_first"),
+        F.floor((F.col("cum_before") + F.col("n_tokens") - 1) / seq_len)
+        .cast("long")
+        .alias("seq_last"),
+        (F.col("cum_before") % seq_len).cast("long").alias("first_offset"),
+    )

@@ -2216,6 +2216,39 @@ FROM live WHERE length(host) % 2 = 0
 """
 
 
+# Training-sequence packing plan (operators/corpus.sequence_plan): docs ->
+# fixed-length token sequences (crossing doc boundaries) via one
+# per-source cumsum window; no token materialization.
+
+
+def q_sequence_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.corpus import sequence_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_plan(docs, seq_len=512)
+
+
+SQL_sequence_plan = """
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens
+           AS cum_before
+  FROM d WHERE n_tokens > 0
+)
+SELECT source, doc_id, n_tokens, cum_before,
+       CAST(floor(cum_before / 512) AS BIGINT) AS seq_first,
+       CAST(floor((cum_before + n_tokens - 1) / 512) AS BIGINT) AS seq_last,
+       CAST(cum_before % 512 AS BIGINT) AS first_offset
+FROM c
+"""
+
+
 # Corpus length histogram: log2-bucketed token counts per source — the
 # standard corpus-report shape for training-data length distributions.
 
@@ -2828,6 +2861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "more_like_this": q_more_like_this,
     "search_collapse": q_search_collapse,
     "corpus_histogram": q_corpus_histogram,
+    "sequence_plan": q_sequence_plan,
     "host_degree_stats": q_host_degree_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
@@ -2925,6 +2959,7 @@ ORACLE_SQL: dict[str, str] = {
     "more_like_this": SQL_more_like_this,
     "search_collapse": SQL_search_collapse,
     "corpus_histogram": SQL_corpus_histogram,
+    "sequence_plan": SQL_sequence_plan,
     "host_degree_stats": SQL_host_degree_stats,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
