@@ -78,10 +78,14 @@ def test_robots_join_broadcasts(spark, seeds_df, robots_df):
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
 def test_no_row_at_a_time_python(spark, name):
     """input_hint bans per-row Python: any Python in a plan must be
-    Arrow-batched (ArrowEvalPython), never BatchEvalPython."""
+    Arrow-batched (ArrowEvalPython), never BatchEvalPython. Same sweep
+    also bans unbroadcast Cartesian products repo-wide (broadcast
+    nested-loop joins against tiny dims are fine; a shuffled
+    CartesianProduct at web scale never is)."""
     df = entry_mod.queries()[name](spark, SF_DIR)
     plan = plan_str(df, "extended")
     assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+    assert "CartesianProduct" not in plan, f"{name} has a shuffled cartesian"
 
 
 def test_frontier_schedule_single_politeness_shuffle(spark, seeds_df, robots_df):
