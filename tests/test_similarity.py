@@ -204,3 +204,24 @@ def test_semantic_dedup_deterministic(spark):
     a = sorted(r["vec_id"] for r in QUERIES["semantic_dedup"](spark, "/root/testdata/sf0.001").collect())
     b = sorted(r["vec_id"] for r in QUERIES["semantic_dedup"](spark, "/root/testdata/sf0.001").collect())
     assert a == b and len(a) > 0
+
+
+def test_lang_margin_confidence(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import textstats as TS
+
+    rows = [
+        (1, "the quick brown fox and the lazy dog with their friends"),  # clear en
+        (2, "le la les et un une des dans the and of to"),               # fr/en mix
+        (3, "xyzzy plugh blorp"),                                        # no profile hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["lang"], r["m"]) for r in df.select(
+        "doc_id",
+        TS.lang_id_multi(F.col("text")).alias("lang"),
+        TS.lang_margin(F.col("text")).alias("m"),
+    ).collect()}
+    assert out[1][0] == "en" and out[1][1] >= 2   # confident English
+    assert out[2][1] < max(out[1][1], 2) or out[2][0] != "en"  # mixed -> low margin
+    assert out[3] == ("und", 0)

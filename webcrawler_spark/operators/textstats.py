@@ -234,3 +234,16 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two signed-64 fingerprints (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def lang_margin(text: Column) -> Column:
+    """Best minus second-best stopword-profile score — the detector's
+    confidence margin (0 = two languages tied; the standard gate before
+    trusting a language label in corpus filtering)."""
+    toks = F.array_distinct(tokens(text))
+    scores = [
+        F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in stops])))
+        for stops in LANG_STOPWORDS.values()
+    ]
+    arr = F.sort_array(F.array(*scores), asc=False)
+    return (arr[0] - arr[1]).cast("int")

@@ -536,6 +536,56 @@ FROM (
 SQL_lang_id_multi = _sql_lang_id_multi()
 
 
+# Language-ID confidence: best-minus-second profile margin + the standard
+# confidence gate used before trusting a label in corpus filtering.
+
+
+def q_lang_id_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lang = TS.lang_id_multi(F.col("text"))
+    margin = TS.lang_margin(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lang.alias("lang_pred"),
+        margin.alias("margin"),
+        ((lang == "zh") | ((lang != "und") & (margin >= 2))).alias("confident"),
+    )
+
+
+def _sql_lang_id_confident() -> str:
+    from .operators.textstats import LANG_STOPWORDS
+
+    scores = {lang: _lang_score_sql(st) for lang, st in LANG_STOPWORDS.items()}
+    n = len(scores)
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = "CASE WHEN best < 2 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in scores
+    ) + " END"
+    score_cols = ", ".join(f"{sql} AS s_{lang}" for lang, sql in scores.items())
+    arr = "list_sort([" + ", ".join(f"s_{lang}" for lang in scores) + "])"
+    return f"""
+SELECT doc_id, lang_pred, margin,
+       (lang_pred = 'zh' OR (lang_pred <> 'und' AND margin >= 2)) AS confident
+FROM (
+  SELECT doc_id,
+         CASE WHEN cjk::DOUBLE / greatest(length(text), 1) >= 0.15 THEN 'zh'
+              ELSE {case} END AS lang_pred,
+         CAST({arr}[{n}] - {arr}[{n - 1}] AS INT) AS margin
+  FROM (
+    SELECT *, {best} AS best FROM (
+      SELECT doc_id, text,
+             length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+             {score_cols}
+      FROM documents
+    )
+  )
+)
+"""
+
+
+SQL_lang_id_confident = _sql_lang_id_confident()
+
+
 # S8 at global-fetch-budget scale: exact top-k via quantile-threshold banding
 # (url-frontier/app.py:294-325's ORDER BY LIMIT, made band-bounded)
 
@@ -2862,6 +2912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_collapse": q_search_collapse,
     "corpus_histogram": q_corpus_histogram,
     "sequence_plan": q_sequence_plan,
+    "lang_id_confident": q_lang_id_confident,
     "host_degree_stats": q_host_degree_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
@@ -2960,6 +3011,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_collapse": SQL_search_collapse,
     "corpus_histogram": SQL_corpus_histogram,
     "sequence_plan": SQL_sequence_plan,
+    "lang_id_confident": SQL_lang_id_confident,
     "host_degree_stats": SQL_host_degree_stats,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
