@@ -196,13 +196,16 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
             )
             return
         start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        # a large group spans multiple Arrow chunks with NO cross-chunk time
+        # ordering — gather every chunk's timestamps before the one sorted
+        # pass, or a gap could be "seen" out of order
+        all_ts: list[pd.Series] = []
         for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # Arrow hands timestamps to pandas as datetime64[ns]
-            ts_us = (
-                pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-            ).sort_values()
+            if len(pdf):
+                # Arrow hands timestamps to pandas as datetime64[ns]
+                all_ts.append(pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
+        if all_ts:
+            ts_us = pd.concat(all_ts).sort_values()
             for t in ts_us:
                 if start_us is None:
                     start_us, last_us = int(t), int(t)
