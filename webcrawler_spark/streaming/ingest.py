@@ -120,25 +120,27 @@ def host_rate_gate(deduped: DataFrame, budget_per_host: int) -> DataFrame:
 
     def gate(key, pdfs, state):
         used = state.get[0] if state.exists else 0
-        out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("url_norm")
-            n = len(pdf)
-            admit = max(0, min(budget_per_host - used, n))
-            used += admit
-            status = ["scheduled"] * admit + ["deferred"] * (n - admit)
-            out.append(
-                pd.DataFrame(
-                    {
-                        "host": pdf["host"].values,
-                        "url_norm": pdf["url_norm"].values,
-                        "url_fp": pdf["url_fp"].values,
-                        "status": status,
-                    }
-                )
-            )
+        # gather all Arrow chunks first: a group spanning chunks has no
+        # cross-chunk ordering, and admission must follow ONE url_norm sort
+        # for the determinism guarantee
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((used,))
+            return
+        pdf = pd.concat(chunks).sort_values("url_norm")
+        n = len(pdf)
+        admit = max(0, min(budget_per_host - used, n))
+        used += admit
+        status = ["scheduled"] * admit + ["deferred"] * (n - admit)
         state.update((used,))
-        yield from out
+        yield pd.DataFrame(
+            {
+                "host": pdf["host"].values,
+                "url_norm": pdf["url_norm"].values,
+                "url_fp": pdf["url_fp"].values,
+                "status": status,
+            }
+        )
 
     return deduped.groupBy("host").applyInPandasWithState(
         gate,
