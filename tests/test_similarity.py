@@ -225,3 +225,31 @@ def test_lang_margin_confidence(spark):
     assert out[1][0] == "en" and out[1][1] >= 2   # confident English
     assert out[2][1] < max(out[1][1], 2) or out[2][0] != "en"  # mixed -> low margin
     assert out[3] == ("und", 0)
+
+
+def test_resize_media_plumbing(spark):
+    """Aspect-fit dims: never upscale, floor-of-1, audio passthrough; the
+    mapInPandas stage carries dims + payload; the real-codec slot raises."""
+    import pytest as _pytest
+
+    from webcrawler_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, "image", 3840, 2160, b"\x01" * 8),   # downscale 6x -> 640x360
+        (2, "image", 320, 200, b"\x02" * 8),     # smaller than box: untouched
+        (3, "image", 10000, 2, b"\x03" * 8),     # extreme aspect -> floor 1
+        (4, "audio", 999, 777, b"\x04" * 8),     # audio passthrough
+        (5, "video", 1280, 960, b"\x05" * 8),    # 0.5 scale exact
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, payload binary"
+    )
+    out = {r["media_id"]: r for r in resize_media(df, 640, 480).collect()}
+    assert (out[1]["target_w"], out[1]["target_h"]) == (640, 360)
+    assert (out[2]["target_w"], out[2]["target_h"]) == (320, 200)
+    assert (out[3]["target_w"], out[3]["target_h"]) == (640, 1)
+    assert (out[4]["target_w"], out[4]["target_h"]) == (999, 777)
+    assert (out[5]["target_w"], out[5]["target_h"]) == (640, 480)
+    assert out[1]["payload"] == b"\x01" * 8  # stub passthrough
+    with _pytest.raises(Exception, match="NotImplementedError|resample"):
+        resize_media(df, 640, 480, decode_stub=False).collect()

@@ -74,3 +74,59 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "target_w int, target_h int, payload binary"
+)
+
+
+def resize_dims(width, height, max_w: int, max_h: int):
+    """Aspect-preserving fit into ``max_w x max_h``, never upscaling:
+    scale = min(max_w/w, max_h/h, 1), floor to pixels, floor of 1. Pure
+    Column arithmetic (the real part of a resize stage — the pixel
+    resample is the codec stub); returns (target_w, target_h)."""
+    w = F.col(width) if isinstance(width, str) else width
+    h = F.col(height) if isinstance(height, str) else height
+    scale = F.least(
+        F.lit(float(max_w)) / w, F.lit(float(max_h)) / h, F.lit(1.0)
+    )
+    tw = F.greatest(F.floor(w * scale), F.lit(1)).cast("int")
+    th = F.greatest(F.floor(h * scale), F.lit(1)).cast("int")
+    return tw, th
+
+
+def resize_media(
+    media: DataFrame, max_w: int, max_h: int, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas resize stage: target dims via :func:`resize_dims`
+    (computed JVM-side before the Python crossing, so the batch carries
+    them), pixel resample stubbed — payload passes through unchanged with
+    ``decode_stub=True``; ``False`` raises where the PIL/ffmpeg call
+    belongs. Partitioning preserved; only image/video rows are resized,
+    audio passes through with target dims = source dims."""
+    tw, th = resize_dims("width", "height", max_w, max_h)
+    staged = media.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.when(F.col("kind").isin("image", "video"), tw)
+        .otherwise(F.col("width"))
+        .alias("target_w"),
+        F.when(F.col("kind").isin("image", "video"), th)
+        .otherwise(F.col("height"))
+        .alias("target_h"),
+        "payload",
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real pixel resample requires PIL/ffmpeg — not in container"
+                )
+            yield pdf  # stub: dims recorded, payload passthrough
+
+    return staged.mapInPandas(_resample, schema=RESIZE_SCHEMA)

@@ -2299,6 +2299,39 @@ FROM c
 """
 
 
+# Media resize plan (operators/multimodal.resize_dims): aspect-preserving
+# fit arithmetic — the native half of the resize stage (pixel resample is
+# the documented codec stub). Media dims synthesized from part.
+
+
+def q_media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_dims
+
+    part = _t(spark, sf_dir, "part")
+    dims = part.select(
+        F.col("p_partkey").alias("media_id"),
+        ((F.col("p_partkey") * 131) % 3840 + 16).cast("int").alias("width"),
+        ((F.col("p_partkey") * 197) % 2160 + 16).cast("int").alias("height"),
+    )
+    tw, th = resize_dims("width", "height", 640, 480)
+    return dims.select("media_id", "width", "height",
+                       tw.alias("target_w"), th.alias("target_h"))
+
+
+SQL_media_resize_plan = """
+WITH d AS (
+  SELECT p_partkey AS media_id,
+         CAST((p_partkey * 131) % 3840 + 16 AS INT) AS width,
+         CAST((p_partkey * 197) % 2160 + 16 AS INT) AS height
+  FROM part
+)
+SELECT media_id, width, height,
+       CAST(greatest(floor(width * least(640.0 / width, 480.0 / height, 1.0)), 1) AS INT) AS target_w,
+       CAST(greatest(floor(height * least(640.0 / width, 480.0 / height, 1.0)), 1) AS INT) AS target_h
+FROM d
+"""
+
+
 # Corpus length histogram: log2-bucketed token counts per source — the
 # standard corpus-report shape for training-data length distributions.
 
@@ -2913,6 +2946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_histogram": q_corpus_histogram,
     "sequence_plan": q_sequence_plan,
     "lang_id_confident": q_lang_id_confident,
+    "media_resize_plan": q_media_resize_plan,
     "host_degree_stats": q_host_degree_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
@@ -3012,6 +3046,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_histogram": SQL_corpus_histogram,
     "sequence_plan": SQL_sequence_plan,
     "lang_id_confident": SQL_lang_id_confident,
+    "media_resize_plan": SQL_media_resize_plan,
     "host_degree_stats": SQL_host_degree_stats,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
