@@ -679,3 +679,28 @@ def test_sequence_plan_covers_stream_exactly(spark):
                    for d in (0, 1, 3))
     assert spans[0][0] == 0 and all(
         spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_shard_rebalance_plan(spark):
+    from webcrawler_spark.operators.scheduler import shard_rebalance_plan
+
+    # shard 0 massively hot (3 hosts), shards 1..3 light
+    rows = [
+        ("a", 100.0, 0), ("b", 60.0, 0), ("c", 10.0, 0),
+        ("d", 10.0, 1), ("e", 10.0, 2), ("f", 10.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "host string, load double, shard int")
+    plan = {r["host"]: r for r in shard_rebalance_plan(df, n_shards=4, tolerance=0.2).collect()}
+    # total 200, cap = ceil(200/4*1.2) = 60; shard0 load 170, excess 110:
+    # largest-first -> move a (cum_before 0 < 110) and b (100 < 110), not c
+    assert set(plan) == {"a", "b"}
+    # destinations round-robin over the 3 underloaded shards ranked by load
+    # (ties by shard id: 1, 2, 3): a -> 1, b -> 2
+    assert plan["a"]["from_shard"] == 0 and plan["a"]["to_shard"] == 1
+    assert plan["b"]["to_shard"] == 2
+    # balanced input -> empty plan
+    even = spark.createDataFrame(
+        [("w", 10.0, 0), ("x", 10.0, 1), ("y", 10.0, 2), ("z", 10.0, 3)],
+        "host string, load double, shard int",
+    )
+    assert shard_rebalance_plan(even, n_shards=4).count() == 0

@@ -302,3 +302,91 @@ def recrawl_schedule(
         F.round(rate, 6).alias("change_rate"),
         interval.cast("int").alias("interval_epochs"),
     )
+
+
+def shard_rebalance_plan(
+    host_loads: DataFrame,
+    n_shards: int,
+    tolerance: float = 0.2,
+    host_col: str = "host",
+    load_col: str = "load",
+) -> DataFrame:
+    """Shard overload repair (P9 beyond salting): which hosts to MOVE.
+
+    Hash-sharding plus hot hosts leaves some shards persistently over
+    capacity; salting fixes the within-job skew but not the standing
+    assignment. This emits a deterministic minimal-move plan:
+
+    - shard capacity = ceil(mean load * (1 + tolerance));
+    - in each overloaded shard, hosts ranked by (load desc, host asc) are
+      moved until the remainder fits — largest-first covers the excess
+      with the fewest moved hosts;
+    - moved hosts go round-robin (by global move rank) onto the shards
+      ranked least-loaded — deterministic, no iteration.
+
+    Pure windows + one tiny shard-level aggregate (n_shards rows,
+    broadcast); the host table shuffles once on shard. Returns
+    (host, load, from_shard, to_shard). The sticky-assignment override
+    table (host -> to_shard) is dimension-scale, broadcast at join time —
+    the same shape the reference's Redis shard map would occupy.
+    """
+    from ..functions import columns as C
+
+    cols = [
+        F.col(host_col).alias("host"),
+        F.col(load_col).cast("double").alias("load"),
+    ]
+    if "shard" in host_loads.columns:
+        # caller-provided current assignment (e.g. a sticky override table)
+        h = host_loads.select(*cols, F.col("shard").cast("int").alias("shard"))
+    else:
+        h = host_loads.select(*cols).withColumn(
+            "shard", C.shard_id(F.col("host"), n_shards)
+        )
+
+    shard_tot = h.groupBy("shard").agg(F.sum("load").alias("shard_load"))
+    totals = shard_tot.agg(
+        F.sum("shard_load").alias("total"), F.count(F.lit(1)).alias("n_used")
+    )
+    cap_df = totals.select(
+        F.ceil(F.col("total") / n_shards * (1.0 + tolerance)).alias("cap")
+    )
+    shard_tot = shard_tot.crossJoin(F.broadcast(cap_df))
+
+    over = shard_tot.filter(F.col("shard_load") > F.col("cap")).select(
+        "shard", (F.col("shard_load") - F.col("cap")).alias("excess")
+    )
+    w_host = Window.partitionBy("shard").orderBy(F.desc("load"), F.asc("host"))
+    in_over = h.join(F.broadcast(over), "shard")
+    moved = (
+        in_over.withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("load").over(w_host.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("cum_before") < F.col("excess"))
+        .select("host", "load", F.col("shard").alias("from_shard"))
+    )
+
+    under = (
+        shard_tot.filter(F.col("shard_load") <= F.col("cap"))
+        .withColumn(
+            "slot",
+            F.row_number().over(Window.orderBy(F.asc("shard_load"), F.asc("shard"))),
+        )
+        .select("shard", "slot")
+    )
+    n_under = under.count()
+    if n_under == 0:
+        return moved.select(
+            "host", "load", "from_shard", F.col("from_shard").alias("to_shard")
+        ).limit(0)
+    w_move = Window.orderBy(F.desc("load"), F.asc("host"))
+    return (
+        moved.withColumn("move_rank", F.row_number().over(w_move))
+        .withColumn("slot", (F.col("move_rank") - 1) % n_under + 1)
+        .join(F.broadcast(under), "slot")
+        .select("host", "load", "from_shard", F.col("shard").alias("to_shard"))
+    )

@@ -2299,6 +2299,72 @@ FROM c
 """
 
 
+# Shard rebalance plan (operators/scheduler.shard_rebalance_plan): P9
+# standing-overload repair — minimal host moves off overloaded shards,
+# round-robin onto the least-loaded. Host loads from events; the current
+# shard comes precomputed (user-id mod) so the oracle shares it.
+
+
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scheduler import shard_rebalance_plan
+
+    events = _t(spark, sf_dir, "events")
+    loads = (
+        events.withColumn("host", F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("load"))
+        # skew: make a few hosts hot so some shards overload
+        .withColumn(
+            "load",
+            F.when(F.col("host").isin("h0", "h1"), F.col("load") * 20).otherwise(F.col("load")),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.substring("host", 2, 10).cast("int"), F.lit(4)).cast("int"),
+        )
+    )
+    return shard_rebalance_plan(loads, n_shards=4, tolerance=0.2)
+
+
+SQL_shard_rebalance = """
+WITH loads0 AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host, count(*) AS n
+  FROM events GROUP BY 1
+),
+loads AS (
+  SELECT host,
+         CAST(CASE WHEN host IN ('h0', 'h1') THEN n * 20 ELSE n END AS DOUBLE) AS load,
+         CAST(CAST(substr(host, 2) AS INT) % 4 AS INT) AS shard
+  FROM loads0
+),
+st AS (SELECT shard, sum(load) AS shard_load FROM loads GROUP BY 1),
+cap AS (SELECT ceil(sum(shard_load) / 4 * 1.2) AS cap FROM st),
+over_s AS (
+  SELECT shard, shard_load - (SELECT cap FROM cap) AS excess
+  FROM st WHERE shard_load > (SELECT cap FROM cap)
+),
+moved AS (
+  SELECT host, load, loads.shard AS from_shard
+  FROM loads JOIN over_s ON loads.shard = over_s.shard
+  QUALIFY coalesce(sum(load) OVER (PARTITION BY loads.shard
+            ORDER BY load DESC, host ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < excess
+),
+under_s AS (
+  SELECT shard, ROW_NUMBER() OVER (ORDER BY shard_load ASC, shard ASC) AS slot
+  FROM st WHERE shard_load <= (SELECT cap FROM cap)
+),
+ranked AS (
+  SELECT host, load, from_shard,
+         (ROW_NUMBER() OVER (ORDER BY load DESC, host ASC) - 1)
+           % (SELECT count(*) FROM under_s) + 1 AS slot
+  FROM moved
+)
+SELECT host, load, from_shard, under_s.shard AS to_shard
+FROM ranked JOIN under_s USING (slot)
+"""
+
+
 # Media resize plan (operators/multimodal.resize_dims): aspect-preserving
 # fit arithmetic — the native half of the resize stage (pixel resample is
 # the documented codec stub). Media dims synthesized from part.
@@ -2947,6 +3013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sequence_plan": q_sequence_plan,
     "lang_id_confident": q_lang_id_confident,
     "media_resize_plan": q_media_resize_plan,
+    "shard_rebalance": q_shard_rebalance,
     "host_degree_stats": q_host_degree_stats,
     "near_dup_clusters": q_near_dup_clusters,
     "dedup_keep_list": q_dedup_keep_list,
@@ -3047,6 +3114,7 @@ ORACLE_SQL: dict[str, str] = {
     "sequence_plan": SQL_sequence_plan,
     "lang_id_confident": SQL_lang_id_confident,
     "media_resize_plan": SQL_media_resize_plan,
+    "shard_rebalance": SQL_shard_rebalance,
     "host_degree_stats": SQL_host_degree_stats,
     "near_dup_clusters": SQL_near_dup_clusters,
     "dedup_keep_list": SQL_dedup_keep_list,
