@@ -464,3 +464,38 @@ def test_strip_tracking_collapses_campaign_variants(
         "https://camp.example.com/landing",
         "https://camp.example.com/other?page=2",
     ]
+
+
+def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    """Every beyond-reference CrawlConfig flag enabled at once: the epoch
+    loop runs, counters are sane, and the whole crawl is deterministic
+    (two runs → identical counters and frontier state)."""
+    cfg = CrawlConfig(
+        epoch_seconds=6,
+        hot_host_salt=2,
+        use_bloom=True,
+        cluster_by_surt=True,
+        strip_tracking=True,
+        detect_traps=True,
+        global_budget=50,
+        use_host_rank=True,
+        scrub_pii=True,
+        compact_every=2,
+    )
+
+    def run(tag):
+        root = tmp_path_factory.mktemp(tag)
+        cat = Catalog(spark, str(root))
+        counters = E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 3, cfg)
+        state = {
+            (r["url_fp"], r["status"])
+            for r in cat.read_merged("frontier", 2).select("url_fp", "status").collect()
+        }
+        return counters, state
+
+    c1, s1 = run("optin_a")
+    c2, s2 = run("optin_b")
+    assert c1 == c2 and s1 == s2
+    assert sum(c["urls_scheduled"] for c in c1) > 0
+    assert all(c["urls_scheduled"] <= 50 for c in c1)  # global budget binds
+    assert sum(c["pages_fetched"] for c in c1) > 0
