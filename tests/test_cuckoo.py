@@ -156,6 +156,20 @@ def test_update_over_capacity_fails_fast_with_clear_error(spark):
     ck.unpersist()
 
 
+def test_update_advisory_band_succeeds(spark):
+    """A delta that lands the blob between the 95% advisory load factor and
+    100% must be placed by the kick loop, not rejected by the capacity
+    pre-check (the pre-check fails fast only on projections that cannot
+    possibly fit). 400 build + 90 delta = 490 of 512 slots (95.7%)."""
+    a = _fps(420, seed=31)[:400]
+    delta = np.setdiff1d(_fps(600, seed=32), a)[:90]
+    ck = CK.build_cuckoo(_seen_df(spark, a), n_buckets=1, capacity=400).persist()
+    ck2 = CK.update_cuckoo(ck, _seen_df(spark, delta), n_buckets=1, capacity=400)
+    probe = CK.cuckoo_might_contain(_seen_df(spark, delta), ck2)
+    assert probe.filter(~F.col("might_contain")).count() == 0
+    ck.unpersist()
+
+
 def test_delete_ttl_eviction(spark):
     fps = _fps(10_000, seed=12)
     expired, live = fps[:4_000], fps[4_000:]

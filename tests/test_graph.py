@@ -50,6 +50,20 @@ def test_pagerank_matches_power_iteration(spark, diamond_edges):
     assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
 
 
+def test_pagerank_empty_edges(spark):
+    """An empty edge list (epoch 0 found no cross-host links, or every
+    fetch was robots-rejected) must yield an empty rank frame, not a
+    ZeroDivisionError that kills the crawl epoch."""
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = G.pagerank(empty, n_iter=2)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+    # host_rank wraps pagerank after self-loop filtering — an all-self-loop
+    # link table reduces to the same empty-graph path
+    links = spark.createDataFrame([("a.com", "a.com")], ["src_host", "dst_host"])
+    assert G.host_rank(links).count() == 0
+
+
 def test_pagerank_deterministic(spark, diamond_edges):
     a = sorted(G.pagerank(diamond_edges, n_iter=3).collect())
     b = sorted(G.pagerank(diamond_edges, n_iter=3).collect())

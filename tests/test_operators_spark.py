@@ -330,6 +330,31 @@ def test_search_fuzzy_matches_typos_and_respects_and(spark):
     assert out2.count() == 0
 
 
+def test_search_fuzzy_transpositions_es_auto(spark):
+    """ES ``fuzziness: AUTO`` defaults ``transpositions: true`` (Damerau:
+    an adjacent swap is ONE edit — search-api/app.py:210). 'teh' -> 'the'
+    is distance 2 under classic Levenshtein (misses at budget 1, the
+    default/oracle path) but distance 1 under OSA (hits)."""
+    from webcrawler_spark.operators.search import search_fuzzy
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick fox"), Row(doc_id=2, text="den of foxes")]
+    )
+    # len("teh") = 3 -> AUTO budget 1
+    assert search_fuzzy(docs, ["teh"], "text", "doc_id", k=5).count() == 0
+    hits = search_fuzzy(
+        docs, ["teh"], "text", "doc_id", k=5, transpositions=True
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+    # plain substitution typos behave identically under either distance:
+    # "den" is 1 substitution from "ten" on both paths
+    for t in (False, True):
+        got = search_fuzzy(
+            docs, ["ten"], "text", "doc_id", k=5, transpositions=t
+        ).collect()
+        assert {r["doc_id"] for r in got} == {2}
+
+
 def test_search_fuzzy_exact_term_scores_one(spark):
     from webcrawler_spark.operators.search import search_fuzzy
 
@@ -679,6 +704,20 @@ def test_sequence_plan_covers_stream_exactly(spark):
                    for d in (0, 1, 3))
     assert spans[0][0] == 0 and all(
         spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_sample_gate_negative_keys(spark):
+    """The hash gate must bucket negative 64-bit fingerprint keys into
+    [0, MOD) like positive ones (pmod, not sign-preserving %) — a negative
+    key must NOT be kept unconditionally, and rate extremes stay exact."""
+    from webcrawler_spark.operators.corpus import deterministic_sample
+
+    rows = [(i,) for i in range(-20_000, 0)]
+    df = spark.createDataFrame(rows, "doc_id long")
+    kept = deterministic_sample(df, 0.25).count()
+    assert 0.20 < kept / 20_000 < 0.30  # ~rate, NOT 1.0
+    assert deterministic_sample(df, 0.0).count() == 0
+    assert deterministic_sample(df, 1.0).count() == 20_000
 
 
 def test_shard_rebalance_plan(spark):

@@ -253,3 +253,40 @@ def test_resize_media_plumbing(spark):
     assert out[1]["payload"] == b"\x01" * 8  # stub passthrough
     with _pytest.raises(Exception, match="NotImplementedError|resample"):
         resize_media(df, 640, 480, decode_stub=False).collect()
+
+
+def test_media_real_decode_with_pil(spark):
+    """When PIL is importable the decode_stub=False path is REAL: images
+    decode, resample to the aspect-fit dims, re-encode; features are a
+    luminance histogram over actual pixels. Skipped where PIL is absent
+    (this container — the stub path above is the tested default there)."""
+    import io
+
+    import pytest as _pytest
+
+    Image = _pytest.importorskip("PIL.Image")
+    from webcrawler_spark.operators.multimodal import (
+        extract_media_features,
+        resize_media,
+    )
+
+    def png(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, "image", 1280, 960, png(1280, 960, (255, 255, 255))),
+         (2, "image", 100, 100, png(100, 100, (0, 0, 0)))],
+        "media_id long, kind string, width int, height int, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           resize_media(df, 640, 480, decode_stub=False).collect()}
+    got = Image.open(io.BytesIO(out[1]["payload"]))
+    assert got.size == (640, 480)  # actually resampled, not passthrough
+    assert Image.open(io.BytesIO(out[2]["payload"])).size == (100, 100)
+
+    feats = {r["media_id"]: r["feature"] for r in
+             extract_media_features(df, dim=16, decode_stub=False).collect()}
+    # all-white image -> all luminance mass in the top bin; black -> bottom
+    assert abs(feats[1][15] - 1.0) < 1e-6 and abs(feats[2][0] - 1.0) < 1e-6

@@ -141,9 +141,9 @@ def test_streaming_seen_set_anti_join(spark, dirs):
 
 
 def test_streaming_sessionize_timeout_close(spark, tmp_path):
-    """Event-time sessionization: a session emits once the watermark passes
-    last_event + gap; open sessions stay in state. Within-batch gaps close
-    immediately."""
+    """Event-time sessionization: a session emits only once the watermark
+    passes last_event + gap; open sessions (plural — a within-batch gap
+    opens a second one) stay buffered in state until then."""
     import pandas as pd
 
     src = tmp_path / "events_in"
@@ -158,7 +158,7 @@ def test_streaming_sessionize_timeout_close(spark, tmp_path):
     # batch 1: users 1, 2 (user 1 has a within-batch gap -> 2 sessions)
     write("b1.parquet", [
         (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:05"),
-        (1, "2024-01-01 00:10:00"),  # > 60s gap -> closes first session inline
+        (1, "2024-01-01 00:10:00"),  # > 60s gap -> opens a second session
         (2, "2024-01-01 00:00:03"),
     ])
     write("b2.parquet", [(3, "2024-01-01 01:00:00")])
@@ -187,8 +187,9 @@ def test_streaming_sessionize_timeout_close(spark, tmp_path):
         (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
         for r in spark.read.parquet(out_dir).collect()
     }
-    # user 1's first session closed by the within-batch gap; the second
-    # (00:10:00) and user 2's time out once the watermark passes last+60s;
+    # user 1's sessions and user 2's time out once the watermark passes
+    # each session's last+60s (the first emits in a LATER batch than it
+    # was seen in — never before the watermark allows);
     # user 3 closes in the final no-data batch (watermark 01:59:50 > its
     # 01:01:00 timeout); user 4 stays open — the watermark never passes
     # 02:01:00, so no session row is emitted for it
@@ -198,6 +199,57 @@ def test_streaming_sessionize_timeout_close(spark, tmp_path):
         (2, "2024-01-01 00:00:03", "2024-01-01 00:00:03", 1),
         (3, "2024-01-01 01:00:00", "2024-01-01 01:00:00", 1),
     }
+
+
+def test_streaming_sessionize_late_event_bridges(spark, tmp_path):
+    """An out-of-order event the watermark still admits must land INSIDE
+    (here: bridge) earlier open sessions — matching the batch sessionize
+    over the same admitted events — instead of fragmenting them. This is
+    exactly what an eager within-batch close would get wrong."""
+    import pandas as pd
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        pdf["user_id"] = pdf["user_id"].astype("int64")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    # batch 1: a >60s within-batch gap -> TWO open sessions
+    write("b1.parquet", [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:02:00")])
+    # batch 2: late event in the gap (admitted — 10 min watermark) bridges them
+    write("b2.parquet", [(1, "2024-01-01 00:01:00")])
+    # batch 3: advances the watermark past the bridged session's close
+    write("b3.parquet", [(1, "2024-01-01 01:00:00")])
+
+    from webcrawler_spark.streaming.ingest import streaming_sessionize
+
+    events = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "600 seconds")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        streaming_sessionize(events, gap_seconds=60)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # ONE bridged session of 3 events; the 01:00:00 session stays open
+    # (watermark ends at 00:50:00 < its 01:01:00 close)
+    assert got == {(1, "2024-01-01 00:00:00", "2024-01-01 00:02:00", 3)}
 
 
 def test_stream_to_catalog_exactly_once(spark, dirs, tmp_path):
@@ -250,3 +302,20 @@ def test_stream_to_catalog_exactly_once(spark, dirs, tmp_path):
     )
     assert commit_stream_batch(cat, "seen", e1, replay) == 0
     assert {r["url_norm"] for r in cat.read_delta_union("seen", e1).collect()} == seen1
+
+
+def test_stream_epoch_collision_raises(spark, tmp_path):
+    """A stream epoch at-or-behind a catalog epoch that THIS stream did not
+    write is a misconfiguration (shared catalog / wrong base_epoch) — it
+    must raise, not silently drop the micro-batch."""
+    from webcrawler_spark.storage.catalog import Catalog
+    from webcrawler_spark.streaming.ingest import commit_stream_batch
+
+    cat = Catalog(spark, str(tmp_path / "cat_collide"))
+    df = spark.createDataFrame(
+        [("https://a.com/", 1, "a.com")], "url_norm string, url_fp long, host string"
+    )
+    # a batch-epoch writer (no stream marker) owns epoch 5
+    cat.commit_epoch(5, {"seen": cat.stage("seen", 5, df)}, {"epoch": 5})
+    with pytest.raises(ValueError, match="collision"):
+        commit_stream_batch(cat, "seen", 3, df)

@@ -30,7 +30,9 @@ def sample_gate(key: Column, rate: float, salt: int = 0) -> Column:
     """Deterministic keep/drop gate: keeps ~rate of rows, decided purely by
     the integer key (reproducible across runs/partitionings, unlike
     df.sample whose outcome depends on partition iteration order)."""
-    bucket = ((key + F.lit(salt)) % _MOD) * (_KNUTH % _MOD) % _MOD
+    # pmod, not %: Spark % preserves sign, so a negative 64-bit fingerprint
+    # key would yield a negative bucket that passes every rate threshold.
+    bucket = F.pmod(F.pmod(key + F.lit(salt), _MOD) * (_KNUTH % _MOD), _MOD)
     return bucket < F.lit(int(round(rate * _MOD)))
 
 
@@ -71,7 +73,7 @@ def mix_corpus(
         ).alias("_rate"),
     )
     gate = (
-        ((F.col(id_col) % _MOD) * (_KNUTH % _MOD) % _MOD).cast("double")
+        F.pmod(F.pmod(F.col(id_col), _MOD) * (_KNUTH % _MOD), _MOD).cast("double")
         < F.round(F.col("_rate") * _MOD, 0)
     )
     return (

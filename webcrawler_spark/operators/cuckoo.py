@@ -127,7 +127,10 @@ def _kick_insert(table, tag: int, i: int, m: int) -> None:
             _alt_index(np.array([i], dtype=np.int64), np.array([victim], dtype=np.uint16), m)[0]
         )
     raise ValueError(
-        f"cuckoo blob over capacity after {_MAX_KICKS} kicks — resize n_buckets/capacity"
+        f"cuckoo blob over capacity after {_MAX_KICKS} kicks — the seen set "
+        "outgrew the configured capacity. Rebuild the filter from the full "
+        "seen set (build_cuckoo sizes blobs adaptively) or raise "
+        "CrawlConfig.bloom_capacity/bloom_buckets."
     )
 
 
@@ -265,14 +268,23 @@ def _apply_delta(
                 # blob half-written (a long crawl outgrowing
                 # cfg.bloom_capacity hits this; the bloom merely degrades
                 # its FP rate, the cuckoo must say so explicitly).
+                # The projection is EXACT, not an estimate: _insert_fps
+                # places one slot per unique delta fp even when the tag is
+                # already present (deletion-safety duplicate copies, see its
+                # docstring), so occupied + |unique(delta)| is the true
+                # post-insert count. Only a projection that cannot possibly
+                # fit fails fast here; between the 95% advisory load factor
+                # and 100% the kick loop is the arbiter — it raises its own
+                # actionable error only if placement genuinely fails (a
+                # 4-slot table routinely fills to ~95-98%).
                 projected = int(np.count_nonzero(table)) + len(np.unique(fp_arr))
-                if projected > int(m * _SLOTS * 0.95):
+                if projected > int(m * _SLOTS):
                     raise ValueError(
                         f"cuckoo bucket {bucket} over capacity: {projected} "
-                        f"projected tags for {m}x{_SLOTS} slots (>95%). The "
-                        "seen set outgrew the configured capacity — rebuild "
-                        "the filter from the full seen set (build_cuckoo "
-                        "sizes blobs adaptively) or raise "
+                        f"projected tags for {m}x{_SLOTS} slots. The seen "
+                        "set outgrew the configured capacity — rebuild the "
+                        "filter from the full seen set (build_cuckoo sizes "
+                        "blobs adaptively) or raise "
                         "CrawlConfig.bloom_capacity/bloom_buckets."
                     )
                 _insert_fps(table, fp_arr)

@@ -61,6 +61,11 @@ def pagerank(
         e = e.localCheckpoint(eager=True)
         nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()
+    if n == 0:
+        # Empty edge list (e.g. epoch 0 discovered no cross-host links, or
+        # every fetch was robots-rejected) — an empty rank frame, not a
+        # ZeroDivisionError that kills the whole crawl epoch.
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     deg = out_degrees(e)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))

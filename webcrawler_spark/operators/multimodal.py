@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads ride as BINARY columns with a typed metadata
-struct; decode/feature steps are Arrow-batched ``mapInPandas`` stages. The
-actual codecs (PIL/ffmpeg/librosa) are NOT available in this container, so
-the decode kernels are STUBS — ``decode_stub=True`` (default) produces a
-deterministic fake feature vector derived from the payload bytes, and
-``decode_stub=False`` raises NotImplementedError where the real library call
-belongs. The Spark-side plumbing — schema, batch iteration, partitioning,
-output shape — is real and tested.
+struct; decode/feature steps are Arrow-batched ``mapInPandas`` stages.
+``decode_stub=True`` (default) produces a deterministic fake feature vector
+derived from the payload bytes. ``decode_stub=False`` uses the real codec
+where one is import-gated in (PIL for images — decode, histogram features,
+pixel resample); audio/video decode (ffmpeg/librosa) and a missing PIL
+raise NotImplementedError where the library call belongs. The Spark-side
+plumbing — schema, batch iteration, partitioning, output shape — is real
+and tested either way.
 """
 
 from __future__ import annotations
@@ -39,24 +40,62 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return (hist / total).astype(np.float32).tolist() if total else [0.0] * dim
 
 
+def _pil_image():
+    """Import-gated PIL: the real image codec when the library exists,
+    None otherwise (this container ships without it — DELTAS #14)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_feature(Image, payload: bytes, dim: int) -> list[float]:
+    """Real image feature: decode, grayscale, `dim`-bin luminance histogram,
+    L1-normalized — same output shape and normalization as the stub so the
+    two paths are drop-in interchangeable."""
+    import io
+
+    import numpy as np
+
+    px = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+    hist = np.bincount((px.ravel() * dim) // 256, minlength=dim).astype(np.float64)
+    total = hist.sum()
+    return (hist / total).astype(np.float32).tolist() if total else [0.0] * dim
+
+
 def extract_media_features(
     media: DataFrame, dim: int = 16, decode_stub: bool = True
 ) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one out.
-    Partitioning is preserved; payload bytes never leave the executor."""
+    Partitioning is preserved; payload bytes never leave the executor.
+    ``decode_stub=False`` decodes images for real when PIL is importable
+    on the executor; audio/video (ffmpeg/librosa) stay NotImplemented."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if decode_stub else _pil_image()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/librosa — not in container"
-                )
+            if decode_stub:
+                feats = pdf["payload"].map(lambda b: _fake_feature(b or b"", dim))
+            else:
+                if Image is None:
+                    raise NotImplementedError(
+                        "real media decode requires PIL (images) / "
+                        "ffmpeg/librosa (audio, video) — not in container"
+                    )
+                if (pdf["kind"] != "image").any():
+                    raise NotImplementedError(
+                        "real audio/video decode requires ffmpeg/librosa — "
+                        "not in container (images decode via PIL)"
+                    )
+                feats = pdf["payload"].map(lambda b: _pil_feature(Image, b, dim))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
-                    "feature": pdf["payload"].map(lambda b: _fake_feature(b or b"", dim)),
+                    "feature": feats,
                 }
             )
 
@@ -102,10 +141,12 @@ def resize_media(
 ) -> DataFrame:
     """mapInPandas resize stage: target dims via :func:`resize_dims`
     (computed JVM-side before the Python crossing, so the batch carries
-    them), pixel resample stubbed — payload passes through unchanged with
-    ``decode_stub=True``; ``False`` raises where the PIL/ffmpeg call
-    belongs. Partitioning preserved; only image/video rows are resized,
-    audio passes through with target dims = source dims."""
+    them). ``decode_stub=True``: payload passes through unchanged (dims
+    recorded only). ``decode_stub=False``: image payloads decode + resample
+    + re-encode PNG via import-gated PIL; video frames (ffmpeg) raise, and
+    a missing PIL raises where the call belongs. Partitioning preserved;
+    only image/video rows are resized, audio passes through with target
+    dims = source dims."""
     tw, th = resize_dims("width", "height", max_w, max_h)
     staged = media.select(
         "media_id",
@@ -122,11 +163,35 @@ def resize_media(
     )
 
     def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if decode_stub else _pil_image()
         for pdf in batches:
-            if not decode_stub:
+            if decode_stub:
+                yield pdf  # stub: dims recorded, payload passthrough
+                continue
+            if Image is None:
                 raise NotImplementedError(
-                    "real pixel resample requires PIL/ffmpeg — not in container"
+                    "real pixel resample requires PIL (images) / ffmpeg "
+                    "(video) — not in container"
                 )
-            yield pdf  # stub: dims recorded, payload passthrough
+            if (pdf["kind"] == "video").any():
+                raise NotImplementedError(
+                    "real video frame resample requires ffmpeg — not in "
+                    "container (images resample via PIL)"
+                )
+
+            import io
+
+            def _fit(row):
+                if row["kind"] != "image":
+                    return row["payload"]  # audio passes through
+                img = Image.open(io.BytesIO(row["payload"]))
+                out = img.resize((int(row["target_w"]), int(row["target_h"])))
+                buf = io.BytesIO()
+                out.save(buf, format="PNG")
+                return buf.getvalue()
+
+            out = pdf.copy()
+            out["payload"] = pdf.apply(_fit, axis=1)
+            yield out
 
     return staged.mapInPandas(_resample, schema=RESIZE_SCHEMA)

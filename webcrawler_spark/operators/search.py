@@ -7,6 +7,7 @@ with field boosts, range filters, prefix suggestions.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -186,6 +187,44 @@ def fuzzy_auto_max_edits(term: str) -> int:
     return 0 if n <= 2 else (1 if n <= 5 else 2)
 
 
+def _osa_distance():
+    """Arrow-batched optimal-string-alignment (Damerau-Levenshtein with
+    adjacent transposition = 1 edit) — the distance Lucene's FuzzyQuery
+    uses when ``transpositions: true`` (the ES default for fuzziness AUTO,
+    search-api/app.py:210). Runs ONLY on the vocab x query expansion pairs
+    already pruned by the AUTO length band, never on the token stream —
+    with Heaps'-law vocab and <=3 query terms that's thousands of short
+    string pairs per corpus, not a hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def osa(word: pd.Series, qt: pd.Series) -> pd.Series:
+        def dist(a: str, b: str) -> int:
+            la, lb = len(a), len(b)
+            prev2: list[int] = []
+            prev = list(range(lb + 1))
+            for i in range(1, la + 1):
+                cur = [i] + [0] * lb
+                for j in range(1, lb + 1):
+                    cost = 0 if a[i - 1] == b[j - 1] else 1
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                    if (
+                        i > 1
+                        and j > 1
+                        and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]
+                    ):
+                        cur[j] = min(cur[j], prev2[j - 2] + 1)
+                prev2, prev = prev, cur
+            return prev[lb]
+
+        return pd.Series(
+            [dist(w or "", q or "") for w, q in zip(word, qt)], dtype="int32"
+        )
+
+    return osa
+
+
 def search_fuzzy(
     df: DataFrame,
     query_tokens: list[str],
@@ -193,6 +232,7 @@ def search_fuzzy(
     id_col: str = "doc_id",
     k: int = 20,
     require_all: bool = True,
+    transpositions: bool = False,
 ) -> DataFrame:
     """Q1's ``fuzziness: AUTO`` + ``operator: and`` (search-api/app.py:205-217)
     as relational term-dictionary expansion — the same shape Lucene uses
@@ -210,9 +250,13 @@ def search_fuzzy(
          scores sum over query terms of its best expansion similarity, and
          ``operator: and`` keeps docs matching every query term.
 
-    Classic Levenshtein (Spark/DuckDB built-in), not Damerau: a transposition
-    counts 2 edits here vs ES's 1 — documented delta, same result set for
-    non-transposed typos."""
+    ``transpositions=False`` (default): classic Levenshtein (Spark/DuckDB
+    built-in, the oracle-checked path) — a transposition counts 2 edits.
+    ``transpositions=True``: optimal-string-alignment Damerau distance
+    (adjacent transposition = 1 edit), matching ES/Lucene's
+    ``fuzziness: AUTO`` default (search-api/app.py:210) so ``teh -> the``
+    style typos hit at distance 1; computed by an Arrow-batched UDF on the
+    (bounded) expansion pairs only."""
     # a repeated query token is one term (ES operator:and semantics) — and a
     # duplicate qdf row would both double-count the score sum and make the
     # require_all count (#distinct matched terms) unreachable
@@ -225,14 +269,19 @@ def search_fuzzy(
         [(t, fuzzy_auto_max_edits(t)) for t in query_tokens], "qt string, maxe int"
     )
     vocab = toks.select("word").distinct()
+    if transpositions:
+        dist = _osa_distance()(F.col("word"), F.col("qt"))
+    else:
+        dist = F.levenshtein("word", "qt")
     expansions = (
         vocab.crossJoin(F.broadcast(qdf))
         .filter(F.abs(F.length("word") - F.length("qt")) <= F.col("maxe"))
-        .filter(F.levenshtein("word", "qt") <= F.col("maxe"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= F.col("maxe"))
         .withColumn(
             "sim",
             F.lit(1.0)
-            - F.levenshtein("word", "qt") / F.greatest(F.length("word"), F.length("qt")),
+            - F.col("dist") / F.greatest(F.length("word"), F.length("qt")),
         )
         .select("word", "qt", "sim")
     )

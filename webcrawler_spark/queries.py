@@ -51,7 +51,8 @@ def q_frontier_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_frontier_topk_per_host = """
-SELECT o_custkey, o_orderkey, o_totalprice, rank_in_host FROM (
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rank_in_host AS INTEGER) AS rank_in_host FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          ROW_NUMBER() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC)
@@ -352,7 +353,7 @@ def q_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_keywords_per_doc = f"""
-SELECT doc_id, word, freq, rank FROM (
+SELECT doc_id, word, freq, CAST(rank AS INTEGER) AS rank FROM (
   SELECT doc_id, word, freq,
          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY freq DESC, word ASC) AS rank
   FROM (
@@ -374,7 +375,7 @@ def q_search_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_search_score = f"""
-SELECT doc_id, score FROM (
+SELECT doc_id, CAST(score AS INTEGER) AS score FROM (
   SELECT doc_id,
          len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
                             [{_QT_SQL}])) AS score
@@ -470,7 +471,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_token_count = """
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+            AS INTEGER) AS n_tokens,
        n_chars
 FROM documents
 """
@@ -775,7 +777,7 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_corpus_sample = """
 SELECT doc_id, source, n_chars FROM documents
-WHERE ((doc_id % 10000) * 5761) % 10000 < 2500
+WHERE (((((doc_id % 10000) + 10000) % 10000) * 5761) % 10000) < 2500
 """
 
 
@@ -801,7 +803,8 @@ rates AS (
 SELECT d.doc_id, d.source, d.n_chars
 FROM documents d JOIN rates r USING(source)
 WHERE r.rate IS NOT NULL
-  AND ((d.doc_id % 10000) * 5761) % 10000 < round(r.rate * 10000, 0)
+  AND (((((d.doc_id % 10000) + 10000) % 10000) * 5761) % 10000)
+      < round(r.rate * 10000, 0)
 """
 
 
@@ -1328,7 +1331,7 @@ def q_search_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_search_page2 = """
-SELECT doc_id, n_chars, rn FROM (
+SELECT doc_id, n_chars, CAST(rn AS INTEGER) AS rn FROM (
   SELECT doc_id, n_chars,
          ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
   FROM documents
@@ -1347,7 +1350,7 @@ def q_search_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_search_bool = f"""
-SELECT doc_id, score FROM (
+SELECT doc_id, CAST(score AS INTEGER) AS score FROM (
   SELECT doc_id,
          len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
                             [{_QT_SQL}])) AS score
@@ -1471,9 +1474,9 @@ SELECT custkey,
              '{EMAIL}', '<EMAIL>', 'g'),
              '{PHONE}', '<PHONE>', 'g'),
              '{IPV4}', '<IP>', 'g')) AS masked_md5,
-       len(regexp_extract_all(text, '{EMAIL}')) AS n_email,
-       len(regexp_extract_all(text, '{PHONE}')) AS n_phone,
-       len(regexp_extract_all(text, '{IPV4}')) AS n_ipv4
+       CAST(len(regexp_extract_all(text, '{EMAIL}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(text, '{PHONE}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{IPV4}')) AS INTEGER) AS n_ipv4
 FROM corpus
 """.replace("{EMAIL}", _SQL_EMAIL_RE).replace("{PHONE}", _SQL_PHONE_RE).replace(
     "{IPV4}", _SQL_IPV4_RE
@@ -1491,10 +1494,12 @@ def q_doc_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_doc_signals = f"""
 SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct,
-       coalesce(list_max(list_transform(toks, t -> length(t))), 0) AS max_token_len,
-       len(list_filter(toks, t -> list_contains([{_STOP_SQL}], t))) AS n_stopwords
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+       CAST(coalesce(list_max(list_transform(toks, t -> length(t))), 0)
+            AS INTEGER) AS max_token_len,
+       CAST(len(list_filter(toks, t -> list_contains([{_STOP_SQL}], t)))
+            AS INTEGER) AS n_stopwords
 FROM (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'), t -> t != '') AS toks
@@ -1716,7 +1721,8 @@ def q_subword_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_subword_token_count = """
 SELECT doc_id,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+')) AS n_subwords
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]+'))
+            AS INTEGER) AS n_subwords
 FROM documents
 """
 
@@ -2291,7 +2297,8 @@ c AS (
            AS cum_before
   FROM d WHERE n_tokens > 0
 )
-SELECT source, doc_id, n_tokens, cum_before,
+SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(cum_before AS BIGINT) AS cum_before,
        CAST(floor(cum_before / 512) AS BIGINT) AS seq_first,
        CAST(floor((cum_before + n_tokens - 1) / 512) AS BIGINT) AS seq_last,
        CAST(cum_before % 512 AS BIGINT) AS first_offset
@@ -2524,7 +2531,7 @@ dtoks AS (
   FROM documents WHERE doc_id <> 7
 ),
 scored AS (
-  SELECT doc_id, len(list_intersect(toks, ql.qlist)) AS mlt_score
+  SELECT doc_id, CAST(len(list_intersect(toks, ql.qlist)) AS INTEGER) AS mlt_score
   FROM dtoks CROSS JOIN (SELECT list(term) AS qlist FROM qterms) ql
 )
 SELECT doc_id, mlt_score FROM scored WHERE mlt_score > 0
@@ -2556,7 +2563,7 @@ best AS (
                             ORDER BY score DESC, doc_id ASC) AS r
   FROM scored WHERE score > 0
 )
-SELECT doc_id, source, score FROM best WHERE r = 1
+SELECT doc_id, source, CAST(score AS INTEGER) AS score FROM best WHERE r = 1
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
@@ -2584,7 +2591,7 @@ tot AS (
 ),
 pt AS (
   SELECT term, count(*) AS bg_count,
-         sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fg_count
+         CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count
   FROM t GROUP BY 1
 ),
 scored AS (
@@ -2618,8 +2625,9 @@ WITH t AS (
 ),
 scored AS (
   SELECT doc_id,
-         len(list_filter(generate_series(1, len(toks) - 1),
-             i -> toks[i] = 'batch' AND toks[i+1] = 'window')) AS phrase_freq
+         CAST(len(list_filter(generate_series(1, len(toks) - 1),
+             i -> toks[i] = 'batch' AND toks[i+1] = 'window'))
+              AS INTEGER) AS phrase_freq
   FROM t WHERE len(toks) >= 2
 )
 SELECT doc_id, phrase_freq FROM scored
@@ -2842,8 +2850,8 @@ top_tpl AS (
 ),
 per_host AS (
   SELECT host, count(*) AS n_urls,
-         sum(CASE WHEN depth > 8 THEN 1 ELSE 0 END) AS n_deep,
-         sum(CASE WHEN repeat_deficit > 2 THEN 1 ELSE 0 END) AS n_repeat
+         CAST(sum(CASE WHEN depth > 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_deep,
+         CAST(sum(CASE WHEN repeat_deficit > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat
   FROM per_url GROUP BY 1
 )
 SELECT per_host.host, n_urls, n_deep, n_repeat, top_template,
@@ -2896,7 +2904,8 @@ terms AS (
 counts AS (
   SELECT target, term, count(*) AS freq FROM terms GROUP BY 1, 2
 )
-SELECT CAST(target AS BIGINT) AS target, term, CAST(freq AS BIGINT) AS freq, rank
+SELECT CAST(target AS BIGINT) AS target, term, CAST(freq AS BIGINT) AS freq,
+       CAST(rank AS INTEGER) AS rank
 FROM (
   SELECT target, term, freq,
          ROW_NUMBER() OVER (PARTITION BY target ORDER BY freq DESC, term ASC) AS rank

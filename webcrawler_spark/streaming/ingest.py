@@ -19,7 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+    ArrayType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 from ..operators import dedup as D
@@ -162,20 +163,25 @@ _SESSION_OUT = StructType(
 
 _SESSION_STATE = StructType(
     [
-        StructField("start_us", LongType(), True),
-        StructField("last_us", LongType(), True),
-        StructField("n", LongType(), True),
+        StructField("start_us", ArrayType(LongType()), True),
+        StructField("last_us", ArrayType(LongType()), True),
+        StructField("n", ArrayType(LongType()), True),
     ]
 )
 
 
 def streaming_sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
-    """Event-time session windows with timeout-based close (the streaming
-    form of operators/sessions.sessionize: same gap rule, but sessions
-    EMIT when the watermark passes last_event + gap instead of at
-    end-of-batch). applyInPandasWithState keyed by user_id with
-    EventTimeTimeout; state is three longs per open session — at web scale
-    the state store holds one tiny row per ACTIVE user, not per event.
+    """Event-time session windows with watermark-based close (the streaming
+    form of operators/sessions.sessionize: same gap rule, but a session
+    EMITS only once the watermark passes last_event + gap — never earlier).
+
+    State per user is a LIST of open sessions (three parallel long arrays),
+    not a single session: a within-batch gap opens a second session but the
+    first stays buffered until the watermark passes, so an out-of-order
+    event the watermark still admits can land inside (or bridge) earlier
+    sessions and the result matches the batch sessionize over the same
+    admitted events. At web scale the state store holds a few 24-byte
+    tuples per ACTIVE user — one per open session — not per event.
 
     ``events`` must carry (user_id long, ts timestamp) WITH a watermark
     already applied (the timeout clock is the watermark)."""
@@ -185,49 +191,64 @@ def streaming_sessionize(events: DataFrame, gap_seconds: int = 60) -> DataFrame:
     gap_us = gap_seconds * 1_000_000
 
     def sessionize(key, pdfs, state):
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
+        if state.exists:
+            starts, lasts, ns = state.get
+            items = [
+                (int(s), int(l), int(c)) for s, l, c in zip(starts, lasts, ns)
+            ]
+        else:
+            items = []
+        if not state.hasTimedOut:
+            # a large group spans multiple Arrow chunks with NO cross-chunk
+            # time ordering — gather every chunk before the one sorted merge
+            for pdf in pdfs:
+                if len(pdf):
+                    # Arrow hands timestamps to pandas as datetime64[ns]
+                    ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+                    items.extend((int(t), int(t), 1) for t in ts_us)
+        # one sorted sweep merges points into sessions AND sessions into
+        # each other (a late point can bridge two previously-open sessions)
+        items.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, l, c in items:
+            if merged and s - merged[-1][1] <= gap_us:
+                ps, pl, pc = merged[-1]
+                merged[-1] = (ps, max(pl, l), pc + c)
+            else:
+                merged.append((s, l, c))
+        # close only sessions no admissible event can still extend: an
+        # event at ts >= watermark may yet arrive, so a session closes
+        # strictly after watermark > last + gap
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = [x for x in merged if wm_us > 0 and x[1] + gap_us < wm_us]
+        open_ = [x for x in merged if not (wm_us > 0 and x[1] + gap_us < wm_us)]
+        if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(last_us, unit="us")],
-                    "n_events": [n],
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(l, unit="us") for _, l, _ in closed
+                    ],
+                    "n_events": [c for _, _, c in closed],
                 }
             )
-            return
-        start_us, last_us, n = state.get if state.exists else (None, None, 0)
-        # a large group spans multiple Arrow chunks with NO cross-chunk time
-        # ordering — gather every chunk's timestamps before the one sorted
-        # pass, or a gap could be "seen" out of order
-        all_ts: list[pd.Series] = []
-        for pdf in pdfs:
-            if len(pdf):
-                # Arrow hands timestamps to pandas as datetime64[ns]
-                all_ts.append(pd.to_datetime(pdf["ts"]).astype("int64") // 1000)
-        if all_ts:
-            ts_us = pd.concat(all_ts).sort_values()
-            for t in ts_us:
-                if start_us is None:
-                    start_us, last_us = int(t), int(t)
-                elif t - last_us > gap_us:
-                    # gap within arriving data: close the old session now
-                    yield pd.DataFrame(
-                        {
-                            "user_id": [key[0]],
-                            "session_start": [pd.Timestamp(start_us, unit="us")],
-                            "session_end": [pd.Timestamp(last_us, unit="us")],
-                            "n_events": [n],
-                        }
-                    )
-                    start_us, last_us, n = int(t), int(t), 0
-                else:
-                    last_us = max(last_us, int(t))
-                n += 1
-        if start_us is not None:
-            state.update((start_us, last_us, n))
-            state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        if open_:
+            state.update(
+                (
+                    [s for s, _, _ in open_],
+                    [l for _, l, _ in open_],
+                    [c for _, _, c in open_],
+                )
+            )
+            # wake when the earliest open session becomes closeable;
+            # Spark requires the timeout to sit strictly past the watermark
+            timeout_ms = min(l for _, l, _ in open_) // 1000 + gap_seconds * 1000
+            state.setTimeoutTimestamp(max(timeout_ms, wm_us // 1000 + 1))
+        elif state.exists:
+            state.remove()
 
     return events.groupBy("user_id").applyInPandasWithState(
         sessionize,
@@ -249,9 +270,24 @@ def commit_stream_batch(cat, table: str, epoch: int, batch_df: DataFrame) -> int
     overwritten on replay."""
     committed = cat.last_committed_epoch()
     if committed is not None and committed >= epoch:
-        return 0  # replay of an already-committed batch
+        # Distinguish a genuine replay (this stream already committed this
+        # exact epoch — the marker we wrote is in the manifest) from a
+        # collision (base_epoch misconfigured, or the catalog's epochs are
+        # ahead because another writer shares it). Silently returning 0 on
+        # a collision would drop new micro-batches with no signal.
+        prior = cat.counters(epoch)
+        if prior is not None and prior.get("stream_table") == table:
+            return 0  # replay of an already-committed batch
+        raise ValueError(
+            f"stream epoch collision: catalog at {cat.root!r} has committed "
+            f"epoch {committed} >= incoming stream epoch {epoch}, but epoch "
+            f"{epoch} was not written by this stream (table={table!r}). "
+            "Use a dedicated catalog root per stream or fix base_epoch."
+        )
     n = cat.stage(table, epoch, batch_df)
-    cat.commit_epoch(epoch, {table: n}, {"epoch": epoch, "rows": n})
+    cat.commit_epoch(
+        epoch, {table: n}, {"epoch": epoch, "rows": n, "stream_table": table}
+    )
     return n
 
 
