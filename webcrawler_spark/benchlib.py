@@ -140,4 +140,9 @@ def frontier_bench(spark, n_urls: int) -> dict:
         "seconds": round(elapsed, 3),
         "urls_per_sec": round(n_urls / elapsed, 1),
         "sys_busy_avg": busy,
+        # wall-clock window of the TIMED region (same machine clock for all
+        # children): lets the concurrent lo∥hi scaling design align the hi
+        # child's looped trials with the lo child's single timed window
+        "t_start": round(t0, 3),
+        "t_end": round(t0 + elapsed, 3),
     }

@@ -1877,7 +1877,28 @@ def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = orders.filter(F.col("url_fp") % 2 == 0)
     bloom = D.build_bloom(seen, n_buckets=8, capacity=100_000, fp_rate=0.001)
     probed = D.bloom_might_contain(orders, bloom)
-    return probed.groupBy("might_contain").agg(F.count(F.lit(1)).alias("n"))
+    # deterministic, oracle-checkable invariants of the probe: every build-set
+    # member MUST hit (a bloom has no false negatives), and the total probe
+    # count is the table size. The false-positive COUNT among non-members is
+    # a fixed-but-not-SQL-predictable number; its rate bound is pinned by
+    # tests/test_dedup.py instead.
+    member = F.col("url_fp") % 2 == 0
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(member.cast("long")).alias("n_members"),
+        F.sum((member & F.col("might_contain")).cast("long")).alias("n_member_hits"),
+    )
+
+
+SQL_bloom_prefilter_stats = """
+SELECT CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_members,
+       -- no false negatives: every member must probe true
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_member_hits
+FROM orders
+"""
 
 
 def q_bloom_probe_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1964,21 +1985,47 @@ def q_cuckoo_ttl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nb lookups would otherwise re-run the grouped-map build each time (in
     # the epoch loop the filter is parquet-backed, so re-reads are scans)
     ck = CK.build_cuckoo(seen, n_buckets=8, capacity=100_000).persist()
-    before = (
-        CK.cuckoo_might_contain(orders, ck)
-        .groupBy("might_contain")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("stage", F.lit("built"))
-    )
+    # deterministic, oracle-checkable invariants (the FP count among
+    # non-members is fixed-but-not-SQL-predictable; its bound is pinned by
+    # tests/test_cuckoo.py): before eviction every member hits; after
+    # TTL-evicting the %4==0 quarter, every REMAINING member still hits (a
+    # cuckoo delete never disturbs other items' fingerprints).
+    member = F.col("url_fp") % 2 == 0
+    survivor = member & (F.col("url_fp") % 4 != 0)
+    before = CK.cuckoo_might_contain(orders, ck).agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(member.cast("long")).alias("n_members"),
+        F.sum((member & F.col("might_contain")).cast("long")).alias("n_member_hits"),
+    ).withColumn("stage", F.lit("built"))
     expired = seen.filter(F.col("url_fp") % 4 == 0)
     ck2 = CK.delete_cuckoo(ck, expired, n_buckets=8, capacity=100_000).persist()
-    after = (
-        CK.cuckoo_might_contain(orders, ck2)
-        .groupBy("might_contain")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("stage", F.lit("evicted"))
+    after = CK.cuckoo_might_contain(orders, ck2).agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(survivor.cast("long")).alias("n_members"),
+        F.sum((survivor & F.col("might_contain")).cast("long")).alias("n_member_hits"),
+    ).withColumn("stage", F.lit("evicted"))
+    return before.unionByName(after).select(
+        "stage", "n_probed", "n_members", "n_member_hits"
     )
-    return before.unionByName(after).select("stage", "might_contain", "n")
+
+
+SQL_cuckoo_ttl_stats = """
+SELECT 'built' AS stage,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_members,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_member_hits
+FROM orders
+UNION ALL
+SELECT 'evicted' AS stage,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN o_orderkey % 2 = 0 AND o_orderkey % 4 <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_member_hits
+FROM orders
+"""
 
 
 def q_crawl_two_epoch_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2068,8 +2115,13 @@ def q_crawl_frontier_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The real flagship on a deterministic in-memory synthetic web: epoch-0
-    fetch schedule under the politeness budget (rows-only; parity vs the
-    pure-Python oracle is enforced in tests/test_epoch.py)."""
+    fetch schedule under the politeness budget (canonicalize -> within-batch
+    merge -> priority ladder url_normalizer.py:167-200 -> robots gate ->
+    per-host budget drain url-frontier/app.py:300-319). Oracle-checked: the
+    DuckDB SQL embeds the RAW synth seeds/robots as VALUES and re-derives
+    the schedule independently. The shard column uses the md5 parity
+    variant (domain_sharding.py:112-122 semantics — DuckDB can compute it;
+    the xxhash64 default is pinned by `shard_assignment` instead)."""
     from . import synth
     from .config import CrawlConfig
     from .operators import dedup as D
@@ -2109,7 +2161,111 @@ def q_crawl_epoch0_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("source_priority")
     )
     schedule, _, _ = S.schedule_epoch(pending, robots, None, 0, cfg)
-    return schedule.select("host", "rank_in_host", "url_norm", "priority", "shard_id")
+    return schedule.select(
+        "host",
+        "rank_in_host",
+        "url_norm",
+        "priority",
+        C.shard_id_md5_parity(F.col("host"), cfg.n_shards).alias("shard_id"),
+    )
+
+
+def _sql_crawl_epoch0_schedule() -> str:
+    """Build the DuckDB oracle for the epoch-0 flagship schedule.
+
+    The RAW deterministic synth inputs (seeds + robots, i.e. the data fed
+    INTO the engine, never its outputs) are embedded as VALUES; every
+    transformation — canonicalize, within-batch merge, the priority ladder,
+    the two-sided robots gate, the per-host politeness budget, the drain
+    ranking, and the md5 shard — is re-derived in SQL. The mini-normalizer
+    (lowercase, strip www., strip the tracking-only query) is exact over
+    this seed universe; the full normalizer's byte parity on tricky URLs is
+    pinned separately by tests/test_urlnorm.py's reference table."""
+    from . import synth
+
+    web = synth.generate_web(seed=42, n_hosts=12, n_pages=90)
+    seed_vals = ",\n        ".join(
+        f"('{s['url']}', {s['priority']}, {s['depth']})" for s in web["seeds"]
+    )
+    rb_rows = []
+    for r in web["robots"]:
+        dis, allow = r["disallow_prefixes"], r["allow_prefixes"]
+        assert len(dis) <= 2 and len(allow) <= 1, "oracle flattening limit"
+        d1 = f"'{dis[0]}'" if len(dis) > 0 else "CAST(NULL AS VARCHAR)"
+        d2 = f"'{dis[1]}'" if len(dis) > 1 else "CAST(NULL AS VARCHAR)"
+        a1 = f"'{allow[0]}'" if allow else "CAST(NULL AS VARCHAR)"
+        rb_rows.append(f"('{r['host']}', {d1}, {d2}, {a1}, {r['crawl_delay']})")
+    rb_vals = ",\n        ".join(rb_rows)
+    # config mirror: CrawlConfig(epoch_seconds=6) + defaults =>
+    # rate_cap = 60 * 6 // 60 = 6, default delay 1.0, n_shards 4
+    return f"""
+WITH raw_seeds(url, source_priority, depth) AS (VALUES
+        {seed_vals}),
+robots(host, dis1, dis2, allow1, crawl_delay) AS (VALUES
+        {rb_vals}),
+canon AS (
+    SELECT CASE WHEN strpos(replace(lower(url), '://www.', '://'), '?') > 0
+                THEN split_part(replace(lower(url), '://www.', '://'), '?', 1)
+                ELSE replace(lower(url), '://www.', '://') END AS url_norm,
+           source_priority, depth
+    FROM raw_seeds
+),
+parts AS (
+    SELECT url_norm,
+           split_part(url_norm, '/', 3) AS host,
+           substr(url_norm, 9 + length(split_part(url_norm, '/', 3))) AS path,
+           source_priority, depth
+    FROM canon
+),
+merged AS (  -- merge_candidates: min depth, max source priority per canonical url
+    SELECT url_norm, host, path,
+           min(depth) AS depth, max(source_priority) AS source_priority
+    FROM parts GROUP BY 1, 2, 3
+),
+prio AS (  -- url_normalizer.py:167-200 priority ladder
+    SELECT host, url_norm, path,
+           GREATEST(1, 100 + source_priority
+             + CASE WHEN url_norm LIKE '%/' OR
+                         length(url_norm) - length(replace(url_norm, '/', '')) <= 3
+                    THEN 20 ELSE 0 END
+             + CASE WHEN regexp_matches(url_norm, 'news|blog|article|post')
+                    THEN 10 ELSE 0 END
+             + CASE WHEN regexp_matches(url_norm, 'archive|tag|category|page=')
+                    THEN -15 ELSE 0 END
+             - depth * 10) AS priority
+    FROM merged
+),
+gated AS (  -- two-sided robots gate (longest-match; allow wins ties)
+    SELECT p.*, COALESCE(r.crawl_delay, 1.0) AS eff_delay
+    FROM prio p LEFT JOIN robots r USING (host)
+    WHERE GREATEST(
+            CASE WHEN r.dis1 IS NOT NULL AND starts_with(p.path, r.dis1)
+                 THEN length(r.dis1) ELSE 0 END,
+            CASE WHEN r.dis2 IS NOT NULL AND starts_with(p.path, r.dis2)
+                 THEN length(r.dis2) ELSE 0 END) = 0
+       OR (r.allow1 IS NOT NULL AND starts_with(p.path, r.allow1)
+           AND length(r.allow1) >= GREATEST(
+            CASE WHEN r.dis1 IS NOT NULL AND starts_with(p.path, r.dis1)
+                 THEN length(r.dis1) ELSE 0 END,
+            CASE WHEN r.dis2 IS NOT NULL AND starts_with(p.path, r.dis2)
+                 THEN length(r.dis2) ELSE 0 END))
+),
+ranked AS (  -- per-host budget drain; discovered_epoch tiebreak is const 0
+    SELECT host, url_norm, priority,
+           LEAST(CAST(floor(6.0 / eff_delay) AS INT), 6) AS host_budget,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY priority DESC, url_norm ASC) AS rk
+    FROM gated
+)
+SELECT host,
+       CAST(rk AS INT) AS rank_in_host,
+       url_norm,
+       CAST(priority AS INT) AS priority,
+       CAST(CAST(('0x' || substr(md5(host), 1, 15)) AS BIGINT) % 4 AS INT)
+           AS shard_id
+FROM ranked
+WHERE rk <= host_budget
+"""
 
 
 # --------------------------------------------------------------------------------
@@ -3054,13 +3210,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
+    "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
+    "crawl_frontier_status": q_crawl_frontier_status,
+    # oracle-backed despite probabilistic/crawl-loop internals: these emit
+    # deterministic invariants (no-false-negative counts, the epoch-0
+    # schedule over embedded raw seeds)
     "bloom_prefilter_stats": q_bloom_prefilter_stats,
     "bloom_probe_cogroup": q_bloom_probe_cogroup,
     "cuckoo_ttl_stats": q_cuckoo_ttl_stats,
     "robots_parse": q_robots_parse,
     "crawl_epoch0_schedule": q_crawl_epoch0_schedule,
-    "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
-    "crawl_frontier_status": q_crawl_frontier_status,
 }
 
 ORACLE_SQL: dict[str, str] = {
@@ -3147,4 +3306,7 @@ ORACLE_SQL: dict[str, str] = {
     "windowed_event_counts": SQL_windowed_event_counts,
     "media_features": SQL_media_features,
     "robots_parse": SQL_robots_parse,
+    "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
+    "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
+    "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
 }
