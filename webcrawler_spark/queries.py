@@ -2268,6 +2268,297 @@ WHERE rk <= host_budget
 """
 
 
+def _crawl_two_epoch_with(epoch_seconds: int) -> str:
+    """Shared WITH-clause body re-deriving the FULL two-epoch crawl loop in
+    DuckDB SQL from the RAW synth inputs only (seeds, robots, page
+    url+text-digest, and the generator's own a-href plan — the data the html
+    was rendered FROM, recorded by synth as ``pages[i]['a_hrefs']``; never
+    an engine output). Every stage — canonicalize, merge, priority ladder,
+    two-sided robots gate, per-host politeness budget, fetch join, link
+    extraction (parser normalize + per-page dedup + canonical tag), seen
+    anti-join, deferral re-entry, adaptive-delay override (a host fetched in
+    epoch 0 has its delay reset to the 1.0 default, reference
+    politeness_manager semantics), and content-hash dedup — is re-derived
+    independently. Mini-normalizers are exact over this closed synth
+    universe (every trap shape enumerated in synth._trap_href); the full
+    normalizer's byte parity on open-world URLs is pinned separately by
+    tests/test_urlnorm.py. rate_cap = 60 * epoch_seconds // 60 =
+    epoch_seconds; the adaptive ladder (>= 10 requests) can never trigger
+    within two epochs, so only the delay-reset effect survives.
+    Reference: url-frontier/app.py:300-319 drain, parser/app.py:79-166
+    link rules, politeness_manager.py:30-43."""
+    import hashlib
+
+    from . import synth
+
+    web = synth.generate_web(seed=42, n_hosts=12, n_pages=90)
+    es = int(epoch_seconds)
+
+    seed_vals = ",\n        ".join(
+        f"('{s['url']}', {s['priority']}, {s['depth']})" for s in web["seeds"]
+    )
+    rb_rows = []
+    for r in web["robots"]:
+        dis, allow = r["disallow_prefixes"], r["allow_prefixes"]
+        assert len(dis) <= 2 and len(allow) <= 1, "oracle flattening limit"
+        d1 = f"'{dis[0]}'" if len(dis) > 0 else "CAST(NULL AS VARCHAR)"
+        d2 = f"'{dis[1]}'" if len(dis) > 1 else "CAST(NULL AS VARCHAR)"
+        a1 = f"'{allow[0]}'" if allow else "CAST(NULL AS VARCHAR)"
+        rb_rows.append(f"('{r['host']}', {d1}, {d2}, {a1}, {r['crawl_delay']})")
+    rb_vals = ",\n        ".join(rb_rows)
+    page_vals = ",\n        ".join(
+        f"('{p['url']}', '{hashlib.md5(p['text'].encode('utf-8')).hexdigest()}')"
+        for p in web["pages"]
+    )
+    href_vals = ",\n        ".join(
+        f"('{p['url']}', '{h}')" for p in web["pages"] for h in p["a_hrefs"]
+    )
+
+    # reusable SQL fragments -------------------------------------------------
+    def ladder(src_prio: str, depth: str) -> str:
+        return f"""GREATEST(1, 100 + {src_prio}
+             + CASE WHEN url_norm LIKE '%/' OR
+                         length(url_norm) - length(replace(url_norm, '/', '')) <= 3
+                    THEN 20 ELSE 0 END
+             + CASE WHEN regexp_matches(url_norm, 'news|blog|article|post')
+                    THEN 10 ELSE 0 END
+             + CASE WHEN regexp_matches(url_norm, 'archive|tag|category|page=')
+                    THEN -15 ELSE 0 END
+             - {depth} * 10)"""
+
+    robots_allowed = """(
+        GREATEST(
+            CASE WHEN r.dis1 IS NOT NULL AND starts_with(p.path, r.dis1)
+                 THEN length(r.dis1) ELSE 0 END,
+            CASE WHEN r.dis2 IS NOT NULL AND starts_with(p.path, r.dis2)
+                 THEN length(r.dis2) ELSE 0 END) = 0
+        OR (r.allow1 IS NOT NULL AND starts_with(p.path, r.allow1)
+            AND length(r.allow1) >= GREATEST(
+             CASE WHEN r.dis1 IS NOT NULL AND starts_with(p.path, r.dis1)
+                  THEN length(r.dis1) ELSE 0 END,
+             CASE WHEN r.dis2 IS NOT NULL AND starts_with(p.path, r.dis2)
+                  THEN length(r.dis2) ELSE 0 END))
+    )"""
+
+    def link_stage(n: str, ok: str) -> str:
+        """Parser-side link derivation for one epoch: raw hrefs of fetched
+        pages -> urljoin -> social/extension filters -> lowercase netloc +
+        rstrip path slash -> per-page DISTINCT -> + canonical <link> (the
+        page's own url, skipped when an a-tag already yielded it)."""
+        return f"""
+hre{n} AS (
+    SELECT o.url_norm AS src, h.href
+    FROM {ok} o JOIN hrefs h ON h.page_url = o.url_norm
+),
+pnA{n} AS (  -- urljoin: relative hrefs resolve against the page host
+    SELECT src,
+           CASE WHEN href LIKE '/%'
+                THEN 'https://' || split_part(src, '/', 3) || href
+                ELSE href END AS abs_url
+    FROM hre{n}
+),
+pnB{n} AS (
+    SELECT src,
+           lower(split_part(abs_url, '/', 3)) AS netloc,
+           substr(abs_url, 9 + length(split_part(abs_url, '/', 3))) AS rest
+    FROM pnA{n}
+),
+pnC{n} AS (
+    SELECT src, netloc,
+           split_part(rest, '?', 1) AS pth,
+           CASE WHEN strpos(rest, '?') > 0
+                THEN substr(rest, strpos(rest, '?')) ELSE '' END AS qs
+    FROM pnB{n}
+),
+pnD{n} AS (  -- social-domain + extension blocklists (in-universe subset of
+             -- urlnorm.EXCLUDED_DOMAINS / PARSER_EXCLUDED_EXTENSIONS)
+    SELECT src,
+           'https://' || netloc ||
+           CASE WHEN pth = '/' THEN '/'
+                ELSE regexp_replace(pth, '/+$', '') END || qs AS tgt
+    FROM pnC{n}
+    WHERE NOT (netloc LIKE '%facebook.com%' OR netloc LIKE '%twitter.com%'
+               OR netloc LIKE '%instagram.com%' OR netloc LIKE '%linkedin.com%'
+               OR netloc LIKE '%youtube.com%' OR netloc LIKE '%google.com%')
+      AND NOT (lower(pth) LIKE '%.pdf' OR lower(pth) LIKE '%.jpg'
+               OR lower(pth) LIKE '%.mp4' OR lower(pth) LIKE '%.png'
+               OR lower(pth) LIKE '%.gif' OR lower(pth) LIKE '%.css'
+               OR lower(pth) LIKE '%.js')
+),
+atag{n} AS (SELECT DISTINCT src, tgt FROM pnD{n}),
+links{n} AS (  -- links table rows: a-tags + the canonical <link> self-ref
+    SELECT src, tgt FROM atag{n}
+    UNION ALL
+    SELECT o.url_norm, o.url_norm FROM {ok} o
+    WHERE NOT EXISTS (SELECT 1 FROM atag{n} a
+                      WHERE a.src = o.url_norm AND a.tgt = o.url_norm)
+)"""
+
+    # candidate mini-canonicalizer over parser-normalized targets: strip the
+    # (all-tracking) query, www., :443, collapse the .com// trap, restore the
+    # root slash. Exact over synth._trap_href's closed shape set.
+    cnorm = """(
+        CASE WHEN strpos(substr(
+                 replace(replace(replace(split_part(tgt, '?', 1),
+                     '://www.', '://'), ':443/', '/'), '.com//', '.com/'),
+                 9), '/') = 0
+             THEN replace(replace(replace(split_part(tgt, '?', 1),
+                     '://www.', '://'), ':443/', '/'), '.com//', '.com/') || '/'
+             ELSE replace(replace(replace(split_part(tgt, '?', 1),
+                     '://www.', '://'), ':443/', '/'), '.com//', '.com/') END
+    )"""
+
+    return f"""
+WITH raw_seeds(url, source_priority, depth) AS (VALUES
+        {seed_vals}),
+robots(host, dis1, dis2, allow1, crawl_delay) AS (VALUES
+        {rb_vals}),
+pages(page_url, td) AS (VALUES
+        {page_vals}),
+hrefs(page_url, href) AS (VALUES
+        {href_vals}),
+canon0 AS (  -- seed mini-normalizer (lowercase, strip www., strip tracking query)
+    SELECT CASE WHEN strpos(replace(lower(url), '://www.', '://'), '?') > 0
+                THEN split_part(replace(lower(url), '://www.', '://'), '?', 1)
+                ELSE replace(lower(url), '://www.', '://') END AS url_norm,
+           source_priority, depth
+    FROM raw_seeds
+),
+merged0 AS (  -- within-batch merge: min depth, max source priority
+    SELECT url_norm,
+           split_part(url_norm, '/', 3) AS host,
+           substr(url_norm, 9 + length(split_part(url_norm, '/', 3))) AS path,
+           min(depth) AS depth, max(source_priority) AS source_priority
+    FROM canon0 GROUP BY 1, 2, 3
+),
+prio0 AS (
+    SELECT host, url_norm, path, depth,
+           0 AS discovered_epoch, 0 AS attempts,
+           {ladder("source_priority", "depth")} AS priority
+    FROM merged0
+),
+gate0 AS (
+    SELECT p.*, COALESCE(r.crawl_delay, 1.0) AS eff_delay,
+           CASE WHEN {robots_allowed} THEN 1 ELSE 0 END AS allowed
+    FROM prio0 p LEFT JOIN robots r USING (host)
+),
+rejected0 AS (SELECT * FROM gate0 WHERE allowed = 0),
+ranked0 AS (
+    SELECT *, LEAST(CAST(floor({es}.0 / eff_delay) AS INT), {es}) AS host_budget,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY priority DESC, discovered_epoch ASC,
+                                       url_norm ASC) AS rk
+    FROM gate0 WHERE allowed = 1
+),
+sched0 AS (SELECT * FROM ranked0 WHERE rk <= host_budget),
+defer0 AS (  -- politeness overflow: attempts+1, ready next epoch
+    SELECT host, url_norm, path, priority, depth, discovered_epoch,
+           attempts + 1 AS attempts
+    FROM ranked0 WHERE rk > host_budget
+),
+fetch0 AS (  -- fetch = equi join against the page table
+    SELECT s.*, p.td FROM sched0 s LEFT JOIN pages p ON p.page_url = s.url_norm
+),
+ok0 AS (SELECT * FROM fetch0 WHERE td IS NOT NULL),
+{link_stage("0", "ok0")},
+cand1 AS (  -- every a-tag link of a fetched page re-enters as a candidate
+    SELECT DISTINCT {cnorm} AS url_norm FROM atag0
+),
+new1 AS (  -- seen anti-join + priority (depth 1, discovered_priority 5)
+    SELECT c.url_norm,
+           split_part(c.url_norm, '/', 3) AS host,
+           substr(c.url_norm, 9 + length(split_part(c.url_norm, '/', 3))) AS path,
+           1 AS depth, 1 AS discovered_epoch, 0 AS attempts,
+           {ladder("5", "1")} AS priority
+    FROM cand1 c
+    WHERE c.url_norm NOT IN (SELECT url_norm FROM merged0)
+),
+pend1 AS (
+    SELECT url_norm, host, path, priority, depth, discovered_epoch, attempts
+    FROM new1
+    UNION ALL
+    SELECT url_norm, host, path, priority, depth, discovered_epoch, attempts
+    FROM defer0
+),
+gate1 AS (  -- a host fetched (or failed) in epoch 0 has host_stats now, and
+            -- its crawl_delay was initialized to the 1.0 default — the
+            -- robots delay no longer applies (oracle.py:155-160, 254-258)
+    SELECT p.*,
+           CASE WHEN p.host IN (SELECT DISTINCT host FROM sched0) THEN 1.0
+                ELSE COALESCE(r.crawl_delay, 1.0) END AS eff_delay,
+           CASE WHEN {robots_allowed} THEN 1 ELSE 0 END AS allowed
+    FROM pend1 p LEFT JOIN robots r USING (host)
+),
+rejected1 AS (SELECT * FROM gate1 WHERE allowed = 0),
+ranked1 AS (
+    SELECT *, LEAST(CAST(floor({es}.0 / eff_delay) AS INT), {es}) AS host_budget,
+           row_number() OVER (PARTITION BY host
+                              ORDER BY priority DESC, discovered_epoch ASC,
+                                       url_norm ASC) AS rk
+    FROM gate1 WHERE allowed = 1
+),
+sched1 AS (SELECT * FROM ranked1 WHERE rk <= host_budget),
+defer1 AS (
+    SELECT host, url_norm, path, priority, depth, discovered_epoch,
+           attempts + 1 AS attempts
+    FROM ranked1 WHERE rk > host_budget
+),
+fetch1 AS (
+    SELECT s.*, p.td FROM sched1 s LEFT JOIN pages p ON p.page_url = s.url_norm
+),
+ok1 AS (SELECT * FROM fetch1 WHERE td IS NOT NULL),
+{link_stage("1", "ok1")},
+indexed0 AS (SELECT DISTINCT td FROM ok0)"""
+
+
+def _sql_crawl_two_epoch_counters() -> str:
+    """Per-epoch committed counters for the full two-epoch crawl loop.
+    pages_fetched is the web_content delta: content-digest dedup within the
+    epoch, anti-joined against everything indexed before (indexer/app.py
+    216-253 first-URL-wins + the cross-epoch content_hash anti-join)."""
+    return (
+        _crawl_two_epoch_with(6)
+        + """
+SELECT CAST(0 AS INT) AS epoch,
+       CAST((SELECT count(*) FROM merged0) AS BIGINT) AS urls_new,
+       CAST((SELECT count(*) FROM sched0) AS BIGINT) AS urls_scheduled,
+       CAST((SELECT count(*) FROM defer0) AS BIGINT) AS urls_deferred,
+       CAST((SELECT count(DISTINCT td) FROM ok0) AS BIGINT) AS pages_fetched,
+       CAST((SELECT count(*) FROM links0) AS BIGINT) AS links_discovered
+UNION ALL
+SELECT CAST(1 AS INT),
+       CAST((SELECT count(*) FROM new1) AS BIGINT),
+       CAST((SELECT count(*) FROM sched1) AS BIGINT),
+       CAST((SELECT count(*) FROM defer1) AS BIGINT),
+       CAST((SELECT count(DISTINCT td) FROM ok1
+             WHERE td NOT IN (SELECT td FROM indexed0)) AS BIGINT),
+       CAST((SELECT count(*) FROM links1) AS BIGINT)
+"""
+    )
+
+
+def _sql_crawl_frontier_status() -> str:
+    """Merge-on-read frontier resolution after two epochs (epoch_seconds=3):
+    latest status_epoch per url wins. Epoch-0 deferrals are all re-resolved
+    in epoch 1 (ready_epoch=1), so the surviving statuses are epoch-0
+    terminal outcomes plus every epoch-1 outcome."""
+    return (
+        _crawl_two_epoch_with(3)
+        + """
+SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT CASE WHEN td IS NOT NULL THEN 'fetched' ELSE 'failed' END AS status
+    FROM fetch0
+    UNION ALL SELECT 'rejected' FROM rejected0
+    UNION ALL
+    SELECT CASE WHEN td IS NOT NULL THEN 'fetched' ELSE 'failed' END
+    FROM fetch1
+    UNION ALL SELECT 'rejected' FROM rejected1
+    UNION ALL SELECT 'deferred' FROM defer1
+) GROUP BY status ORDER BY status
+"""
+    )
+
+
 # --------------------------------------------------------------------------------
 
 # SURT sort key + prefix range scan (functions/columns.surt_key): the
@@ -3307,6 +3598,8 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": SQL_media_features,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
+    "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
+    "crawl_frontier_status": _sql_crawl_frontier_status(),
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
 }

@@ -124,17 +124,25 @@ def _page_html(
     internal_targets: list[str],
     external_targets: list[str],
     lang: str,
-) -> str:
+) -> tuple[str, list[str]]:
+    """Render one page. Returns (html, a_hrefs) where a_hrefs is every raw
+    <a href> value in document order — the generator's own link plan, i.e.
+    INPUT data (the html is rendered FROM it), recorded so SQL oracles can
+    re-derive link discovery without running the engine's parser. The rng
+    call order below is byte-parity-critical: title, desc, kws, paras, then
+    per internal target (random() [, trap randrange] , anchor sentence),
+    then per external target (anchor sentence), then the aside."""
     title = _sentence(rng, rng.randint(4, 8))[:-1]
     desc = _sentence(rng, rng.randint(10, 18))
     kws = ", ".join(rng.choice(_WORDS) for _ in range(5))
     paras = "\n".join(
         f"<p>{_paragraph(rng, rng.randint(3, 6))}</p>" for _ in range(rng.randint(3, 7))
     )
-    internal_links = "\n".join(
-        f'<a href="{_trap_href(rng, t) if rng.random() < 0.3 else t}">{_sentence(rng, 3)[:-1]}</a>'
-        for t in internal_targets
-    )
+    internal_pairs = []
+    for t in internal_targets:
+        href = _trap_href(rng, t) if rng.random() < 0.3 else t
+        internal_pairs.append((href, _sentence(rng, 3)[:-1]))
+    internal_links = "\n".join(f'<a href="{h}">{a}</a>' for h, a in internal_pairs)
     external_links = "\n".join(
         f'<a href="{t}">{_sentence(rng, 2)[:-1]}</a>' for t in external_targets
     )
@@ -143,7 +151,14 @@ def _page_html(
         '<a href="/files/report.pdf">PDF</a>\n<a href="/media/video.mp4">Video</a>\n'
         '<a href="/img/photo.jpg">Photo</a>'
     )
-    return f"""<!DOCTYPE html>
+    a_hrefs = (
+        ["/", "/about-site"]
+        + [h for h, _ in internal_pairs]
+        + list(external_targets)
+        + ["https://facebook.com/share", "https://twitter.com/intent"]
+        + ["/files/report.pdf", "/media/video.mp4", "/img/photo.jpg"]
+    )
+    html = f"""<!DOCTYPE html>
 <html lang="{lang}">
 <head>
 <title>{title}</title>
@@ -170,6 +185,7 @@ def _page_html(
 <p>Copyright {host}</p></footer>
 </body>
 </html>"""
+    return html, a_hrefs
 
 
 def generate_web(
@@ -209,7 +225,7 @@ def generate_web(
                 if extract_host_of(t) != host:
                     external.append(t)
             lang = rng.choice(_LANGS)
-            html = _page_html(rng, u, host, internal, external, lang)
+            html, a_hrefs = _page_html(rng, u, host, internal, external, lang)
             text = extract_text(html)
             pages.append(
                 {
@@ -218,6 +234,10 @@ def generate_web(
                     "html": html.encode("utf-8"),
                     "text": text,
                     "lang": lang,
+                    # the generator's raw link plan (a-tag hrefs in document
+                    # order; the canonical <link> is always `url` itself) —
+                    # input data for SQL oracles, ignored by the engine
+                    "a_hrefs": a_hrefs,
                 }
             )
             idx += 1
