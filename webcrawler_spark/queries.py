@@ -1829,6 +1829,62 @@ FROM documents
 """
 
 
+# FNV-style 64-bit rolling fold (textstats._rolling_fp) re-derived in pure
+# SQL: HUGEINT arithmetic mod 2^64 (base 1000003 keeps h*base < 2^84, far
+# inside HUGEINT), xor per UTF-8 byte; unicode(char) == byte because the
+# driver tables' text is ASCII (asserted cheap in-universe; the engine
+# handles arbitrary UTF-8 — that open-world parity is pinned by pytest).
+_SQL_FNV_FOLD = """
+    list_reduce(
+      list_prepend(1469598103934665603::HUGEINT,
+        list_transform(range(1, length({col}) + 1),
+                       i -> CAST(unicode({col}[i]) AS HUGEINT))),
+      (a, b) -> xor((a * 1000003::HUGEINT) % 18446744073709551616::HUGEINT, b)
+    )"""
+
+_SQL_FOLD_SIGNED = """CAST(CASE WHEN {h} >= 9223372036854775808::HUGEINT
+            THEN {h} - 18446744073709551616::HUGEINT ELSE {h} END AS BIGINT)"""
+
+SQL_doc_fingerprints = f"""
+SELECT doc_id,
+       {_SQL_FOLD_SIGNED.format(h="h")} AS fingerprint
+FROM (
+  SELECT doc_id, {_SQL_FNV_FOLD.format(col="text")} AS h
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+SQL_simhash_fingerprints = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, {_SQL_FNV_FOLD.format(col="tok")} AS h
+  FROM toks
+),
+bits AS (  -- per-bit vote: +1 when the token hash has the bit set, else -1
+  SELECT doc_id, i,
+         sum(CASE WHEN (h >> i) % 2 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM th, range(64) t(i)
+  GROUP BY doc_id, i
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN votes > 0 THEN (1::HUGEINT << i)
+                  ELSE 0::HUGEINT END) AS h
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       {_SQL_FOLD_SIGNED.format(h="COALESCE(f.h, 0::HUGEINT)")} AS simhash
+FROM documents d LEFT JOIN fp f USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: same-host fuzzy dedup (difflib max-ratio >= threshold against the
     host's 100 most recent seen URLs, deduplicator.py:123-186) over a
@@ -3600,6 +3656,8 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
     "crawl_frontier_status": _sql_crawl_frontier_status(),
+    "doc_fingerprints": SQL_doc_fingerprints,
+    "simhash_fingerprints": SQL_simhash_fingerprints,
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
 }
