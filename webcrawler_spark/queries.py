@@ -1855,7 +1855,9 @@ FROM (
 ORDER BY doc_id
 """
 
-SQL_simhash_fingerprints = f"""
+# Shared CTE chain ending in fp(doc_id, h) — the UNSIGNED 64-bit simhash
+# per document (textstats.simhash_udf bit-vote semantics).
+_SQL_SIMHASH_FP_CTES = f"""
 WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
@@ -1873,15 +1875,40 @@ bits AS (  -- per-bit vote: +1 when the token hash has the bit set, else -1
   GROUP BY doc_id, i
 ),
 fp AS (
-  SELECT doc_id,
-         sum(CASE WHEN votes > 0 THEN (1::HUGEINT << i)
-                  ELSE 0::HUGEINT END) AS h
-  FROM bits GROUP BY doc_id
-)
-SELECT d.doc_id,
-       {_SQL_FOLD_SIGNED.format(h="COALESCE(f.h, 0::HUGEINT)")} AS simhash
-FROM documents d LEFT JOIN fp f USING (doc_id)
+  SELECT d.doc_id, COALESCE(f.h, 0::HUGEINT) AS h
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN votes > 0 THEN (1::HUGEINT << i)
+                    ELSE 0::HUGEINT END) AS h
+    FROM bits GROUP BY doc_id) f USING (doc_id)
+)"""
+
+SQL_simhash_fingerprints = f"""{_SQL_SIMHASH_FP_CTES}
+SELECT doc_id,
+       {_SQL_FOLD_SIGNED.format(h="h")} AS simhash
+FROM fp
 ORDER BY doc_id
+"""
+
+# similarity.simhash_near_dups (bands=4, max_hamming=16) re-derived: band the
+# unsigned fingerprint into 4x16-bit pieces, band-equi self-join (the same
+# candidate rule as the Spark plan — pigeonhole candidates, NOT all pairs),
+# exact hamming filter via bit_count(xor).
+SQL_simhash_near_dups = f"""{_SQL_SIMHASH_FP_CTES},
+banded AS (
+  SELECT doc_id, h, i AS band, (h >> (i * 16)) & 65535 AS val
+  FROM fp, range(4) t(i)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) <= 16
+ORDER BY id_a, id_b
 """
 
 
@@ -3658,6 +3685,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_frontier_status": _sql_crawl_frontier_status(),
     "doc_fingerprints": SQL_doc_fingerprints,
     "simhash_fingerprints": SQL_simhash_fingerprints,
+    "simhash_near_dups": SQL_simhash_near_dups,
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
 }
