@@ -84,7 +84,11 @@ def minhash_near_dups(
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     Scale: the band explode is x bands rows; the self-join is bucket-equi
-    (band_id, band_hash) — skew-safe under AQE; no cross product."""
+    (band_id, band_slice) — skew-safe under AQE; no cross product. The
+    bucket key is the band's raw signature slice (4 longs), not a hash of
+    it: candidates are then EXACTLY the pairs agreeing on a band (no hash
+    collisions), and the 24-byte key growth is noise next to the 512-byte
+    signature each banded row already carries through the shuffle."""
     rows_per_band = n_hashes // bands
     sig = minhash_signature_udf(n_hashes, shingle_k)
     signed = docs.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
@@ -97,8 +101,8 @@ def minhash_near_dups(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
                     ).alias("bucket"),
                 ),
             )

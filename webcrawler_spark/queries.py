@@ -1912,6 +1912,107 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_minhash_near_dups() -> str:
+    """similarity.minhash_near_dups + verify_jaccard re-derived in DuckDB.
+
+    The whole pipeline is deterministic given the seed-42 permutation
+    coefficients, so it IS SQL: 5-char shingle rolling hash (base 257 —
+    max ~5.6e12, no wraparound), splitmix64 finalize (HUGEINT limb
+    multiplication for the two 64-bit mixes), 64 universal-hash minima per
+    doc ((a*s + b) mod 2^64 with a's 32-bit limbs inlined as literals),
+    16-band raw-slice bucketing (the Spark side joins on the raw slice
+    too — candidates match EXACTLY), signature-agreement estimate, and
+    exact token-set Jaccard verify.
+    """
+    import numpy as np
+
+    mask = (1 << 64) - 1
+    rng = np.random.default_rng(42)
+    a = (rng.integers(1, mask, size=64, dtype=np.uint64) | np.uint64(1)).tolist()
+    b = rng.integers(0, mask, size=64, dtype=np.uint64).tolist()
+    coeff_rows = ",\n    ".join(
+        f"({i}, {ai >> 32}::HUGEINT, {ai & 0xFFFFFFFF}::HUGEINT, {bi}::HUGEINT)"
+        for i, (ai, bi) in enumerate(zip(a, b))
+    )
+    p32 = "4294967296::HUGEINT"
+    p64 = "18446744073709551616::HUGEINT"
+
+    def modmul(h: str, m: int) -> str:
+        # (h * m) mod 2^64 via 32-bit limb split of the constant m: every
+        # intermediate stays below 2^97, inside HUGEINT.
+        return (
+            f"((({h}) * {m >> 32}::HUGEINT % {p32}) * {p32}"
+            f" + ({h}) * {m & 0xFFFFFFFF}::HUGEINT) % {p64}"
+        )
+
+    mix1, mix2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+WITH coeffs(i, a_hi, a_lo, b) AS (VALUES
+    {coeff_rows}
+),
+docs_t AS (
+  SELECT doc_id,
+         CASE WHEN length(lower(text)) < 5
+              THEN rpad(lower(text), 5, ' ') ELSE lower(text) END AS t
+  FROM documents
+),
+win AS (
+  SELECT doc_id,
+         list_transform(range(1, length(t) - 3),
+           j ->  unicode(t[j])   * 4362470401::HUGEINT
+               + unicode(t[j+1]) * 16974593::HUGEINT
+               + unicode(t[j+2]) * 66049::HUGEINT
+               + unicode(t[j+3]) * 257::HUGEINT
+               + unicode(t[j+4])) AS h0s
+  FROM docs_t
+),
+sh0 AS (SELECT doc_id, unnest(list_distinct(h0s)) AS h0 FROM win),
+sm1 AS (SELECT doc_id, xor(h0, h0 >> 30) AS h FROM sh0),
+sm2 AS (SELECT doc_id, {modmul('h', mix1)} AS h FROM sm1),
+sm3 AS (SELECT doc_id, xor(h, h >> 27) AS h FROM sm2),
+sm4 AS (SELECT doc_id, {modmul('h', mix2)} AS h FROM sm3),
+sh AS (SELECT DISTINCT doc_id, xor(h, h >> 31) AS s FROM sm4),
+mins AS (
+  SELECT doc_id, i,
+         min(((( (s * a_hi % {p32}) * {p32} + s * a_lo ) % {p64}) + b) % {p64}) AS mv
+  FROM sh CROSS JOIN coeffs
+  GROUP BY doc_id, i
+),
+sigs AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, sig, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS bucket
+  FROM sigs, range(16) t(bnd)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM banded l JOIN banded r
+    ON l.bnd = r.bnd AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+est AS (
+  SELECT id_a, id_b,
+         round(CAST(length(list_filter(range(1, 65), k -> sig_a[k] = sig_b[k]))
+                    AS DOUBLE) / 64.0, 6) AS est_jaccard
+  FROM pairs
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '')) AS toks
+  FROM documents
+)
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       round(CASE WHEN length(list_distinct(ta.toks || tb.toks)) = 0 THEN 0.0
+                  ELSE CAST(length(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                       / length(list_distinct(ta.toks || tb.toks)) END, 6) AS jaccard
+FROM est e
+JOIN toks ta ON ta.doc_id = e.id_a
+JOIN toks tb ON tb.doc_id = e.id_b
+WHERE e.est_jaccard >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: same-host fuzzy dedup (difflib max-ratio >= threshold against the
     host's 100 most recent seen URLs, deduplicator.py:123-186) over a
@@ -3686,6 +3787,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_fingerprints": SQL_doc_fingerprints,
     "simhash_fingerprints": SQL_simhash_fingerprints,
     "simhash_near_dups": SQL_simhash_near_dups,
+    "minhash_near_dups": _sql_minhash_near_dups(),
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
 }
