@@ -94,3 +94,66 @@ def test_chunk_mode_matches_manual(spark):
         mode="chunks",
     )
     assert empty.count() == 0
+
+
+def _py_gopher(text, top_n=2, dup_n=3):
+    """Pure-Python reference for gopher_repetition (lines mode)."""
+    from collections import Counter
+
+    chars = len(text)
+    segs = [l for l in text.split("\n") if l.strip() != ""]
+    seg_c = Counter(segs)
+    n_seg = len(segs)
+    n_dup = sum(c - 1 for c in seg_c.values())
+    dup_chars = sum((c - 1) * len(s) for s, c in seg_c.items())
+    toks = text.split()
+
+    def grams(n):
+        return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+    g2 = Counter(grams(top_n))
+    top_frac = 0.0
+    if g2 and chars:
+        best = max(g2.items(), key=lambda kv: (kv[1], kv[0]))
+        top_frac = best[1] * len(best[0]) / chars
+    g3 = Counter(grams(dup_n))
+    dup3 = sum(c * len(g) for g, c in g3.items() if c >= 2)
+    frac = lambda num, den: num / den if den else 0.0
+    return (
+        n_seg,
+        frac(n_dup, n_seg),
+        frac(dup_chars, chars),
+        top_frac,
+        frac(dup3, chars),
+    )
+
+
+def test_gopher_repetition_matches_python_reference(spark):
+    rows = [
+        (1, "a b\nc d\na b\ne f g e f g"),
+        (2, "x y z"),
+        (3, ""),
+        (4, "w w w w w w"),   # overlap-naive fracs may exceed 1 by design
+        (5, "nav bar\nnav bar\nnav bar\ncontent line one two three"),
+        (6, "one two one two one two three"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["n_segments"],
+            r["dup_seg_frac"],
+            r["dup_seg_char_frac"],
+            r["top_ngram_char_frac"],
+            r["dup_ngram_char_frac"],
+        )
+        for r in L.gopher_repetition(df, mode="lines").collect()
+    }
+    for doc_id, text in rows:
+        exp = _py_gopher(text)
+        assert got[doc_id] == pytest.approx(exp), (doc_id, got[doc_id], exp)
+
+
+def test_gopher_repetition_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c a b c")], ["doc_id", "text"])
+    plan = L.gopher_repetition(df, mode="chunks")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

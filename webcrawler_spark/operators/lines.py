@@ -204,3 +204,145 @@ def c4_line_filter(
             & ~F.col("_raw").contains("{")
         ).drop("_raw")
     )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Overlapping word n-grams of a token array, space-joined."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, 0) DESCENDS rather than being empty — guard short docs
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _dup_beyond_first(sorted_arr: Column) -> tuple[Column, Column]:
+    """(count, chars) of occurrences beyond the first of each distinct
+    element — one linear pass over the pre-sorted array (element i is a
+    repeat iff it equals element i-1), never a quadratic distinct×all scan."""
+    idx = F.sequence(F.lit(2), F.size(sorted_arr))
+    rep = F.filter(
+        F.when(F.size(sorted_arr) >= 2, idx).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.element_at(sorted_arr, i) == F.element_at(sorted_arr, i - 1),
+    )
+    n_dup = F.size(rep)
+    dup_chars = F.aggregate(
+        rep,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.length(F.element_at(sorted_arr, i)),
+    )
+    return n_dup, dup_chars
+
+
+def _dup_any_occurrence_chars(sorted_arr: Column) -> Column:
+    """Chars of EVERY occurrence of any element occurring >= 2 times — an
+    element of the sorted array is part of a duplicate run iff it equals a
+    neighbor. Linear pass, as above."""
+    size = F.size(sorted_arr)
+    idx = F.when(size >= 1, F.sequence(F.lit(1), size)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+    def in_run(i: Column) -> Column:
+        prev_eq = (i > 1) & (
+            F.element_at(sorted_arr, i)
+            == F.element_at(sorted_arr, F.greatest(i - 1, F.lit(1)))
+        )
+        next_eq = (i < size) & (
+            F.element_at(sorted_arr, i)
+            == F.element_at(sorted_arr, F.least(i + 1, size))
+        )
+        return prev_eq | next_eq
+
+    return F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(in_run(i), F.length(F.element_at(sorted_arr, i))).otherwise(
+            F.lit(0)
+        ),
+    )
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """struct(best_c, best_g): the most frequent element of the pre-sorted
+    array and its count, ties broken toward the lexicographically greatest
+    element — a single linear fold carrying (prev, run, best) state."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best_c"),
+        F.lit("").alias("best_g"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        run2 = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = (run2 > acc["best_c"]) | (
+            (run2 == acc["best_c"]) & (g >= acc["best_g"])
+        )
+        return F.struct(
+            g.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best_c"]).alias("best_c"),
+            F.when(better, g).otherwise(acc["best_g"]).alias("best_g"),
+        )
+
+    return F.aggregate(sorted_arr, zero, step)
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "lines",
+    width: int = CHUNK_WIDTH,
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021, A1.1) per document,
+    fully native and shuffle-free (higher-order functions only):
+
+    - ``dup_seg_frac`` / ``dup_seg_char_frac``: fraction of segments
+      (lines, or fixed-width token chunks for newline-free corpora) that
+      are repeats of an earlier identical segment, and the char fraction
+      those repeats cover (Gopher's duplicate line / paragraph fractions);
+    - ``top_ngram_char_frac``: chars of the most frequent word ``top_n``-gram
+      times its count, over total chars (ties to the lexicographically
+      greatest gram, deterministically);
+    - ``dup_ngram_char_frac``: chars of every occurrence of any
+      ``dup_n``-gram occurring >= 2 times, over total chars (overlap-naive:
+      occurrences counted independently, spans not merged).
+
+    Every pass is linear in document length (sorted array + neighbor
+    equality / run fold), so a pathological 10^5-line page costs
+    O(L log L), not the O(distinct x L) of the naive counting shape.
+    """
+    text = F.col(text_col)
+    chars = F.length(text)
+    segs_sorted = F.array_sort(segment(text, mode, width))
+    n_seg = F.size(segs_sorted)
+    n_dup, dup_chars = _dup_beyond_first(segs_sorted)
+
+    toks = _tokens(text)
+    top = _top_run(F.array_sort(_ngrams(toks, top_n)))
+    dupg_chars = _dup_any_occurrence_chars(F.array_sort(_ngrams(toks, dup_n)))
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return docs.select(
+        F.col(id_col),
+        n_seg.alias("n_segments"),
+        frac(n_dup, n_seg).alias("dup_seg_frac"),
+        frac(dup_chars, chars).alias("dup_seg_char_frac"),
+        frac(top["best_c"] * F.length(top["best_g"]), chars).alias(
+            "top_ngram_char_frac"
+        ),
+        frac(dupg_chars, chars).alias("dup_ngram_char_frac"),
+    )

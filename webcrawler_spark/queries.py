@@ -972,6 +972,93 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.c4_line_filter(docs, min_words=3, min_lines=2, mode="chunks")
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021, A1.1) per doc: duplicate
+    segment fractions + top-2-gram / duplicated-3-gram char fractions.
+    Chunk segmenter for the newline-free synthetic docs (as the other line
+    ops); the newline path is covered by tests/test_lines.py."""
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents")
+    return L.gopher_repetition(docs, mode="chunks")
+
+
+# Relational re-derivation: the Spark side computes the same quantities via
+# linear folds over sorted arrays; counts are counts, so the oracle uses
+# plain unnest + GROUP BY. Tie-break for the top 2-gram: max count, then
+# lexicographically greatest gram (binary collation both sides).
+SQL_gopher_repetition = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, unnest(
+           list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+                          i -> array_to_string(t[i*8+1:i*8+8], ' '))) AS seg
+  FROM toks
+),
+seg_counts AS (
+  SELECT doc_id, seg, count(*) AS c FROM segs GROUP BY doc_id, seg
+),
+seg_stats AS (
+  SELECT doc_id,
+         CAST(sum(c) AS INT) AS n_segments,
+         sum(c - 1) AS n_dup,
+         sum((c - 1) * length(seg)) AS dup_chars
+  FROM seg_counts GROUP BY doc_id
+),
+g2 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           ELSE [] END) AS gram
+  FROM toks
+),
+g2_top AS (
+  SELECT doc_id, c AS top_c, gram AS top_g
+  FROM (SELECT doc_id, gram, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, gram DESC) AS rn
+        FROM g2 GROUP BY doc_id, gram)
+  WHERE rn = 1
+),
+g3 AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+           THEN list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           ELSE [] END) AS gram
+  FROM toks
+),
+g3_dup AS (
+  SELECT doc_id, sum(c * length(gram)) AS dup3_chars
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram)
+  WHERE c >= 2
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_segments, 0) AS INT) AS n_segments,
+       CASE WHEN coalesce(s.n_segments, 0) > 0
+            THEN CAST(s.n_dup AS DOUBLE) / CAST(s.n_segments AS DOUBLE)
+            ELSE 0.0 END AS dup_seg_frac,
+       CASE WHEN length(d.text) > 0
+            THEN CAST(coalesce(s.dup_chars, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+            ELSE 0.0 END AS dup_seg_char_frac,
+       CASE WHEN length(d.text) > 0
+            THEN CAST(coalesce(t2.top_c, 0) * length(coalesce(t2.top_g, '')) AS DOUBLE)
+                 / CAST(length(d.text) AS DOUBLE)
+            ELSE 0.0 END AS top_ngram_char_frac,
+       CASE WHEN length(d.text) > 0
+            THEN CAST(coalesce(g3_dup.dup3_chars, 0) AS DOUBLE) / CAST(length(d.text) AS DOUBLE)
+            ELSE 0.0 END AS dup_ngram_char_frac
+FROM documents d
+LEFT JOIN seg_stats s USING (doc_id)
+LEFT JOIN g2_top t2 USING (doc_id)
+LEFT JOIN g3_dup USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 SQL_c4_line_filter = """
 SELECT doc_id,
        array_to_string(kept, ' ') AS text_clean,
@@ -3633,6 +3720,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_rebuild": q_line_dedup_rebuild,
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
+    "gopher_repetition": q_gopher_repetition,
     "pagerank": q_pagerank,
     "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
@@ -3737,6 +3825,7 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
+    "gopher_repetition": SQL_gopher_repetition,
     "pagerank": SQL_pagerank,
     "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
