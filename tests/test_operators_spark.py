@@ -743,3 +743,35 @@ def test_shard_rebalance_plan(spark):
         "host string, load double, shard int",
     )
     assert shard_rebalance_plan(even, n_shards=4).count() == 0
+
+
+def test_date_histogram_terms_es_ordering(spark):
+    from datetime import datetime as DT
+
+    from webcrawler_spark.operators import search as SE
+
+    rows = [
+        # day 1: 3 click, 3 view (tie -> 'click' first by key asc), 1 error
+        (DT(2024, 1, 1, 1), "click", 1.10),
+        (DT(2024, 1, 1, 2), "click", 2.20),
+        (DT(2024, 1, 1, 3), "click", 0.30),
+        (DT(2024, 1, 1, 4), "view", 1.00),
+        (DT(2024, 1, 1, 5), "view", 1.00),
+        (DT(2024, 1, 1, 6), "view", 1.00),
+        (DT(2024, 1, 1, 7), "error", 9.99),
+        # day 2: single type
+        (DT(2024, 1, 2, 1), "view", 0.01),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = SE.date_histogram_terms(
+        df, "ts", "event_type", "value", interval="day", top_terms=2
+    )
+    got = sorted(
+        (r["bucket_start"], r["term"], r["doc_count"], r["sub_count"], r["value_sum"])
+        for r in out.collect()
+    )
+    assert got == [
+        (DT(2024, 1, 1), "click", 7, 3, 3.60),   # count tie vs view -> key asc
+        (DT(2024, 1, 1), "view", 7, 3, 3.00),
+        (DT(2024, 1, 2), "view", 1, 1, 0.01),
+    ]

@@ -469,3 +469,51 @@ def search_collapse(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def date_histogram_terms(
+    df: DataFrame,
+    ts_col: str,
+    term_col: str,
+    value_col: str,
+    interval: str = "day",
+    top_terms: int = 3,
+) -> DataFrame:
+    """ES `date_histogram` with a nested `terms` sub-aggregation
+    (calendar_interval buckets -> top-k terms per bucket, ES ordering:
+    sub-count desc, key asc). Per (bucket, term): doc count, exact
+    distinct-user-style cardinality of the value column's CENTS sum —
+    the metric sums round(value*100) as an integer so the result is
+    order-independent (float summation order varies across partitions;
+    an exact integer makes the aggregation deterministic at any scale).
+
+    Shape: one partial-aggregated shuffle on (bucket, term), a broadcast-
+    size bucket-totals join, and a per-bucket window top-k — no global sort.
+    """
+    bucket = F.date_trunc(interval, F.col(ts_col)).alias("bucket_start")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_term = (
+        df.select(bucket, F.col(term_col).alias("term"), cents.alias("cents"))
+        .groupBy("bucket_start", "term")
+        .agg(F.count(F.lit(1)).alias("sub_count"), F.sum("cents").alias("sum_cents"))
+    )
+    totals = per_term.groupBy("bucket_start").agg(
+        F.sum("sub_count").alias("doc_count")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket_start").orderBy(
+        F.desc("sub_count"), F.asc("term")
+    )
+    topk = (
+        per_term.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_terms)
+        .drop("rn")
+    )
+    return topk.join(F.broadcast(totals), "bucket_start").select(
+        "bucket_start",
+        "doc_count",
+        "term",
+        "sub_count",
+        (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("value_sum"),
+    )

@@ -1733,6 +1733,41 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_date_histogram_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram (calendar day) with a nested terms sub-agg: top-3
+    event types per day by count (ES order: count desc, key asc), doc_count
+    per bucket, and an order-independent integer-cents value sum."""
+    events = _t(spark, sf_dir, "events")
+    return SE.date_histogram_terms(
+        events, "ts", "event_type", "value", interval="day", top_terms=3
+    )
+
+
+SQL_date_histogram_terms = """
+WITH per_term AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start, event_type AS term,
+         count(*) AS sub_count,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+  FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT bucket_start, CAST(sum(sub_count) AS BIGINT) AS doc_count
+  FROM per_term GROUP BY 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket_start
+                               ORDER BY sub_count DESC, term ASC) AS rn
+  FROM per_term
+)
+SELECT r.bucket_start, t.doc_count, r.term,
+       CAST(r.sub_count AS BIGINT) AS sub_count,
+       CAST(r.sum_cents AS DOUBLE) / 100.0 AS value_sum
+FROM ranked r JOIN totals t USING (bucket_start)
+WHERE r.rn <= 3
+ORDER BY r.bucket_start, r.sub_count DESC, r.term
+"""
+
+
 # F18: readability metrics — flesch reading ease with a closed-form
 # vowel-group syllable approximation + reading time (parser/app.py:303-314)
 
@@ -3763,6 +3798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "least_loaded_shard": q_least_loaded_shard,
     "subword_token_count": q_subword_token_count,
     "windowed_event_counts": q_windowed_event_counts,
+    "date_histogram_terms": q_date_histogram_terms,
     "media_features": q_media_features,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
@@ -3868,6 +3904,7 @@ ORACLE_SQL: dict[str, str] = {
     "least_loaded_shard": SQL_least_loaded_shard,
     "subword_token_count": SQL_subword_token_count,
     "windowed_event_counts": SQL_windowed_event_counts,
+    "date_histogram_terms": SQL_date_histogram_terms,
     "media_features": SQL_media_features,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
