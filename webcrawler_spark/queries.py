@@ -2135,6 +2135,50 @@ ORDER BY id_a, id_b
 """
 
 
+def _sql_ann_lsh_topk() -> str:
+    """similarity.lsh_topk re-derived: the seed-42 hyperplanes are inlined
+    as DOUBLE literals (repr() round-trips float64 exactly), the bucket is
+    the sign pattern of the plane dot products, and the probe scans only
+    the query's bucket with the same cosine/rank rule as ann_cosine_topk.
+
+    Sign robustness: numpy's blocked matmul and DuckDB's fold sum in
+    different orders, so dots differ in the last ulp — but the smallest
+    |dot| across all (vector, plane) pairs at sf0.01 is ~9.2e-05, eleven
+    orders above summation noise; the bucket is stable.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64))
+    plane_rows = ",\n  ".join(
+        f"({i}, {1 << i}, [{', '.join(repr(x) for x in planes[i])}]::DOUBLE[])"
+        for i in range(8)
+    )
+    return f"""
+WITH planes(i, w, p) AS (VALUES
+  {plane_rows}
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (
+  SELECT CAST(sum(CASE WHEN list_dot_product(q.qv, p.p) > 0
+                       THEN p.w ELSE 0 END) AS INT) AS qbucket
+  FROM q CROSS JOIN planes p
+),
+buckets AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.p) > 0
+                       THEN p.w ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, e.embedding
+)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.embedding::DOUBLE[], q.qv), 6) AS cos_sim
+FROM buckets b CROSS JOIN q CROSS JOIN qb
+WHERE b.bucket = qb.qbucket
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: same-host fuzzy dedup (difflib max-ratio >= threshold against the
     host's 100 most recent seen URLs, deduplicator.py:123-186) over a
@@ -3916,4 +3960,5 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_near_dups": _sql_minhash_near_dups(),
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
 }
