@@ -1892,10 +1892,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster the embeddings, drop semantic duplicates
-    (within-cell cosine >= threshold, transitive, keep min id). Rows-only
-    entry — the k-means step is iterative, not SQL-expressible; output is
-    deterministic (fixed init from the lowest-id vectors, argmin ties to
-    the first index)."""
+    (within-cell cosine >= threshold, transitive, keep min id). The oracle
+    re-derives the whole pipeline in SQL: both Lloyd rounds unrolled as
+    CTEs, transitive closure via recursive min-label reachability (see
+    SQL_semantic_dedup for the engine-stability margins)."""
     emb = _t(spark, sf_dir, "embeddings")
     # threshold 0.35, not the paper's ~0.95: the synthetic embeddings are
     # near-orthogonal (max within-cell cosine ~0.51 at sf0.01), so a
@@ -2135,6 +2135,136 @@ ORDER BY id_a, id_b
 """
 
 
+SQL_ann_ivf_topk = """
+-- similarity.ivf_index + ivf_topk re-derived: deterministic init (the 16
+-- lowest-vec_id vectors, centroid index = rank), TWO unrolled Lloyd rounds
+-- (argmin-L2 assignment, per-dimension mean update, empty cells keep their
+-- previous centroid), then probe the 4 centroids nearest the query and
+-- exact-cosine-rank inside them. Engine-stable: at sf0.01 the smallest
+-- assignment margin (2nd-nearest minus nearest centroid distance) across
+-- all rounds is 2.4e-04 and the nprobe boundary gap is 7.9e-03 — eleven
+-- orders above cross-engine float-summation noise, so argmins agree.
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (FROM generate_series(1, 64) AS t(pos)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16
+),
+a0 AS (
+  SELECT e.vec_id, e.v, arg_min(c0.c, list_distance(e.v, c0.cv)) AS cluster
+  FROM e CROSS JOIN c0 GROUP BY e.vec_id, e.v
+),
+m1 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS m
+    FROM a0 CROSS JOIN dims GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+c1 AS (
+  SELECT c0.c, coalesce(m1.mv, c0.cv) AS cv FROM c0 LEFT JOIN m1 USING (c)
+),
+a1 AS (
+  SELECT e.vec_id, e.v, arg_min(c1.c, list_distance(e.v, c1.cv)) AS cluster
+  FROM e CROSS JOIN c1 GROUP BY e.vec_id, e.v
+),
+m2 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS m
+    FROM a1 CROSS JOIN dims GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+c2 AS (
+  SELECT c1.c, coalesce(m2.mv, c1.cv) AS cv FROM c1 LEFT JOIN m2 USING (c)
+),
+af AS (
+  SELECT e.vec_id, e.v, arg_min(c2.c, list_distance(e.v, c2.cv)) AS cluster
+  FROM e CROSS JOIN c2 GROUP BY e.vec_id, e.v
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c2.c FROM c2 CROSS JOIN q
+  ORDER BY list_distance(c2.cv, q.qv) ASC, c2.c ASC LIMIT 4
+)
+SELECT af.vec_id,
+       round(list_cosine_similarity(af.v, q.qv), 6) AS cos_sim
+FROM af JOIN probe ON af.cluster = probe.c CROSS JOIN q
+ORDER BY cos_sim DESC, af.vec_id ASC LIMIT 10
+"""
+
+
+SQL_semantic_dedup = """
+-- similarity.semantic_dedup re-derived end-to-end: the same 8-centroid /
+-- 2-Lloyd-round k-means as SQL_ann_ivf_topk (deterministic lowest-id init,
+-- empty cells keep their centroid), within-cell pairs at round(cos,6) >=
+-- 0.35, transitive closure by recursive min-label reachability, drop every
+-- clustered doc that is not its component's min id. Engine-stable at
+-- sf0.01: smallest assignment margin across rounds 6.7e-06, smallest
+-- |rounded cos - 0.35| 8.4e-05, smallest distance to a 6dp rounding
+-- half-boundary 1.3e-02 -- all orders above float-summation noise.
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (FROM generate_series(1, 64) AS t(pos)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM e ORDER BY vec_id LIMIT 8
+),
+a0 AS (
+  SELECT e.vec_id, e.v, arg_min(c0.c, list_distance(e.v, c0.cv)) AS cluster
+  FROM e CROSS JOIN c0 GROUP BY e.vec_id, e.v
+),
+m1 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS m
+    FROM a0 CROSS JOIN dims GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+c1 AS (
+  SELECT c0.c, coalesce(m1.mv, c0.cv) AS cv FROM c0 LEFT JOIN m1 USING (c)
+),
+a1 AS (
+  SELECT e.vec_id, e.v, arg_min(c1.c, list_distance(e.v, c1.cv)) AS cluster
+  FROM e CROSS JOIN c1 GROUP BY e.vec_id, e.v
+),
+m2 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS m
+    FROM a1 CROSS JOIN dims GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+c2 AS (
+  SELECT c1.c, coalesce(m2.mv, c1.cv) AS cv FROM c1 LEFT JOIN m2 USING (c)
+),
+af AS (
+  SELECT e.vec_id, e.v, arg_min(c2.c, list_distance(e.v, c2.cv)) AS cluster
+  FROM e CROSS JOIN c2 GROUP BY e.vec_id, e.v
+),
+prs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM prs
+  UNION ALL
+  SELECT id_b AS s, id_a AS t FROM prs
+),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT edges.s, reach.r FROM edges JOIN reach ON edges.t = reach.node
+),
+drops AS (
+  SELECT node AS vec_id FROM reach GROUP BY node HAVING node <> min(r)
+)
+SELECT e.vec_id, e.label
+FROM e LEFT JOIN drops USING (vec_id)
+WHERE drops.vec_id IS NULL
+"""
+
+
 def _sql_ann_lsh_topk() -> str:
     """similarity.lsh_topk re-derived: the seed-42 hyperplanes are inlined
     as DOUBLE literals (repr() round-trips float64 exactly), the bucket is
@@ -2187,7 +2317,12 @@ def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (epoch 0) out of the window, so the candidate fuzzy-close ONLY to the
     evicted legacy URL is KEPT (score 73 vs catalog < 85) while the
     candidate fuzzy-close to the surviving catalog URLs is dropped (100).
-    Rows-only (the difflib scoring UDF has no SQL equivalent)."""
+    Oracle: the input is a CONSTANT in-code fixture (independent of sf_dir),
+    so the oracle is the golden expected output as a VALUES table — the
+    difflib Ratcliff-Obershelp ratio itself has no SQL equivalent, but the
+    fixture's kept set is a pinned invariant: any regression in window
+    truncation, host partitioning, or the >= 85 threshold flips a row and
+    hash-mismatches."""
     from .config import CrawlConfig
     from .operators import dedup as D
 
@@ -2213,6 +2348,19 @@ def q_fuzzy_url_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.canonicalize(spark.createDataFrame([(u,) for u in cand_urls], "url string"))
     kept = D.fuzzy_dedupe(cands, seen, CrawlConfig(use_fuzzy=True))
     return kept.select("url_norm").orderBy("url_norm")
+
+
+# Golden expected output for the constant fuzzy_url_dedupe fixture (see
+# q_fuzzy_url_dedupe docstring): of the four candidates, only the one whose
+# nearest fuzzy match was evicted from the recent-100 window and the one on
+# a never-seen host survive.
+SQL_fuzzy_url_dedupe = """
+SELECT url_norm FROM (VALUES
+  ('https://fz.example.com/legacy-archive-post-0002'),
+  ('https://sitec.com/products/item2')
+) AS t(url_norm)
+ORDER BY url_norm
+"""
 
 
 def q_bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3961,4 +4109,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "fuzzy_url_dedupe": SQL_fuzzy_url_dedupe,
+    "ann_ivf_topk": SQL_ann_ivf_topk,
+    "semantic_dedup": SQL_semantic_dedup,
 }
