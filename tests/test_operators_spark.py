@@ -775,3 +775,45 @@ def test_date_histogram_terms_es_ordering(spark):
         (DT(2024, 1, 1), "view", 7, 3, 3.00),
         (DT(2024, 1, 2), "view", 1, 1, 0.01),
     ]
+
+
+# ---- search_after keyset pagination (W5 deep-paging scale path) -----------------
+
+
+def test_search_after_equals_from_size_page(spark):
+    """search_after with page 1's last hit as cursor must yield exactly the
+    from/size page 2 — and with the LAST page's cursor, nothing."""
+    import random
+
+    from webcrawler_spark.operators.search import paginate, search_after
+
+    rnd = random.Random(7)
+    rows = [Row(doc_id=i, n_chars=rnd.randrange(50)) for i in range(97)]
+    df = spark.createDataFrame(rows)
+
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    page2 = {
+        (r["doc_id"], r["n_chars"])
+        for r in paginate(df, order, page=1, size=20).collect()
+    }
+    page1 = df.orderBy(*order).limit(20).collect()
+    cur = sorted(page1, key=lambda r: (-r["n_chars"], r["doc_id"]))[-1]
+    after = {
+        (r["doc_id"], r["n_chars"])
+        for r in search_after(df, "n_chars", "doc_id", cur["n_chars"], cur["doc_id"], 20).collect()
+    }
+    assert after == page2 and len(after) == 20
+
+    last = df.orderBy(F.asc("n_chars"), F.desc("doc_id")).first()
+    assert search_after(df, "n_chars", "doc_id", last["n_chars"], last["doc_id"], 20).count() == 0
+
+
+def test_search_after_plan_has_no_window(spark):
+    """The scale claim: keyset paging must plan as filter + top-k (no
+    single-partition row_number window, no global sort exchange)."""
+    from webcrawler_spark.operators.search import search_after
+
+    df = spark.createDataFrame([Row(doc_id=i, n_chars=i % 13) for i in range(100)])
+    plan = search_after(df, "n_chars", "doc_id", 7, 50, 20)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan

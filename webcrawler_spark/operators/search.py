@@ -129,6 +129,38 @@ def paginate(
     )
 
 
+def search_after(
+    df: DataFrame,
+    order_col: str,
+    id_col: str,
+    after_key,
+    after_id,
+    size: int,
+) -> DataFrame:
+    """ES ``search_after`` keyset pagination — the deep-paging scale path.
+
+    from+size paging (``paginate`` above, search-api/app.py:193-194) ranks
+    the FULL result set with a single-partition row_number window and
+    discards ``from`` rows per page: O(from + size) work per page, and at
+    100 TB the empty-partitionBy window funnels everything through one
+    task. search_after instead filters strictly past the cursor (the sort
+    key of the previous page's last hit) and takes a top-k: a pushed-down
+    predicate + TakeOrderedAndProject, O(size) result state at ANY depth,
+    no global window. Sort contract matches ES: (order_col DESC, id_col
+    ASC) with the cursor compared lexicographically."""
+    return (
+        df.filter(
+            (F.col(order_col) < F.lit(after_key))
+            | (
+                (F.col(order_col) == F.lit(after_key))
+                & (F.col(id_col) > F.lit(after_id))
+            )
+        )
+        .orderBy(F.desc(order_col), F.asc(id_col))
+        .limit(size)
+    )
+
+
 def search_bm25(
     df: DataFrame,
     query_tokens: list[str],

@@ -1426,6 +1426,34 @@ SELECT doc_id, n_chars, CAST(rn AS INTEGER) AS rn FROM (
 """
 
 
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 deep-paging scale path: ES search_after keyset pagination. The
+    cursor is page 1's last hit under (n_chars DESC, doc_id ASC); the page
+    it yields must equal from/size page 2 (search_page2) — the two entries
+    cross-validate. Unlike paginate's global row_number window, this plan
+    is a pushed-down filter + TakeOrderedAndProject: O(size) at any depth."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cur = (
+        docs.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(20)
+        .orderBy(F.asc("n_chars"), F.desc("doc_id")).first()
+    )
+    return SE.search_after(docs, "n_chars", "doc_id", cur["n_chars"], cur["doc_id"], 20)
+
+
+SQL_search_after = """
+WITH ranked AS (
+  SELECT doc_id, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+),
+cur AS (SELECT n_chars AS ck, doc_id AS cid FROM ranked WHERE rn = 20)
+SELECT d.doc_id, d.n_chars
+FROM documents d, cur
+WHERE d.n_chars < cur.ck OR (d.n_chars = cur.ck AND d.doc_id > cur.cid)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT 20
+"""
+
+
 # Q4: ES bool must+filter — non-scoring filter (lang term) first, then the
 # scoring must clause with operator:and (every query token required;
 # search-api/app.py:219-236 builds exactly this bool body)
@@ -3976,6 +4004,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_grouping_sets": q_facet_grouping_sets,
     "search_best_fields": q_search_best_fields,
     "search_page2": q_search_page2,
+    "search_after": q_search_after,
     "search_bool": q_search_bool,
     "search_highlight": q_search_highlight,
     "doc_by_id": q_doc_by_id,
@@ -4082,6 +4111,7 @@ ORACLE_SQL: dict[str, str] = {
     "facet_grouping_sets": SQL_facet_grouping_sets,
     "search_best_fields": SQL_search_best_fields,
     "search_page2": SQL_search_page2,
+    "search_after": SQL_search_after,
     "search_bool": SQL_search_bool,
     "search_highlight": SQL_search_highlight,
     "doc_by_id": SQL_doc_by_id,
