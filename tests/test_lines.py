@@ -157,3 +157,35 @@ def test_gopher_repetition_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c a b c")], ["doc_id", "text"])
     plan = L.gopher_repetition(df, mode="chunks")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_quality_rule_branches(spark):
+    """Each fixture doc fails exactly the rule it was built to fail (or
+    passes, for -7); verdicts match a pure-Python re-derivation."""
+    from webcrawler_spark.operators import textstats as T
+    from webcrawler_spark.queries import _GOPHER_FIXTURE
+
+    df = spark.createDataFrame(_GOPHER_FIXTURE, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.gopher_quality(df, "doc_id", "text").collect()}
+
+    assert out[-1]["bullet_line_frac"] > 0.9 and not out[-1]["gopher_pass"]
+    assert out[-2]["ellipsis_line_frac"] > 0.3 and not out[-2]["gopher_pass"]
+    assert out[-3]["symbol_ratio"] > 0.1 and not out[-3]["gopher_pass"]
+    assert out[-4]["alpha_word_frac"] < 0.8 and not out[-4]["gopher_pass"]
+    assert out[-5]["word_count"] < 50 and not out[-5]["gopher_pass"]
+    assert out[-6]["mean_word_len"] > 10 and not out[-6]["gopher_pass"]
+    assert out[-7]["gopher_pass"]
+
+    # pure-Python cross-check of every signal for the passing doc
+    import re
+    text = dict(_GOPHER_FIXTURE)[-7]
+    toks = [t for t in re.split(r"\s+", text) if t]
+    lines = [l for l in text.split("\n") if l.strip()]
+    r = out[-7]
+    assert r["word_count"] == len(toks)
+    assert r["mean_word_len"] == round(sum(map(len, toks)) / len(toks), 6)
+    assert r["bullet_line_frac"] == round(sum(
+        1 for l in lines if re.match(r"^([*\-•])", l.strip())) / len(lines), 6)
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    low = {t for t in re.split(r"\s+", text.lower()) if t}
+    assert r["stop_hits"] == len(low & stops)

@@ -110,6 +110,87 @@ def doc_quality(text: Column) -> Column:
     return length_score + F.least(F.lit(20.0), uniq * 25)
 
 
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full Gopher quality rule set (Rae et al. 2021, A1.1 — the
+    non-repetition rules; repetition lives in lines.gopher_repetition):
+    per-doc signal values plus the combined pass verdict. Entirely native
+    higher-order/regex expressions — one codegen stage, zero shuffles,
+    so at 100 TB this is a pure map over the corpus scan.
+
+    Rules (document kept iff ALL hold):
+      50 <= word_count <= 100_000;  3 <= mean_word_len <= 10;
+      symbol_ratio ('#' or '...' per word) <= 0.1;
+      bullet_line_frac <= 0.9;  ellipsis_line_frac <= 0.3;
+      alpha_word_frac >= 0.80;  stop_hits >= 2 (of 8 canonical stops).
+    """
+    text = F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    wc = F.size(toks)
+    wc_d = wc.cast("double")
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_wl = F.when(wc > 0, char_sum.cast("double") / wc_d).otherwise(F.lit(0.0))
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    # non-overlapping leftmost '...' occurrences — replace() semantics agree
+    # between Spark and DuckDB, so the oracle reproduces this exactly
+    n_ellipsis = (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+    symbol_ratio = F.when(
+        wc > 0, (n_hash + n_ellipsis).cast("double") / wc_d
+    ).otherwise(F.lit(0.0))
+
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^([*\-•])"))
+        ).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+    ellipsis_line_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))).cast("double")
+        / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    alpha_frac = F.when(
+        wc > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("double") / wc_d,
+    ).otherwise(F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    stop_hits = F.size(
+        F.filter(
+            F.array_distinct(F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")),
+            lambda t: F.array_contains(stops, t),
+        )
+    )
+
+    passes = (
+        (wc >= 50) & (wc <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_line_frac <= 0.3)
+        & (alpha_frac >= 0.80)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        F.col(id_col),
+        wc.alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        passes.alias("gopher_pass"),
+    )
+
+
 # ---- PII scrubbing (training-data extension; all JVM-native regex) -------------
 #
 # Patterns are deliberately restricted to syntax that behaves identically in

@@ -972,6 +972,108 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.c4_line_filter(docs, min_words=3, min_lines=2, mode="chunks")
 
 
+# Constant fixture exercising every Gopher quality rule branch (the synthetic
+# documents are single-line prose with no bullets/ellipses/symbols, so the
+# line- and symbol-based rules would otherwise be trivially satisfied).
+# Shared VERBATIM between the Spark query and the DuckDB oracle.
+_GQ_WORDS = " ".join(f"word{i} the of and that" for i in range(12))
+_GOPHER_FIXTURE: list[tuple[int, str]] = [
+    # bullet-heavy: >90% of lines start with a bullet -> fails bullet rule
+    (-1, "\n".join(f"- bullet item number {i} of the list and that" for i in range(10))),
+    # ellipsis-heavy: half the lines end with '...' -> fails ellipsis rule
+    (-2, "\n".join(
+        (f"line {i} of the doc trails off and that have..." if i % 2 == 0
+         else f"line {i} of the doc ends cleanly with the rest") for i in range(10))),
+    # symbol-heavy: '#' per word > 0.1 -> fails symbol rule
+    (-3, "# heading " * 30 + _GQ_WORDS),
+    # numeric: <80% of words contain a letter -> fails alpha rule
+    (-4, " ".join(str(1000 + i) for i in range(60)) + " the of and that have with"),
+    # too short: 10 words -> fails word-count rule
+    (-5, "tiny doc with just ten words and that is all"),
+    # pathological mean word length > 10 -> fails mean-word-len rule
+    (-6, " ".join("pneumonoultramicroscopic" for _ in range(60))),
+    # clean multi-line doc passing every rule (2 of 10 lines bulleted)
+    (-7, "\n".join(
+        (f"- item {i} of the list with the usual words and that" if i < 2
+         else f"line {i} has the usual words of prose and that have with") for i in range(10))),
+]
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Gopher quality rule set (Rae et al. 2021 A1.1, non-repetition
+    rules) over documents UNION a constant 7-doc fixture (negative ids)
+    that exercises each rule branch — bullets, ellipses, symbol ratio,
+    non-alpha words, length bounds — absent from the synthetic prose.
+    The synthetic corpus itself fails the paper's >= 2-distinct-stopwords
+    rule by construction (template vocabulary carries at most one of the
+    eight canonical stops), so the fixture's -7 doc pins the passing
+    branch; per-doc signal values still vary and are value-hashed."""
+    from .operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fix = spark.createDataFrame(_GOPHER_FIXTURE, "doc_id long, text string")
+    return T.gopher_quality(docs.unionByName(fix), "doc_id", "text")
+
+
+def _sql_gopher_quality() -> str:
+    vals = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _GOPHER_FIXTURE
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {vals}) AS fx(doc_id, text)
+),
+base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) != '') AS lns
+  FROM corpus
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS wc,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS char_sum,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+         len(lns) AS n_lines,
+         len(list_filter(lns, l -> regexp_matches(trim(l), '^([*\\-•])'))) AS n_bullet,
+         len(list_filter(lns, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS n_ell_lines,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(
+               list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')),
+               x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS stop_hits
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+         CAST(wc AS INT) AS word_count,
+         CASE WHEN wc > 0 THEN CAST(char_sum AS DOUBLE) / CAST(wc AS DOUBLE) ELSE 0.0 END AS mean_wl,
+         CASE WHEN wc > 0 THEN CAST(n_hash + n_ell AS DOUBLE) / CAST(wc AS DOUBLE) ELSE 0.0 END AS sym,
+         CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bul,
+         CASE WHEN n_lines > 0 THEN CAST(n_ell_lines AS DOUBLE) / n_lines ELSE 0.0 END AS ell,
+         CASE WHEN wc > 0 THEN CAST(n_alpha AS DOUBLE) / CAST(wc AS DOUBLE) ELSE 0.0 END AS alpha,
+         CAST(stop_hits AS INT) AS stop_hits,
+         wc, n_lines
+  FROM m
+)
+SELECT doc_id, word_count,
+       round(mean_wl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bul, 6) AS bullet_line_frac,
+       round(ell, 6) AS ellipsis_line_frac,
+       round(alpha, 6) AS alpha_word_frac,
+       stop_hits,
+       (wc >= 50 AND wc <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+        AND alpha >= 0.80 AND stop_hits >= 2) AS gopher_pass
+FROM sig
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021, A1.1) per doc: duplicate
     segment fractions + top-2-gram / duplicated-3-gram char fractions.
@@ -3976,6 +4078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
     "gopher_repetition": q_gopher_repetition,
+    "gopher_quality": q_gopher_quality,
     "pagerank": q_pagerank,
     "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
@@ -4083,6 +4186,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
     "gopher_repetition": SQL_gopher_repetition,
+    "gopher_quality": _sql_gopher_quality(),
     "pagerank": SQL_pagerank,
     "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
