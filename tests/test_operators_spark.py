@@ -817,3 +817,24 @@ def test_search_after_plan_has_no_window(spark):
     plan = search_after(df, "n_chars", "doc_id", 7, 50, 20)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_search_min_should_match_threshold(spark):
+    """minimum_should_match=2: docs matching only one query term are
+    excluded; 2-of-3 and 3-of-3 matches kept and ranked by match count."""
+    from webcrawler_spark.operators.search import search
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="customer window batch all three"),
+            Row(doc_id=2, text="customer window two of them"),
+            Row(doc_id=3, text="customer only one term"),
+            Row(doc_id=4, text="nothing relevant here"),
+        ]
+    )
+    toks = ["customer", "window", "batch"]
+    got = {r["doc_id"]: r["score"] for r in search(docs, toks, "text", "doc_id", k=10, min_should_match=2).collect()}
+    assert got == {1: 3, 2: 2}
+    # threshold above the query length clamps to all-terms, not the empty set
+    got3 = {r["doc_id"] for r in search(docs, toks, "text", "doc_id", k=10, min_should_match=7).collect()}
+    assert got3 == {1}

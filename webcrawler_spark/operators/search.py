@@ -71,13 +71,24 @@ def search(
     id_col: str = "doc_id",
     k: int = 20,
     require_all: bool = False,
+    min_should_match: int | None = None,
 ) -> DataFrame:
     """Filter-then-score (bool must+filter semantics, Q4): non-scoring
-    filters first, match count as score, deterministic top-k."""
+    filters first, match count as score, deterministic top-k.
+
+    ``min_should_match`` is ES's minimum_should_match for the OR case —
+    at least that many distinct query terms must match (operator:or with
+    a threshold between any-term and all-terms). require_all (operator:
+    and) wins if both are given."""
     scored = df.select(
         F.col(id_col), match_score(F.col(text_col), query_tokens).alias("score")
     )
-    min_score = len(query_tokens) if require_all else 1
+    if require_all:
+        min_score = len(query_tokens)
+    elif min_should_match is not None:
+        min_score = min(min_should_match, len(query_tokens))
+    else:
+        min_score = 1
     return (
         scored.filter(F.col("score") >= min_score)
         .orderBy(F.desc("score"), F.asc(id_col))

@@ -1576,6 +1576,24 @@ SELECT doc_id, CAST(score AS INTEGER) AS score FROM (
 """
 
 
+def q_search_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1/Q4 variant: ES minimum_should_match=2 — operator:or with a
+    threshold (at least 2 of the 3 query terms), between search_score's
+    any-term and search_bool's all-terms."""
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search(docs, _QUERY_TOKENS, "text", "doc_id", k=20, min_should_match=2)
+
+
+SQL_search_min_should_match = f"""
+SELECT doc_id, CAST(score AS INTEGER) AS score FROM (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
+                            [{_QT_SQL}])) AS score
+  FROM documents
+) WHERE score >= 2 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 # Q5: ES highlight — snippet of context around the first match of the lead
 # query term (search-api/app.py:246-263 asks ES for highlight fragments;
 # relationally it is a pure projection, so it stays in whole-stage codegen)
@@ -4109,6 +4127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_page2": q_search_page2,
     "search_after": q_search_after,
     "search_bool": q_search_bool,
+    "search_min_should_match": q_search_min_should_match,
     "search_highlight": q_search_highlight,
     "doc_by_id": q_doc_by_id,
     "pii_scrub": q_pii_scrub,
@@ -4217,6 +4236,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_page2": SQL_search_page2,
     "search_after": SQL_search_after,
     "search_bool": SQL_search_bool,
+    "search_min_should_match": SQL_search_min_should_match,
     "search_highlight": SQL_search_highlight,
     "doc_by_id": SQL_doc_by_id,
     "pii_scrub": SQL_pii_scrub,
