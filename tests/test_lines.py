@@ -189,3 +189,57 @@ def test_gopher_quality_rule_branches(spark):
     stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
     low = {t for t in re.split(r"\s+", text.lower()) if t}
     assert r["stop_hits"] == len(low & stops)
+
+
+def test_gopher_quality_random_docs_match_python(spark):
+    """Derandomized fuzz: 40 random documents mixing bullets, ellipses,
+    symbols, numerics, and newlines; every signal and the verdict must
+    match a pure-Python re-derivation of the rule set."""
+    import random
+    import re
+
+    from webcrawler_spark.operators import textstats as T
+
+    rnd = random.Random(2026)
+    words = ["the", "of", "and", "that", "have", "with", "alpha", "beta",
+             "gamma", "12345", "x#y", "longwordverylong", "item", "..."]
+    docs = []
+    for i in range(40):
+        n_lines = rnd.randint(1, 8)
+        lines = []
+        for _ in range(n_lines):
+            toks = [rnd.choice(words) for _ in range(rnd.randint(0, 30))]
+            line = " ".join(toks)
+            if rnd.random() < 0.3:
+                line = "- " + line
+            if rnd.random() < 0.3:
+                line = line + "..."
+            lines.append(line)
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.gopher_quality(df, "doc_id", "text").collect()}
+
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    for i, text in docs:
+        toks = [t for t in re.split(r"\s+", text) if t]
+        wc = len(toks)
+        mean_wl = sum(map(len, toks)) / wc if wc else 0.0
+        n_hash = text.count("#")
+        n_ell = (len(text) - len(text.replace("...", ""))) / 3
+        sym = (n_hash + n_ell) / wc if wc else 0.0
+        lns = [l for l in text.split("\n") if l.strip()]
+        bul = sum(1 for l in lns if re.match(r"^([*\-•])", l.strip())) / len(lns) if lns else 0.0
+        ell = sum(1 for l in lns if re.search(r"\.\.\.$", l.strip())) / len(lns) if lns else 0.0
+        alpha = sum(1 for t in toks if re.search("[a-zA-Z]", t)) / wc if wc else 0.0
+        sh = len({t for t in re.split(r"\s+", text.lower()) if t} & stops)
+        r = got[i]
+        assert r["word_count"] == wc, i
+        assert r["mean_word_len"] == round(mean_wl, 6), i
+        assert r["symbol_ratio"] == round(sym, 6), i
+        assert r["bullet_line_frac"] == round(bul, 6), i
+        assert r["ellipsis_line_frac"] == round(ell, 6), i
+        assert r["alpha_word_frac"] == round(alpha, 6), i
+        assert r["stop_hits"] == sh, i
+        expect = (50 <= wc <= 100_000 and 3.0 <= mean_wl <= 10.0 and sym <= 0.1
+                  and bul <= 0.9 and ell <= 0.3 and alpha >= 0.80 and sh >= 2)
+        assert r["gopher_pass"] == expect, i
