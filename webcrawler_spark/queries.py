@@ -1074,6 +1074,61 @@ FROM sig
 """
 
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET source roundtrip, fully distributed: each Arrow batch of
+    documents is serialized into one spec-conformant gzip'd WET blob
+    (sources/warc.wet_record_bytes), parsed back with the streaming parser
+    (sources/warc.parse_warc — exercising the gzip member path), and the
+    recovered records are emitted as (url, record_type, n_bytes,
+    payload_md5). The oracle recomputes all four straight from documents,
+    so any framing/Content-Length/decompression bug breaks the hash.
+    100 TB shape: pure mapInPandas, one pass, no shuffle."""
+    import gzip as _gz
+    import hashlib as _hl
+
+    from .sources import warc as W
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+
+    def _rt(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blob = b"".join(
+                W.wet_record_bytes(
+                    f"https://{s}.example.com/doc/{i}",
+                    "2026-01-01T00:00:00Z",
+                    t,
+                )
+                for i, t, s in zip(pdf["doc_id"], pdf["text"], pdf["source"])
+            )
+            rows = [
+                (
+                    r["url"],
+                    r["record_type"],
+                    len(r["payload"]),
+                    _hl.md5(r["payload"]).hexdigest(),
+                )
+                for r in W.parse_warc(_gz.compress(blob))
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "record_type", "n_bytes", "payload_md5"]
+            )
+
+    return docs.mapInPandas(
+        _rt, "url string, record_type string, n_bytes long, payload_md5 string"
+    )
+
+
+SQL_wet_roundtrip = """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+       'conversion' AS record_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021, A1.1) per doc: duplicate
     segment fractions + top-2-gram / duplicated-3-gram char fractions.
@@ -4095,6 +4150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_rebuild": q_line_dedup_rebuild,
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
+    "wet_roundtrip": q_wet_roundtrip,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "pagerank": q_pagerank,
@@ -4204,6 +4260,7 @@ ORACLE_SQL: dict[str, str] = {
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
+    "wet_roundtrip": SQL_wet_roundtrip,
     "gopher_repetition": SQL_gopher_repetition,
     "gopher_quality": _sql_gopher_quality(),
     "pagerank": SQL_pagerank,
