@@ -78,3 +78,26 @@ def test_read_warc_spark_source(spark, tmp_path):
     # no shuffle anywhere
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pages_from_warc_feeds_pipeline(spark, tmp_path):
+    """WARC archives land in the crawl pipeline's page-table shape: HTTP
+    headers stripped from response bodies, WET text decoded, and the frame
+    accepted by plans.epoch.prepare_pages."""
+    from webcrawler_spark.plans import epoch as E
+
+    d = tmp_path / "cc"
+    d.mkdir()
+    (d / "seg.warc").write_bytes(_blob())
+    pages = W.pages_from_warc(spark, str(d))
+    rows = {r["url"]: r for r in pages.collect()}
+    resp = rows["https://a.example.com/x"]
+    assert bytes(resp["html"]) == b"<html>hi</html>"  # headers stripped
+    assert resp["text"] is None and resp["warc_ts"] is not None
+    wet = rows["https://b.example.com/y"]
+    assert wet["html"] is None and wet["text"] == "plain text body"
+
+    prepared = E.prepare_pages(pages)
+    got = {r["url_norm"]: r for r in prepared.collect()}
+    assert "https://a.example.com/x" in got
+    assert bytes(got["https://a.example.com/x"]["html"]) == b"<html>hi</html>"

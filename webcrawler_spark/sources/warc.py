@@ -184,3 +184,35 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(_parse, _WARC_SCHEMA)
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archives -> the crawl pipeline's page-table shape
+    ``(url, warc_ts, html, text, lang)``, feedable straight into
+    ``plans.epoch.prepare_pages``. HTTP response headers are stripped from
+    response-record payloads (body starts after the first CRLF CRLF);
+    conversion (WET) records carry extracted text already, so they land in
+    ``text`` with a NULL ``html``. ``lang`` is left NULL — language ID is
+    the pipeline's job (textstats.lang_id_multi), not the archive's."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path)
+    # byte-preserving binary search-and-slice: ISO-8859-1 maps every byte to
+    # one char losslessly, so decode -> locate -> substring -> encode slices
+    # the ORIGINAL bytes (Spark has no binary locate)
+    s = F.decode(F.col("payload"), "ISO-8859-1")
+    idx = F.locate("\r\n\r\n", s)
+    body = F.when(
+        idx > 0,
+        F.encode(F.substring(s, idx + F.lit(4), F.length(s)), "ISO-8859-1"),
+    ).otherwise(F.col("payload"))
+    return recs.filter(F.col("record_type").isin("response", "conversion")).select(
+        F.col("url"),
+        F.to_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.when(F.col("record_type") == "response", body).alias("html"),
+        F.when(
+            F.col("record_type") == "conversion",
+            F.decode(F.col("payload"), "UTF-8"),
+        ).alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
