@@ -101,3 +101,28 @@ def test_pages_from_warc_feeds_pipeline(spark, tmp_path):
     got = {r["url_norm"]: r for r in prepared.collect()}
     assert "https://a.example.com/x" in got
     assert bytes(got["https://a.example.com/x"]["html"]) == b"<html>hi</html>"
+
+
+def test_parser_framing_survives_hostile_payloads():
+    """Content-Length framing, not delimiter scanning: payloads that embed
+    CRLF CRLF and even fake 'WARC/1.0' headers must round-trip intact."""
+    import random
+
+    rnd = random.Random(13)
+    hostile = [
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\n",
+        b"plain",
+        b"",
+        bytes(rnd.randrange(256) for _ in range(512)),
+        b"ends with separator\r\n\r\n",
+    ]
+    blob = b"".join(
+        W.record_bytes(f"https://h.example.com/{i}", "2026-01-01T00:00:00Z", p)
+        for i, p in enumerate(hostile)
+    )
+    for data in (blob, __import__("gzip").compress(blob)):
+        got = list(W.parse_warc(data))
+        assert [r["url"] for r in got] == [
+            f"https://h.example.com/{i}" for i in range(len(hostile))
+        ]
+        assert [r["payload"] for r in got] == hostile
