@@ -243,3 +243,43 @@ def test_gopher_quality_random_docs_match_python(spark):
         expect = (50 <= wc <= 100_000 and 3.0 <= mean_wl <= 10.0 and sym <= 0.1
                   and bul <= 0.9 and ell <= 0.3 and alpha >= 0.80 and sh >= 2)
         assert r["gopher_pass"] == expect, i
+
+
+def test_ccnet_normalize_python_parity_and_dedup_effect(spark):
+    """ccnet_normalize matches a pure-Python re-derivation, and makes
+    case/accent/digit/punct variants hash identical (the CCNet pre-dedup
+    property)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import textstats as T
+
+    def py_norm(t):
+        s = t.lower()
+        s = s.translate(str.maketrans(T.CCNET_ACCENTS_SRC, T.CCNET_ACCENTS_DST))
+        s = s.translate(str.maketrans(T.CCNET_DIGITS_SRC, T.CCNET_DIGITS_DST))
+        s = re.sub(r"\s+", " ", s)
+        s = re.sub(r"[^a-z0 ]", "", s)
+        s = re.sub(r" +", " ", s)
+        return s.strip()
+
+    variants = [
+        "The Café costs 1234 dollars, really!",
+        "the cafe costs 9876 DOLLARS — really?",
+        "THE   café\ncosts 5555 dollars;;; really",
+        "a genuinely different document",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(variants)])
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", T.ccnet_normalize(F.col("text")).alias("n")).collect()
+    }
+    for i, t in enumerate(variants):
+        assert got[i] == py_norm(t), (i, got[i], py_norm(t))
+    # the three variants collapse to ONE normalized form; the 4th stays apart
+    hashes = {hashlib.md5(got[i].encode()).hexdigest() for i in range(3)}
+    assert len(hashes) == 1
+    assert got[3] != got[0]

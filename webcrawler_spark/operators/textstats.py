@@ -110,6 +110,35 @@ def doc_quality(text: Column) -> Column:
     return length_score + F.least(F.lit(20.0), uniq * 25)
 
 
+# CCNet text normalization (Wenzek et al. 2020, §4.1 — the hashing
+# normalization applied before paragraph dedup): lowercase, fold accents,
+# map every digit to zero, drop remaining punctuation, squeeze whitespace.
+# Accent folding is the deterministic Latin-1-supplement subset expressible
+# as a translate table (full NFD decomposition needs ICU; documented
+# narrowing). The SAME literal tables feed the DuckDB oracle.
+CCNET_ACCENTS_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+CCNET_ACCENTS_DST = "aaaaaaceeeeiiiinooooouuuuyy"
+CCNET_DIGITS_SRC = "123456789"
+CCNET_DIGITS_DST = "000000000"
+
+
+def ccnet_normalize(text: Column) -> Column:
+    """CCNet §4.1 hashing normalization, fully JVM-native (one codegen
+    projection): lower -> accent fold -> digits->0 -> strip non-[a-z0 ]
+    -> squeeze/trim whitespace. Used as the opt-in pre-hash step for
+    paragraph/minhash dedup so near-identical texts differing only in
+    case, accents, digits, or punctuation hash together."""
+    s = F.lower(text)
+    s = F.translate(s, CCNET_ACCENTS_SRC, CCNET_ACCENTS_DST)
+    s = F.translate(s, CCNET_DIGITS_SRC, CCNET_DIGITS_DST)
+    # all whitespace -> space BEFORE punct strip, so newline-separated words
+    # don't concatenate when the punct class eats the separator
+    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, "[^a-z0 ]", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
+
+
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -1129,6 +1129,68 @@ FROM documents
 """
 
 
+# fixture exercising CCNet branches absent from the ASCII synthetic prose:
+# accents, digits, punctuation, mixed whitespace
+_CCNET_FIXTURE: list[tuple[int, str]] = [
+    (-1, "Héllo,  Wörld!\nCafé #42 — costs 1234 dollars…"),
+    (-2, "ÀÁÂ ãäå çèé\t\têëì 987654321 0"),
+    (-3, "   already clean lower text   "),
+    (-4, ""),
+]
+
+
+def q_ccnet_norm_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §4.1 hashing normalization (Wenzek et al. 2020) over documents
+    UNION an accent/digit/punct fixture: (doc_id, normalized length, md5 of
+    the normalized text). The md5 pins every normalization step — case,
+    accent fold, digit zeroing, punct strip, whitespace squeeze — against
+    the oracle's independent SQL re-derivation."""
+    from .operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fix = spark.createDataFrame(_CCNET_FIXTURE, "doc_id long, text string")
+    norm = T.ccnet_normalize(F.col("text"))
+    return docs.unionByName(fix).select(
+        "doc_id",
+        F.length(norm).cast("int").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def _sql_ccnet_norm_hash() -> str:
+    from .operators.textstats import (
+        CCNET_ACCENTS_DST,
+        CCNET_ACCENTS_SRC,
+        CCNET_DIGITS_DST,
+        CCNET_DIGITS_SRC,
+    )
+
+    vals = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _CCNET_FIXTURE
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {vals}) AS fx(doc_id, text)
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             translate(translate(lower(text),
+                       '{CCNET_ACCENTS_SRC}', '{CCNET_ACCENTS_DST}'),
+                       '{CCNET_DIGITS_SRC}', '{CCNET_DIGITS_DST}'),
+             '\\s+', ' ', 'g'),
+             '[^a-z0 ]', '', 'g'),
+             ' +', ' ', 'g')) AS n
+  FROM corpus
+)
+SELECT doc_id, CAST(length(n) AS INT) AS norm_len, md5(n) AS norm_md5
+FROM norm
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021, A1.1) per doc: duplicate
     segment fractions + top-2-gram / duplicated-3-gram char fractions.
@@ -4151,6 +4213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
     "wet_roundtrip": q_wet_roundtrip,
+    "ccnet_norm_hash": q_ccnet_norm_hash,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "pagerank": q_pagerank,
@@ -4261,6 +4324,7 @@ ORACLE_SQL: dict[str, str] = {
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
     "wet_roundtrip": SQL_wet_roundtrip,
+    "ccnet_norm_hash": _sql_ccnet_norm_hash(),
     "gopher_repetition": SQL_gopher_repetition,
     "gopher_quality": _sql_gopher_quality(),
     "pagerank": SQL_pagerank,
