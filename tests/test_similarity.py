@@ -290,3 +290,51 @@ def test_media_real_decode_with_pil(spark):
              extract_media_features(df, dim=16, decode_stub=False).collect()}
     # all-white image -> all luminance mass in the top bin; black -> bottom
     assert abs(feats[1][15] - 1.0) < 1e-6 and abs(feats[2][0] - 1.0) < 1e-6
+
+
+def test_wav_audio_decodes_for_real(spark):
+    """PCM WAV audio takes the REAL decode path (stdlib wave) under
+    decode_stub=False: the amplitude histogram matches a numpy
+    re-derivation, and silence lands entirely in the midpoint bin."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    def make_wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        return buf.getvalue()
+
+    sine = [int(20000 * math.sin(2 * math.pi * 440 * t / 8000)) for t in range(800)]
+    silence = [0] * 400
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(make_wav(sine))), (2, "audio", bytearray(make_wav(silence)))],
+        "media_id long, kind string, payload binary",
+    )
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in MM.extract_media_features(media, dim=16, decode_stub=False).collect()
+    }
+    x = np.array(sine, dtype=np.int32) + 32768
+    hist = np.bincount(x * 16 // 65536, minlength=16).astype(np.float64)
+    expect = (hist / hist.sum()).astype(np.float32)
+    assert np.allclose(feats[1], expect, atol=1e-7)
+    assert feats[2][8] == 1.0 and sum(feats[2]) == 1.0  # silence -> midpoint bin
+
+    # compressed audio still refuses loudly
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    bad = spark.createDataFrame(
+        [(3, "audio", bytearray(b"ID3\x04fake-mp3-bytes"))],
+        "media_id long, kind string, payload binary",
+    )
+    with _pytest.raises(Exception):
+        MM.extract_media_features(bad, dim=16, decode_stub=False).collect()
