@@ -129,3 +129,40 @@ def test_spans_random_corpus_parity(spark):
     }
     assert got == _spans_py(docs, n=6)
     assert len(got) > 20  # templates actually collided
+
+
+def test_write_corpus_shards_roundtrip(spark, tmp_path):
+    """Export sink: JSONL shards partitioned by (source, shard); read-back
+    equals the input and every shard directory respects the token budget
+    (first doc of a shard may cross it, per pack_shards semantics)."""
+    from pyspark.sql import Row
+
+    from webcrawler_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                source=("web" if i % 2 else "books"),
+                text=("tok " * (i % 7 + 1)).strip(),
+            )
+            for i in range(40)
+        ]
+    )
+    out = str(tmp_path / "shards")
+    packed = C.write_corpus_shards(docs, out, budget_tokens=10)
+    back = spark.read.json(out)
+    assert back.count() == 40
+    assert set(back.columns) >= {"doc_id", "text", "source", "shard_in_source"}
+    # read-back text matches input exactly
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in back.collect():
+        assert r["text"] == orig[r["doc_id"]]
+    # shard budgets: tokens before the last doc of each shard stay < budget
+    import collections
+
+    per = collections.defaultdict(list)
+    for r in packed.orderBy("source", "doc_id").collect():
+        per[(r["source"], r["shard_in_source"])].append(r["n_tokens"])
+    for toks in per.values():
+        assert sum(toks[:-1]) < 10
