@@ -706,6 +706,83 @@ def test_sequence_plan_covers_stream_exactly(spark):
         spans[i][1] == spans[i + 1][0] for i in range(len(spans) - 1))
 
 
+def test_stratified_split_exact_proportions(spark):
+    """Per-source split sizes are exact (floor(n*frac) for every split but
+    the last), the splits partition each source, and the assignment is
+    deterministic — independent of physical partitioning."""
+    from webcrawler_spark.operators.corpus import stratified_split
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, salt=1)
+    sizes = {
+        (r["source"], r["split"]): r["n"]
+        for r in out.groupBy("source", "split").count().withColumnRenamed("count", "n").collect()
+    }
+    for s in ("s0", "s1", "s2"):  # 100 docs each
+        assert sizes[(s, "train")] == 80
+        assert sizes[(s, "val")] == 10
+        assert sizes[(s, "test")] == 10
+    # determinism under repartition: same doc -> same split
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(
+            df.repartition(17), {"train": 0.8, "val": 0.1, "test": 0.1}, salt=1
+        ).collect()
+    }
+    assert a == b
+    # a different salt reshuffles membership but keeps the sizes
+    c = {r["doc_id"]: r["split"] for r in stratified_split(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, salt=2).collect()}
+    assert a != c
+
+
+def test_temperature_rates_upsample_rare(spark):
+    """Temperature-2 mixing upsamples rare sources: the rare source's rate
+    exceeds the common source's by ~sqrt(n_common/n_rare) relative to
+    proportional sampling, and every rate stays in (0, 1]."""
+    from webcrawler_spark.operators.corpus import temperature_mix, temperature_rates
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {r["source"]: r for r in temperature_rates(df, total=400).collect()}
+    assert rates["big"]["n"] == 900 and rates["small"]["n"] == 100
+    assert 0 < rates["big"]["rate"] <= 1.0 and 0 < rates["small"]["rate"] <= 1.0
+    # proportional sampling would keep rates equal; temperature-2 gives the
+    # small source sqrt(9) = 3x the relative rate
+    ratio = rates["small"]["rate"] / rates["big"]["rate"]
+    assert abs(ratio - 3.0) < 0.01
+    # the mix keeps roughly rate*n of each source
+    mixed = temperature_mix(df, total=400)
+    got = {r["source"]: r["n"] for r in
+           mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for s in ("big", "small"):
+        assert abs(got[s] - rates[s]["rate"] * rates[s]["n"]) < 0.15 * rates[s]["n"] + 10
+
+
+def test_dsir_importance_prefers_target_like(spark):
+    """Docs sharing the target set's vocabulary must score higher logw than
+    off-domain docs; empty docs drop out."""
+    from webcrawler_spark.operators.corpus import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over lazy dogs") for i in range(5)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps high"),        # target-like
+            (2, "stock market futures index slump"),  # off-domain
+            (3, ""),                                  # no features
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["logw"] for r in dsir_importance(docs, target).collect()}
+    assert set(out) == {1, 2}  # empty doc has no row
+    assert out[1] > out[2]
+
+
 def test_sample_gate_negative_keys(spark):
     """The hash gate must bucket negative 64-bit fingerprint keys into
     [0, MOD) like positive ones (pmod, not sign-preserving %) — a negative

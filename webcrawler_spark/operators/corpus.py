@@ -88,6 +88,190 @@ def whitespace_tokens(text: Column) -> Column:
     return F.size(F.filter(F.split(text, "\\s+"), lambda t: t != ""))
 
 
+def stratified_split(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic stratified train/val/test assignment: within each
+    source, docs are ranked by the hash-gate bucket (a reproducible shuffle
+    — no RNG state, partitioning-independent) and the first
+    floor(n*frac) go to each split in ``fractions`` order, remainder to the
+    last split. Exact per-source proportions, unlike a plain hash gate
+    whose per-source counts are only correct in expectation.
+
+    100 TB shape: one window partitioned by source (bounded partitions);
+    no global order anywhere.
+    """
+    names = list(fractions)
+    if len(names) < 2:
+        raise ValueError("need at least two splits")
+    h = F.pmod(F.pmod(F.col(id_col) + F.lit(salt), _MOD) * (_KNUTH % _MOD), _MOD)
+    w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+    rn = F.row_number().over(w)
+    n = F.count("*").over(Window.partitionBy(source_col))
+    split = None
+    acc = 0.0
+    for nm in names[:-1]:
+        acc += fractions[nm]
+        cond = rn <= F.floor(n * F.lit(float(acc)))
+        split = F.when(cond, nm) if split is None else split.when(cond, nm)
+    split = split.otherwise(names[-1])
+    return docs.select(id_col, source_col, split.alias("split"))
+
+
+def temperature_rates(
+    docs: DataFrame, total: int, source_col: str = "source"
+) -> DataFrame:
+    """Per-source sampling rates for temperature-2 mixture sampling (the
+    multilingual-LM standard, e.g. mT5's alpha=0.5 exponent): the target
+    mixture weight q_s is proportional to sqrt(p_s) where p_s is the
+    source's corpus share, so rare sources are up-weighted relative to
+    their natural frequency. Returns (source, n, rate) with
+    rate = min(1, total*q_s/n_s).
+
+    tau is FIXED at 2 (exponent 0.5) so the power is sqrt — correctly
+    rounded in IEEE 754 on every platform, unlike pow, whose last-ulp
+    varies by libm and would break cross-engine parity. q is pinned at
+    9 dp before the rate computation so the (tiny) cross-source float
+    sum's association order cannot move a downstream gate.
+
+    Scale: the whole frame is one row per source — an aggregate dim. The
+    unpartitioned windows below run over that dim only, never the corpus.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    wall = Window.partitionBy()
+    p = F.col("n").cast("double") / F.sum("n").over(wall)
+    qn = F.sqrt(p)
+    q = F.round(qn / F.sum(qn).over(wall), 9)
+    rate = F.round(
+        F.least(F.lit(1.0), F.lit(float(total)) * q / F.col("n")), 6
+    )
+    return counts.select(source_col, "n", rate.alias("rate"))
+
+
+def temperature_mix(
+    docs: DataFrame,
+    total: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Down-sample the corpus to a temperature-2 source mixture: hash-gate
+    each source at the temperature_rates rate. Broadcast the (tiny) rate
+    dim; the only corpus-scale work is one scan + filter."""
+    rates = temperature_rates(docs, total, source_col)
+    gate = (
+        F.pmod(F.pmod(F.col(id_col), _MOD) * (_KNUTH % _MOD), _MOD).cast("double")
+        < F.round(F.col("rate") * _MOD, 0)
+    )
+    return docs.join(F.broadcast(rates.drop("n")), source_col).filter(gate).drop("rate")
+
+
+# ---- DSIR importance scoring (Xie et al. 2023, arXiv:2302.03169) --------------
+
+_DSIR_P = 1_000_000_007  # polynomial-hash modulus: acc*131+127 < 2^62, no overflow
+_DSIR_BASE = 131
+
+
+def _poly_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hash a gram string into [0, n_buckets) with a polynomial roll mod a
+    prime — every intermediate stays far inside int64, so the fold is
+    ANSI-safe in Spark and replays exactly in DuckDB BIGINT (the FNV fold
+    used for fingerprints needs mod-2^64 wraparound, which ANSI mode
+    forbids natively)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(gram)),
+        lambda i: F.ascii(F.substring(gram, i, F.lit(1))).cast("long"),
+    )
+    h = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(_DSIR_BASE) + c) % F.lit(_DSIR_P),
+    )
+    return h % F.lit(n_buckets)
+
+
+def _word_grams_multi(text: Column, n: int) -> Column:
+    """Word n-grams WITH multiplicity (bag, not set — DSIR features are
+    bag-of-hashed-ngrams counts)."""
+    toks = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != "")
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # sequence(1, k) for k < 1 DESCENDS instead of being empty — guard
+    return F.when(sz >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _dsir_buckets(docs: DataFrame, n_buckets: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, bucket) — one row per unigram+bigram occurrence, hashed."""
+    grams = F.concat(
+        _word_grams_multi(F.col(text_col), 1), _word_grams_multi(F.col(text_col), 2)
+    )
+    return docs.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).select(id_col, _poly_bucket(F.col("gram"), n_buckets).alias("bucket"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance log-weights: log q(x)/p(x) per doc under
+    bag-of-hashed-ngram (unigram+bigram) features, where p is the raw
+    corpus's bucket distribution and q the target set's, both add-one
+    smoothed over n_buckets. High logw = looks like the target domain;
+    feed to a top-k or a Gumbel resample to select pretraining data
+    (Xie et al. 2023; the feature family is FineWeb/DoReMi-adjacent).
+
+    Shape at 100 TB: two explode+hash-agg passes produce <= n_buckets-row
+    count dims; the log-ratio dim broadcasts back onto the exploded corpus
+    grams (map-side partial agg to one row per doc). No self-joins, no
+    collects, no global sorts. Docs with zero tokens drop out (no
+    features -> no row).
+    """
+    raw = _dsir_buckets(docs, n_buckets, id_col, text_col)
+    tgt = _dsir_buckets(target_docs, n_buckets, id_col, text_col)
+    raw_counts = raw.groupBy("bucket").agg(F.count("*").alias("raw_n"))
+    tgt_counts = tgt.groupBy("bucket").agg(F.count("*").alias("tgt_n"))
+    wall = Window.partitionBy()  # dims are <= n_buckets rows
+    # full outer: a bucket seen only in the target still counts toward q's
+    # denominator (the scoring join below touches raw-present buckets only,
+    # so the extra rows ride along in the broadcast dim unused)
+    dim = (
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("raw_n", F.lit(0)).alias("raw_n"),
+            F.coalesce("tgt_n", F.lit(0)).alias("tgt_n"),
+        )
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("tgt_n") + 1).cast("double")
+                    / (F.sum("tgt_n").over(wall) + F.lit(n_buckets))
+                )
+                - F.log(
+                    (F.col("raw_n") + 1).cast("double")
+                    / (F.sum("raw_n").over(wall) + F.lit(n_buckets))
+                )
+            ).alias("logratio"),
+        )
+    )
+    return (
+        raw.join(F.broadcast(dim), "bucket")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("logratio"), 6).alias("logw"))
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget_tokens: int,

@@ -888,6 +888,140 @@ WHERE source != 'src0'
 """
 
 
+def q_corpus_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    # fractions are exact binary doubles so the cumulative thresholds are
+    # bit-identical between the Python accumulation and the SQL literals
+    return CP.stratified_split(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125}, salt=3
+    )
+
+
+SQL_corpus_stratified_split = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((((doc_id + 3) % 10000 + 10000) % 10000) * 5761) % 10000,
+                    doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rn <= floor(n * CAST(0.75 AS DOUBLE)) THEN 'train'
+            WHEN rn <= floor(n * CAST(0.875 AS DOUBLE)) THEN 'val'
+            ELSE 'test' END AS split
+FROM ranked
+"""
+
+
+# temperature-2 mixture sampling keyed on lang (the multilingual-LM use:
+# upsample low-resource languages); q pinned at 9 dp, rate at 6 dp (see
+# operators/corpus.py temperature_rates for the parity rationale)
+_SQL_TEMP_RATES_CTE = """
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+qn AS (
+  SELECT lang, n,
+         sqrt(CAST(n AS DOUBLE) / sum(n) OVER ()) AS qn
+  FROM counts
+),
+rates AS (
+  SELECT lang, n,
+         round(least(CAST(1.0 AS DOUBLE),
+                     CAST(200 AS DOUBLE) * round(qn / sum(qn) OVER (), 9) / n),
+               6) AS rate
+  FROM qn
+)
+"""
+
+
+def q_corpus_temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    return CP.temperature_rates(docs, total=200, source_col="lang")
+
+
+SQL_corpus_temperature_rates = _SQL_TEMP_RATES_CTE + """
+SELECT lang, n, rate FROM rates
+"""
+
+
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    return CP.temperature_mix(docs, total=200, source_col="lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_corpus_temperature_mix = _SQL_TEMP_RATES_CTE + """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r USING (lang)
+WHERE ((((d.doc_id % 10000) + 10000) % 10000) * 5761) % 10000
+      < round(r.rate * 10000, 0)
+"""
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("source") != "src0")
+    target = docs.filter(F.col("source") == "src0")
+    return CP.dsir_importance(corpus, target, n_buckets=64)
+
+
+SQL_dsir_importance = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w != '') AS t
+  FROM documents
+),
+grams AS (  -- unigram + bigram bag (with multiplicity)
+  SELECT doc_id, source, unnest(list_concat(
+    t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END)) AS gram
+  FROM tok
+),
+bucketed AS (  -- polynomial roll mod prime, then mod n_buckets
+  SELECT doc_id, source,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(gram) + 1),
+                          i -> CAST(unicode(gram[i]) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % 1000000007) % 64 AS bucket
+  FROM grams
+),
+rawc AS (SELECT bucket, count(*) AS raw_n FROM bucketed
+         WHERE source != 'src0' GROUP BY bucket),
+tgtc AS (SELECT bucket, count(*) AS tgt_n FROM bucketed
+         WHERE source = 'src0' GROUP BY bucket),
+dim AS (
+  SELECT COALESCE(r.bucket, t.bucket) AS bucket,
+         COALESCE(raw_n, 0) AS raw_n, COALESCE(tgt_n, 0) AS tgt_n
+  FROM rawc r FULL OUTER JOIN tgtc t ON r.bucket = t.bucket
+),
+lr AS (
+  SELECT bucket,
+         ln(CAST(tgt_n + 1 AS DOUBLE) / (sum(tgt_n) OVER () + 64))
+       - ln(CAST(raw_n + 1 AS DOUBLE) / (sum(raw_n) OVER () + 64)) AS logratio
+  FROM dim
+)
+SELECT b.doc_id, round(sum(lr.logratio), 6) AS logw
+FROM bucketed b JOIN lr USING (bucket)
+WHERE b.source != 'src0'
+GROUP BY b.doc_id
+"""
+
+
 # Line-level corpus cleaning (operators/lines.py): C4/RefinedWeb/CCNet-style
 # cross-doc boilerplate removal. The synthetic documents are newline-free,
 # so the contract entries use the oracle-expressible fixed-width token
@@ -4208,6 +4342,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_shards": q_corpus_pack_shards,
     "benchmark_overlap": q_benchmark_overlap,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_stratified_split": q_corpus_stratified_split,
+    "corpus_temperature_rates": q_corpus_temperature_rates,
+    "corpus_temperature_mix": q_corpus_temperature_mix,
+    "dsir_importance": q_dsir_importance,
     "line_dup_stats": q_line_dup_stats,
     "line_dedup_rebuild": q_line_dedup_rebuild,
     "boilerplate_char_frac": q_boilerplate_char_frac,
@@ -4319,6 +4457,10 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_pack_shards": SQL_corpus_pack_shards,
     "benchmark_overlap": SQL_benchmark_overlap,
     "corpus_decontaminate": SQL_corpus_decontaminate,
+    "corpus_stratified_split": SQL_corpus_stratified_split,
+    "corpus_temperature_rates": SQL_corpus_temperature_rates,
+    "corpus_temperature_mix": SQL_corpus_temperature_mix,
+    "dsir_importance": SQL_dsir_importance,
     "line_dup_stats": SQL_line_dup_stats,
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
