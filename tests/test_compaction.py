@@ -140,6 +140,78 @@ def test_auto_compaction_in_epoch_loop(spark, pages_df, seeds_df, robots_df, tmp
     assert comp["seen"]["as_of"] == 3 and comp["links"]["as_of"] == 3
 
 
+def test_incremental_read_delta_and_merge(spark, tmp_path_factory):
+    """read_incremental returns exactly the rows committed in (from, to]:
+    raw appends for delta tables, net-change-per-key for merge tables; None
+    outside the range; refuses an expired range."""
+    root = tmp_path_factory.mktemp("incr")
+    cat = Catalog(spark, str(root))
+    for e in range(4):
+        seen = spark.createDataFrame([(e * 10, e), (e * 10 + 1, e)], "x int, epoch int")
+        # frontier touches key 7 every epoch (status flips) + one new key
+        fr = spark.createDataFrame(
+            [(7, f"s{e}", e), (100 + e, "pending", e)],
+            "url_fp long, status string, status_epoch int",
+        )
+        cat.commit_epoch(
+            e,
+            {"seen": cat.stage("seen", e, seen),
+             "frontier": cat.stage("frontier", e, fr)},
+            {},
+        )
+    inc = cat.read_incremental("seen", 0, 2)  # epochs 1 and 2 only
+    assert sorted(r["x"] for r in inc.collect()) == [10, 11, 20, 21]
+    assert cat.read_incremental("seen", 3, 9) is None
+    # merge table: net change per key across (0, 2] — key 7 resolves to its
+    # LATEST touch in the range (epoch 2), not one row per touch
+    chg = {r["url_fp"]: r for r in cat.read_incremental("frontier", 0, 2).collect()}
+    assert set(chg) == {7, 101, 102}
+    assert chg[7]["status"] == "s2" and chg[7]["status_epoch"] == 2
+    # expired range refuses
+    cat.compact_delta("seen", 1)
+    cat.expire_deltas_before("seen", 1)
+    with pytest.raises(ValueError, match="expired"):
+        cat.read_incremental("seen", 0, 2)
+    # a range fully above the expiry boundary still works
+    assert sorted(r["x"] for r in cat.read_incremental("seen", 1, 3).collect()) == [
+        20, 21, 30, 31,
+    ]
+
+
+def test_rollback_to(spark, tmp_path_factory):
+    """rollback_to truncates the manifest atomically, reclaims orphaned
+    epoch dirs and stale compactions, and the next commit resumes cleanly;
+    refused when a compaction above the target is the only copy of expired
+    deltas."""
+    import os
+
+    root = tmp_path_factory.mktemp("rollback")
+    cat = Catalog(spark, str(root))
+    for e in range(4):
+        df = spark.createDataFrame([(e * 10, e)], "x int, epoch int")
+        cat.commit_epoch(e, {"seen": cat.stage("seen", e, df)}, {"n": e})
+    cat.compact_delta("seen", 3)
+    assert cat.rollback_to(1) == 2
+    assert cat.last_committed_epoch() == 1
+    assert sorted(r["x"] for r in cat.read_delta_union("seen", 9).collect()) == [0, 10]
+    assert not os.path.exists(root / "seen" / "epoch=3")  # orphans reclaimed
+    assert not os.path.exists(root / "seen" / "compact=3")  # stale base dropped
+    # resume: a fresh epoch 2 commits on the rolled-back state
+    df = spark.createDataFrame([(99, 2)], "x int, epoch int")
+    cat.commit_epoch(2, {"seen": cat.stage("seen", 2, df)}, {})
+    assert sorted(r["x"] for r in cat.read_delta_union("seen", 9).collect()) == [0, 10, 99]
+    # refusal: expired deltas live only in a compaction above the target
+    root2 = tmp_path_factory.mktemp("rollback_refuse")
+    cat2 = Catalog(spark, str(root2))
+    for e in range(3):
+        df = spark.createDataFrame([(e, e)], "x int, epoch int")
+        cat2.commit_epoch(e, {"seen": cat2.stage("seen", e, df)}, {})
+    cat2.compact_delta("seen", 2)
+    cat2.expire_deltas_before("seen", 2)
+    with pytest.raises(ValueError, match="roll back"):
+        cat2.rollback_to(1)
+
+
 def test_recompaction_reclaims_old_base(spark, tmp_path_factory):
     import os
 

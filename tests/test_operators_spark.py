@@ -783,6 +783,37 @@ def test_dsir_importance_prefers_target_like(spark):
     assert out[1] > out[2]
 
 
+def test_nb_classifier_separates_classes(spark):
+    """The NB quality classifier trained on a labeled set must give
+    positive-vocabulary docs keep=True and negative-vocabulary docs
+    keep=False; empty docs drop out; a bucket unseen in the labeled set
+    still scores via smoothing (no silent inner-join drop)."""
+    from webcrawler_spark.operators.corpus import nb_classifier_score
+
+    labeled = spark.createDataFrame(
+        [(100 + i, "the quick brown fox jumps over lazy dogs", True) for i in range(4)]
+        + [(200 + i, "stock market futures index slump crash", False) for i in range(4)],
+        "doc_id long, text string, label boolean",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps high"),          # positive-like
+            (2, "stock market futures slump badly"),    # negative-like
+            (3, ""),                                    # no features
+            (4, "zzzz qqqq wwww xxyy unseen tokens"),   # all-unseen vocab
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in nb_classifier_score(docs, labeled).collect()}
+    assert set(out) == {1, 2, 4}  # empty doc has no row
+    assert out[1]["keep"] and out[1]["score"] > 0
+    assert not out[2]["keep"] and out[2]["score"] < 0
+    # unseen vocab lands between the clear classes (hash collisions into 64
+    # buckets can tilt it either way, but never past a 4-gram-overlap doc)
+    assert out[1]["score"] > out[4]["score"] > out[2]["score"]
+    assert out[4]["keep"] == (out[4]["score"] > 0)
+
+
 def test_sample_gate_negative_keys(spark):
     """The hash gate must bucket negative 64-bit fingerprint keys into
     [0, MOD) like positive ones (pmod, not sign-preserving %) — a negative

@@ -272,6 +272,84 @@ def dsir_importance(
     )
 
 
+def nb_classifier_score(
+    docs: DataFrame,
+    labeled: DataFrame,
+    label_col: str = "label",
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filter: train a Naive-Bayes log-odds classifier
+    on a labeled doc set in ONE aggregation pass, score the corpus with a
+    broadcast weight dim. This is the SQL-expressible analog of the
+    fastText linear classifiers used for quality filtering in CCNet
+    (Wenzek et al. 2020) and FineWeb-edu — same feature family as
+    :func:`dsir_importance` (bag of hashed word uni+bigrams), but
+    supervised: per-bucket weight = log P(bucket|pos) - log P(bucket|neg)
+    (add-one smoothed over n_buckets), doc prior = log((n_pos+1)/(n_neg+1)).
+
+    Returns (id, score, keep): score = prior + sum of gram-occurrence
+    weights (6 dp), keep = score > 0. Docs with zero tokens drop out
+    (no features — callers decide their fate, as with dsir_importance).
+
+    Shape at 100 TB: the labeled set aggregates to a <= n_buckets-row
+    weight dim plus a 1-row prior — both broadcast; the corpus side is one
+    explode + map-side-partial hash-agg per doc. No self-joins, no
+    collects, no global sorts.
+    """
+    lab = labeled.select(F.col(label_col).alias("_y"), F.col(text_col))
+    lab_grams = lab.select(
+        "_y", F.explode(F.concat(
+            _word_grams_multi(F.col(text_col), 1),
+            _word_grams_multi(F.col(text_col), 2),
+        )).alias("gram")
+    ).select("_y", _poly_bucket(F.col("gram"), n_buckets).alias("bucket"))
+    counts = lab_grams.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("pos_n"),
+        F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("neg_n"),
+    )
+    # densify over all n_buckets: a corpus bucket the labeled set never hit
+    # still carries its add-one-smoothed weight (it must not silently drop
+    # from a doc's score via an inner join)
+    all_buckets = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    counts = all_buckets.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("pos_n", F.lit(0)).alias("pos_n"),
+        F.coalesce("neg_n", F.lit(0)).alias("neg_n"),
+    )
+    wall = Window.partitionBy()  # dim is exactly n_buckets rows
+    dim = counts.select(
+        "bucket",
+        (
+            F.log((F.col("pos_n") + 1).cast("double")
+                  / (F.sum("pos_n").over(wall) + F.lit(n_buckets)))
+            - F.log((F.col("neg_n") + 1).cast("double")
+                    / (F.sum("neg_n").over(wall) + F.lit(n_buckets)))
+        ).alias("weight"),
+    )
+    prior = lab.agg(
+        F.log(
+            (F.sum(F.when(F.col("_y"), 1).otherwise(0)) + 1).cast("double")
+            / (F.sum(F.when(F.col("_y"), 0).otherwise(1)) + 1)
+        ).alias("prior")
+    )
+    feats = _dsir_buckets(docs, n_buckets, id_col, text_col)
+    return (
+        feats.join(F.broadcast(dim), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("weight").alias("_w"))
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            F.round(F.col("_w") + F.col("prior"), 6).alias("score"),
+            (F.col("_w") + F.col("prior") > 0).alias("keep"),
+        )
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     budget_tokens: int,

@@ -976,6 +976,74 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.dsir_importance(corpus, target, n_buckets=64)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB log-odds quality classifier (corpus.nb_classifier_score): train on
+    src0 (pos) vs src1 (neg), score every other source's docs."""
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("source").isin("src0", "src1")).withColumn(
+        "label", F.col("source") == "src0"
+    )
+    rest = docs.filter(~F.col("source").isin("src0", "src1"))
+    return CP.nb_classifier_score(rest, labeled, n_buckets=64)
+
+
+SQL_quality_classifier = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w != '') AS t
+  FROM documents
+),
+grams AS (  -- unigram + bigram bag (with multiplicity)
+  SELECT doc_id, source, unnest(list_concat(
+    t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END)) AS gram
+  FROM tok
+),
+bucketed AS (  -- polynomial roll mod prime, then mod n_buckets
+  SELECT doc_id, source,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(gram) + 1),
+                          i -> CAST(unicode(gram[i]) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % 1000000007) % 64 AS bucket
+  FROM grams
+),
+lab AS (SELECT source = 'src0' AS y, bucket FROM bucketed
+        WHERE source IN ('src0', 'src1')),
+counts AS (  -- densified over all 64 buckets (add-one smoothing everywhere)
+  SELECT b.bucket,
+         CAST(COALESCE(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS BIGINT) AS pos_n,
+         CAST(COALESCE(sum(CASE WHEN NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS neg_n
+  FROM range(0, 64) AS b(bucket) LEFT JOIN lab ON lab.bucket = b.bucket
+  GROUP BY b.bucket
+),
+dim AS (
+  SELECT bucket,
+         ln(CAST(pos_n + 1 AS DOUBLE) / (sum(pos_n) OVER () + 64))
+       - ln(CAST(neg_n + 1 AS DOUBLE) / (sum(neg_n) OVER () + 64)) AS weight
+  FROM counts
+),
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+          / (sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) + 1)) AS prior
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+scored AS (
+  SELECT b.doc_id, sum(weight) AS w
+  FROM bucketed b JOIN dim USING (bucket)
+  WHERE b.source NOT IN ('src0', 'src1')
+  GROUP BY b.doc_id
+)
+SELECT doc_id, round(w + prior, 6) AS score, (w + prior) > 0 AS keep
+FROM scored, prior
+"""
+
+
 SQL_dsir_importance = """
 WITH tok AS (
   SELECT doc_id, source,
@@ -4346,6 +4414,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_temperature_rates": q_corpus_temperature_rates,
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "dsir_importance": q_dsir_importance,
+    "quality_classifier": q_quality_classifier,
     "line_dup_stats": q_line_dup_stats,
     "line_dedup_rebuild": q_line_dedup_rebuild,
     "boilerplate_char_frac": q_boilerplate_char_frac,
@@ -4461,6 +4530,7 @@ ORACLE_SQL: dict[str, str] = {
     "corpus_temperature_rates": SQL_corpus_temperature_rates,
     "corpus_temperature_mix": SQL_corpus_temperature_mix,
     "dsir_importance": SQL_dsir_importance,
+    "quality_classifier": SQL_quality_classifier,
     "line_dup_stats": SQL_line_dup_stats,
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,

@@ -197,6 +197,77 @@ class Catalog:
             return None
         return self.spark.read.parquet(path)
 
+    def read_incremental(
+        self, table: str, from_epoch: int, to_epoch: int
+    ) -> DataFrame | None:
+        """Iceberg incremental scan: rows committed in epochs
+        (from_epoch, to_epoch]. For delta tables this is exactly the
+        appended rows in the range (incremental-append scan); for merge
+        tables it is the NET change per key — the latest row per key among
+        rows touched in the range (the CDC net-changes view). This is what
+        a downstream consumer (indexer, dedup refresher, corpus builder)
+        tails instead of rescanning the whole table each epoch — at
+        10^10-URL scale the difference between O(epoch delta) and O(table).
+
+        None if no epoch in the range touched the table; raises if part of
+        the range was expired (its per-epoch dirs are gone, as in Iceberg
+        once expire_snapshots passes a snapshot)."""
+        committed = [
+            e for e in self._committed_epochs(table, to_epoch) if e > from_epoch
+        ]
+        if not committed:
+            return None
+        expired_to = self.read_manifest().get("expired", {}).get(table, -1)
+        if expired_to >= min(committed):
+            raise ValueError(
+                f"incremental read of {table} ({from_epoch}, {to_epoch}]: "
+                f"deltas <= {expired_to} expired"
+            )
+        df = self.spark.read.parquet(
+            *[self._epoch_dir(table, e) for e in committed]
+        )
+        if table in MERGE_TABLES:
+            df = self._resolve_latest(table, df)
+        return df
+
+    def rollback_to(self, epoch: int) -> int:
+        """Iceberg ``rollback_to_snapshot``: make ``epoch`` the current
+        state again. Epochs above it leave the manifest atomically (readers
+        see the old state or the rolled-back one, never a mix), their
+        now-orphaned per-epoch dirs are reclaimed, and compactions whose
+        base folds in rolled-back rows are dropped. Refused when that
+        compaction is the only copy of expired deltas — rolling back there
+        would lose the pre-rollback rows too (Iceberg refuses the same way
+        once expire_snapshots passed the target). Returns epochs dropped."""
+        manifest = self.read_manifest()
+        comps = manifest.get("compactions", {})
+        for t, comp in comps.items():
+            expired_to = manifest.get("expired", {}).get(t, -1)
+            if comp["as_of"] > epoch and expired_to >= 0:
+                raise ValueError(
+                    f"cannot roll back to epoch {epoch}: {t} deltas <= "
+                    f"{expired_to} exist only inside compact={comp['as_of']}"
+                )
+        dropped = [e for e in manifest["epochs"] if e["epoch"] > epoch]
+        manifest["epochs"] = [e for e in manifest["epochs"] if e["epoch"] <= epoch]
+        stale_comp_dirs = []
+        for t in list(comps):
+            if comps[t]["as_of"] > epoch:
+                stale_comp_dirs.append(
+                    os.path.join(self.root, t, f"compact={comps[t]['as_of']}")
+                )
+                del comps[t]
+        self._write_manifest(manifest)  # atomic rollback commit point
+        for path in stale_comp_dirs:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        for e in dropped:
+            for t in e["tables"]:
+                path = self._epoch_dir(t, e["epoch"])
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+        return len(dropped)
+
     def counters(self, epoch: int) -> dict | None:
         for e in self.read_manifest()["epochs"]:
             if e["epoch"] == epoch:
