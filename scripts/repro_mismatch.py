@@ -80,7 +80,13 @@ def norm(rows, cols, ndigits=None):
             return round(v, ndigits) if ndigits else v
         return v
 
-    return sorted(tuple(cell(r[i]) for i in order) for r in rows)
+    def sort_key(t):
+        # None-safe total order (a NULL cell must not TypeError the sort)
+        return tuple((v is None, str(type(v)), v if v is not None else 0) for v in t)
+
+    return sorted(
+        (tuple(cell(r[i]) for i in order) for r in rows), key=sort_key
+    )
 
 
 def main():

@@ -153,3 +153,23 @@ def test_hits_deterministic(spark):
     r1 = sorted(map(tuple, G.hits(df, n_iter=2).collect()))
     r2 = sorted(map(tuple, G.hits(df, n_iter=2).collect()))
     assert r1 == r2
+
+
+def test_resolve_redirects_chains_and_loops(spark):
+    """Pointer doubling must classify exactly like a hop-by-hop walk with
+    aiohttp semantics: terminal within max_redirects -> (final, hops, True);
+    longer chains, self-loops, and cycles -> unresolved (TooManyRedirects)."""
+    from webcrawler_spark.operators.links import resolve_redirects
+
+    edges = [(f"c{i}", f"c{i+1}") for i in range(7)]      # c0..c6 -> chain len 7..1
+    edges += [("self", "self"), ("x", "y"), ("y", "x")]   # self-loop + 2-cycle
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["url"]: r for r in resolve_redirects(df, max_redirects=5).collect()}
+    assert set(out) == {f"c{i}" for i in range(7)} | {"self", "x", "y"}
+    # c2 -> c3 -> ... -> c7 (terminal): 5 hops, right at the cap
+    for i, hops in [(2, 5), (3, 4), (6, 1)]:
+        r = out[f"c{i}"]
+        assert r["resolved"] and r["final_url"] == "c7" and r["hops"] == hops
+    for bad in ["c0", "c1", "self", "x", "y"]:  # 7 and 6 hops, loops
+        r = out[bad]
+        assert not r["resolved"] and r["final_url"] is None and r["hops"] is None

@@ -95,3 +95,63 @@ def anchor_text_index(
         .filter(F.col("rank") <= k)
         .select("target", "term", "freq", "rank")
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    max_redirects: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Resolve redirect chains to their final target URL with pointer
+    doubling — ceil(log2(max_redirects + 1)) rounds of mapping-on-mapping
+    self-join instead of one join per hop.
+
+    The reference's fetcher follows redirect chains transparently with a
+    hop cap (services/fetcher/app.py:166 ``max_redirects = 5``, :238-239
+    ``allow_redirects=True``) and a chain past the cap (or a loop) raises
+    TooManyRedirects, failing the fetch. Batch formulation: ``edges`` is
+    the redirect map (one row per redirecting URL); the result has one row
+    per distinct src with
+
+    - final_url, hops, resolved=true  — terminal reached within the cap;
+    - nulls,     resolved=false       — chain exceeds max_redirects OR
+      loops (a cycle never reaches a terminal, exactly aiohttp's
+      TooManyRedirects behavior).
+
+    Shape at 100 TB: each round is one equi-join of the mapping with
+    itself (O(E) shuffle per round), and the round count is logarithmic in
+    the hop cap — chains up to 2^rounds collapse, and anything longer than
+    max_redirects is classified without ever walking it hop-by-hop. No
+    driver-side iteration over data, no collect; this is the same
+    pointer-jumping trade as operators/components.py label propagation.
+    """
+    import math
+
+    rounds = max(1, math.ceil(math.log2(max_redirects + 1)))
+    m = edges.select(
+        F.col(src_col).alias("url"),
+        F.col(dst_col).alias("cur"),
+        F.lit(1).cast("int").alias("hops"),
+    ).dropDuplicates(["url"])  # a URL redirects to exactly one place
+    for _ in range(rounds):
+        m2 = m.select(
+            F.col("url").alias("j_url"),
+            F.col("cur").alias("j_cur"),
+            F.col("hops").alias("j_hops"),
+        )
+        m = m.join(m2, m["cur"] == m2["j_url"], "left").select(
+            "url",
+            F.coalesce("j_cur", "cur").alias("cur"),
+            (F.col("hops") + F.coalesce("j_hops", F.lit(0))).cast("int").alias("hops"),
+        )
+    srcs = edges.select(F.col(src_col).alias("cur")).distinct().withColumn(
+        "_redirects_again", F.lit(True)
+    )
+    ok = F.col("_redirects_again").isNull() & (F.col("hops") <= max_redirects)
+    return m.join(srcs, "cur", "left").select(
+        "url",
+        F.when(ok, F.col("cur")).alias("final_url"),
+        F.when(ok, F.col("hops")).alias("hops"),
+        ok.alias("resolved"),
+    )

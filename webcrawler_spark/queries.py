@@ -1508,6 +1508,60 @@ WHERE len(kept) >= 2
 # dangling in this bipartite graph, so the redistribution term is live.
 
 
+def q_resolve_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-doubling redirect resolution (links.resolve_redirects) over a
+    deterministic chain graph derived from orderkeys (dense runs broken at
+    %11 give chains of 1-10 hops) plus a literal 3-cycle — covers resolved,
+    too-many-redirects, and loop classification in one result."""
+    from .operators import links as L
+
+    orders = _t(spark, sf_dir, "orders")
+    chains = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.concat(F.lit("u"), F.col("o_orderkey")).alias("src"),
+        F.concat(F.lit("u"), F.col("o_orderkey") - 1).alias("dst"),
+    )
+    cycle = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = L.resolve_redirects(chains.union(cycle), max_redirects=5)
+    # NULL-free projection for the driver's value-hash canonicalization
+    # (unresolved rows carry sentinel '', -1 instead of NULLs)
+    return out.select(
+        "url",
+        F.coalesce("final_url", F.lit("")).alias("final_url"),
+        F.coalesce("hops", F.lit(-1)).alias("hops"),
+        "resolved",
+    )
+
+
+SQL_resolve_redirects = """
+WITH RECURSIVE edges AS (
+  SELECT 'u' || CAST(o_orderkey AS VARCHAR) AS src,
+         'u' || CAST(o_orderkey - 1 AS VARCHAR) AS dst
+  FROM orders WHERE o_orderkey % 11 != 0
+  UNION ALL
+  SELECT * FROM (VALUES ('a', 'b'), ('b', 'c'), ('c', 'a')) v(src, dst)
+),
+walk AS (
+  SELECT src AS url, dst AS cur, 1 AS hops FROM edges
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.hops <= 5  -- past the cap the classification cannot change
+),
+resolved AS (
+  SELECT url, cur AS final_url, hops FROM walk
+  WHERE hops <= 5 AND cur NOT IN (SELECT src FROM edges)
+)
+SELECT e.url,
+       COALESCE(r.final_url, '') AS final_url,
+       CAST(COALESCE(r.hops, -1) AS INT) AS hops,
+       r.url IS NOT NULL AS resolved
+FROM (SELECT DISTINCT src AS url FROM edges) e
+LEFT JOIN resolved r USING (url)
+"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as G
 
@@ -4423,6 +4477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_norm_hash": q_ccnet_norm_hash,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
+    "resolve_redirects": q_resolve_redirects,
     "pagerank": q_pagerank,
     "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
@@ -4539,6 +4594,7 @@ ORACLE_SQL: dict[str, str] = {
     "ccnet_norm_hash": _sql_ccnet_norm_hash(),
     "gopher_repetition": SQL_gopher_repetition,
     "gopher_quality": _sql_gopher_quality(),
+    "resolve_redirects": SQL_resolve_redirects,
     "pagerank": SQL_pagerank,
     "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
