@@ -398,3 +398,62 @@ def content_dedup(docs: DataFrame, hash_col: str = "content_hash", order_col: st
         )
         .drop("_rn", "_first")
     )
+
+
+def canonical_groups(
+    pages: DataFrame,
+    links: DataFrame,
+    url_col: str = "url_norm",
+) -> DataFrame:
+    """rel=canonical collapse: group crawled pages by their declared
+    canonical target and pick one representative per group.
+
+    The reference extracts <link rel=canonical> into web_links with
+    link_type='canonical' (services/parser/app.py:147-162) and keeps those
+    links out of the frontier (app.py:629) — it stores the hint but never
+    acts on it. This operator is the acting half a dedup pipeline needs:
+    treat the hint one-hop (like search engines — canonical chains are not
+    followed), group each page under coalesce(declared target, itself),
+    and elect the target itself as representative when it was actually
+    crawled, else the lexicographically smallest member (deterministic).
+
+    links only needs (source_url, target_url, link_type); multiple
+    declarations per page keep the first by target order (htmllib keeps
+    the first rel=canonical seen, so upstream is already unique — the
+    dropDuplicates here is a safety net for hand-built inputs).
+
+    Shape at 100 TB: one equi join pages⋈declarations on url (both sides
+    crawl-partitioned), then two window functions over the SAME
+    canonical_url partitioning — a single hash exchange, no iteration (the
+    one-hop rule is what keeps this from being a graph problem).
+    """
+    from pyspark.sql import Window
+
+    decl = (
+        links.filter(F.col("link_type") == "canonical")
+        .select(
+            F.col("source_url").alias(url_col),
+            F.col("target_url").alias("canonical_url"),
+        )
+        .dropDuplicates([url_col])
+    )
+    m = pages.select(url_col).join(decl, url_col, "left").select(
+        url_col,
+        F.coalesce("canonical_url", F.col(url_col)).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url")
+    target_crawled = (
+        F.max(
+            F.when(F.col(url_col) == F.col("canonical_url"), 1).otherwise(0)
+        ).over(w)
+        == 1
+    )
+    rep = F.when(target_crawled, F.col("canonical_url")).otherwise(
+        F.min(url_col).over(w)
+    )
+    return m.select(
+        url_col,
+        "canonical_url",
+        rep.alias("rep_url"),
+        (F.col(url_col) == rep).alias("is_rep"),
+    )
