@@ -4429,6 +4429,115 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+# ---------------------------------------------------------------------------
+# Stupid-Backoff LM perplexity tier (operators/lm.py): CCNet's KenLM quality
+# gate (Wenzek et al. 2020 §4.3) re-expressed as counts + joins. Train on
+# the src0 slice (the "clean target domain"), score everything else.
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    model = LM.train_lm(docs.filter(F.col("source") == "src0"), order=3)
+    return LM.lm_score(docs.filter(F.col("source") != "src0"), model)
+
+
+def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail tertile split of the scored corpus; min/max
+    per bucket (order-independent extremes, not a float-sum avg, so the
+    DuckDB comparison is exact)."""
+    from .operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    model = LM.train_lm(docs.filter(F.col("source") == "src0"), order=3)
+    scored = LM.lm_score(docs.filter(F.col("source") != "src0"), model)
+    return LM.perplexity_buckets(scored).groupBy("ppl_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("perplexity").alias("min_ppl"),
+        F.max("perplexity").alias("max_ppl"),
+    )
+
+
+# Shared CTE chain: tokenize+pad all docs, count 1..3-grams over the src0
+# train slice, build each scored position's five backoff lookup keys, and
+# replay the Stupid-Backoff CASE (operators/lm.py lm_token_scores) exactly —
+# 0.4 spelled CAST(0.4 AS DOUBLE) so both engines multiply the same double.
+_SQL_LM_CTE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_concat([chr(2), chr(2)],
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w != '')) AS t
+  FROM documents
+),
+model AS (
+  SELECT k, gram, count(*) AS cnt
+  FROM (
+    SELECT k, array_to_string(t[i:i+k-1], ' ') AS gram
+    FROM tok, unnest([1, 2, 3]) AS ks(k),
+         LATERAL unnest(generate_series(1, len(t) - k + 1)) AS u(i)
+    WHERE source = 'src0' AND len(t) >= k
+  ) GROUP BY k, gram
+),
+total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM model WHERE k = 1),
+pos AS (
+  SELECT doc_id,
+         array_to_string(t[i-2:i], ' ') AS g3,
+         array_to_string(t[i-2:i-1], ' ') AS c2,
+         array_to_string(t[i-1:i], ' ') AS g2,
+         t[i-1] AS c1, t[i] AS g1
+  FROM tok, LATERAL unnest(generate_series(3, len(t))) AS u(i)
+  WHERE source != 'src0' AND len(t) >= 3
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN m3.cnt IS NOT NULL
+                THEN CAST(m3.cnt AS DOUBLE) / mc2.cnt
+              WHEN m2.cnt IS NOT NULL
+                THEN (CAST(0.4 AS DOUBLE) * m2.cnt) / mc1.cnt
+              WHEN m1.cnt IS NOT NULL
+                THEN ((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * m1.cnt)
+                     / tot
+              ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) / tot
+         END AS s
+  FROM pos p
+  LEFT JOIN model m3  ON m3.k  = 3 AND m3.gram  = p.g3
+  LEFT JOIN model mc2 ON mc2.k = 2 AND mc2.gram = p.c2
+  LEFT JOIN model m2  ON m2.k  = 2 AND m2.gram  = p.g2
+  LEFT JOIN model mc1 ON mc1.k = 1 AND mc1.gram = p.c1
+  LEFT JOIN model m1  ON m1.k  = 1 AND m1.gram  = p.g1
+  CROSS JOIN total
+),
+ppl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(ln(s)) / count(*), 6) AS avg_logprob,
+         round(exp(-(sum(ln(s)) / count(*))), 6) AS perplexity
+  FROM scored GROUP BY doc_id
+)
+"""
+
+
+SQL_lm_perplexity = _SQL_LM_CTE + """
+SELECT doc_id, n_tokens, avg_logprob, perplexity FROM ppl
+"""
+
+
+SQL_lm_ppl_buckets = _SQL_LM_CTE + """
+, th AS (
+  SELECT quantile_cont(perplexity, CAST(1 AS DOUBLE) / 3) AS t1,
+         quantile_cont(perplexity, CAST(2 AS DOUBLE) / 3) AS t2
+  FROM ppl
+)
+SELECT CASE WHEN perplexity <= t1 THEN 'head'
+            WHEN perplexity <= t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(perplexity) AS min_ppl,
+       max(perplexity) AS max_ppl
+FROM ppl, th GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -4524,6 +4633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_event_counts": q_windowed_event_counts,
     "date_histogram_terms": q_date_histogram_terms,
     "media_features": q_media_features,
+    "lm_perplexity": q_lm_perplexity,
+    "lm_ppl_buckets": q_lm_ppl_buckets,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4641,6 +4752,8 @@ ORACLE_SQL: dict[str, str] = {
     "windowed_event_counts": SQL_windowed_event_counts,
     "date_histogram_terms": SQL_date_histogram_terms,
     "media_features": SQL_media_features,
+    "lm_perplexity": SQL_lm_perplexity,
+    "lm_ppl_buckets": SQL_lm_ppl_buckets,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
