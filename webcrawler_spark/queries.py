@@ -503,10 +503,10 @@ def q_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TS.lang_id_multi(F.col("text")).alias("lang_pred"))
 
 
-def _lang_score_sql(stops: tuple[str, ...]) -> str:
+def _lang_score_sql(stops: tuple[str, ...], col: str = "text") -> str:
     lst = ", ".join(f"'{s}'" for s in stops)
     return (
-        f"len(list_intersect(list_distinct(string_split_regex(lower(text), "
+        f"len(list_intersect(list_distinct(string_split_regex(lower({col}), "
         f"'{_TOKEN_RE}')), [{lst}]))"
     )
 
@@ -4462,14 +4462,18 @@ def q_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train slice, build each scored position's five backoff lookup keys, and
 # replay the Stupid-Backoff CASE (operators/lm.py lm_token_scores) exactly —
 # 0.4 spelled CAST(0.4 AS DOUBLE) so both engines multiply the same double.
-_SQL_LM_CTE = """
-WITH tok AS (
+# Parameterized on the input relation/column so the composed ccnet_pipeline
+# oracle can feed it line-deduped, lang-gated text instead of raw documents.
+
+
+def _sql_lm_chain(rel: str = "documents", text: str = "text") -> str:
+    return f"""tok AS (
   SELECT doc_id, source,
          list_concat([chr(2), chr(2)],
-           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           list_filter(string_split_regex(lower({text}), '[^a-z0-9]+'),
                        w -> w != '')) AS t
-  FROM documents
-),
+  FROM {rel}
+),""" + """
 model AS (
   SELECT k, gram, count(*) AS cnt
   FROM (
@@ -4517,6 +4521,9 @@ ppl AS (
 """
 
 
+_SQL_LM_CTE = "WITH " + _sql_lm_chain()
+
+
 SQL_lm_perplexity = _SQL_LM_CTE + """
 SELECT doc_id, n_tokens, avg_logprob, perplexity FROM ppl
 """
@@ -4535,6 +4542,77 @@ SELECT CASE WHEN perplexity <= t1 THEN 'head'
        min(perplexity) AS min_ppl,
        max(perplexity) AS max_ppl
 FROM ppl, th GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Composed CCNet pipeline (Wenzek et al. 2020, end-to-end): paragraph-level
+# exact dedup (§4.1) -> language-ID gate (§4.2) -> LM perplexity + tertile
+# buckets (§4.3), chained from the individually-oracle-backed stages
+# (line_dedup_rebuild + lang_id_multi + lm_ppl_buckets). One contract entry
+# proving the published pipeline composes inside the engine — each stage's
+# output feeds the next with no materialization barriers, so Catalyst plans
+# the whole chain as one job.
+
+
+def q_ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language gate = the corpus's lang label (CCNet shards by language
+    before the per-language dedup+LM stages; the DETECTION operator itself
+    is the separately-oracle-backed lang_id_multi entry — on this synthetic
+    vocabulary the detector returns 'und' everywhere by design, since only
+    one English stopword exists in the generator's word list)."""
+    from .operators import lines as L
+    from .operators import lm as LM
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = L.dedup_lines(docs, max_doc_freq=1, mode="chunks")
+    gated = cleaned.join(
+        docs.select("doc_id", "source", "lang"), "doc_id"
+    ).filter(F.col("lang") == "en")
+    model = LM.train_lm(
+        gated.filter(F.col("source") == "src0"), text_col="text_clean", order=3
+    )
+    scored = LM.lm_score(
+        gated.filter(F.col("source") != "src0"), model, text_col="text_clean"
+    )
+    return (
+        LM.perplexity_buckets(scored)
+        .join(gated.select("doc_id", "n_lines_kept"), "doc_id")
+        .select("doc_id", "n_lines_kept", "n_tokens", "perplexity", "ppl_bucket")
+    )
+
+
+def _sql_ccnet_pipeline() -> str:
+    return _SQL_LINES_CTE + """,
+rebuilt AS (
+  SELECT t.doc_id,
+         coalesce(r.text_clean, '') AS text_clean,
+         CAST(coalesce(r.n_lines_kept, 0) AS INT) AS n_lines_kept
+  FROM (SELECT doc_id FROM lines GROUP BY doc_id) t
+  LEFT JOIN (
+    SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+           count(*) AS n_lines_kept
+    FROM lines JOIN freq USING (line)
+    WHERE freq.n_docs <= 1
+    GROUP BY doc_id
+  ) r USING (doc_id)
+),
+gated AS (
+  SELECT b.doc_id, d.source, b.text_clean, b.n_lines_kept
+  FROM rebuilt b JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+),
+""" + _sql_lm_chain(rel="gated", text="text_clean") + """
+, th AS (
+  SELECT quantile_cont(perplexity, CAST(1 AS DOUBLE) / 3) AS t1,
+         quantile_cont(perplexity, CAST(2 AS DOUBLE) / 3) AS t2
+  FROM ppl
+)
+SELECT p.doc_id, g.n_lines_kept, p.n_tokens, p.perplexity,
+       CASE WHEN perplexity <= t1 THEN 'head'
+            WHEN perplexity <= t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM ppl p JOIN gated g USING (doc_id), th
 """
 
 
@@ -4635,6 +4713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "lm_perplexity": q_lm_perplexity,
     "lm_ppl_buckets": q_lm_ppl_buckets,
+    "ccnet_pipeline": q_ccnet_pipeline,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4754,6 +4833,7 @@ ORACLE_SQL: dict[str, str] = {
     "media_features": SQL_media_features,
     "lm_perplexity": SQL_lm_perplexity,
     "lm_ppl_buckets": SQL_lm_ppl_buckets,
+    "ccnet_pipeline": _sql_ccnet_pipeline(),
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
