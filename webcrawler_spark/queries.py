@@ -4616,6 +4616,82 @@ FROM ppl p JOIN gated g USING (doc_id), th
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (operators/bpe.py, Sennrich et al.
+# 2016): greedy merge loop over the bounded word-vocab table, one argmax
+# row to the driver per round (the IVF-centroid precedent). Oracles unroll
+# the rounds as CTEs — the same pair hash-agg → ORDER BY cnt DESC, pair
+# LIMIT 1 → literal replace, replayed in DuckDB.
+
+_BPE_ROUNDS = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, n_merges=_BPE_ROUNDS)
+    return B.merge_table(spark, merges).withColumnRenamed("rank", "merge_rank")
+
+
+def q_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    return B.subword_vocab(docs, n_merges=_BPE_ROUNDS)
+
+
+def _sql_bpe_chain(n: int = _BPE_ROUNDS) -> str:
+    """Unrolled BPE rounds: v0 = char-wrapped word vocab; round r = pair
+    counts over v{r-1} -> deterministic argmax b{r} -> rewritten v{r}."""
+    parts = ["""WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
+                 '[^a-z0-9]+'), w -> w != '')) AS word FROM documents)
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT '(' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), ')(')
+         || ')(_)' AS wrapped, freq
+  FROM words
+)"""]
+    for r in range(1, n + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT '(' || s[i] || ')(' || s[i+1] || ')' AS pair,
+         CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT string_split(substr(wrapped, 2, length(wrapped) - 2),
+                            ')(') AS s, freq FROM v{r - 1}),
+       LATERAL unnest(generate_series(1, len(s) - 1)) AS u(i)
+  WHERE len(s) >= 2
+  GROUP BY 1
+),
+b{r} AS MATERIALIZED (SELECT pair, replace(pair, ')(', '') AS merged, cnt
+         FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT replace(wrapped, (SELECT pair FROM b{r}),
+                 (SELECT merged FROM b{r})) AS wrapped, freq
+  FROM v{r - 1}
+)""")
+    return "".join(parts)
+
+
+SQL_bpe_merges = _sql_bpe_chain() + "\n" + "\nUNION ALL\n".join(
+    f"SELECT CAST({r} AS INT) AS merge_rank, pair, merged, cnt FROM b{r}"
+    for r in range(1, _BPE_ROUNDS + 1)
+)
+
+
+SQL_bpe_vocab_counts = _sql_bpe_chain() + f"""
+SELECT t.sym AS subword, CAST(sum(freq) AS BIGINT) AS n
+FROM (SELECT string_split(substr(wrapped, 2, length(wrapped) - 2),
+                          ')(') AS s, freq FROM v{_BPE_ROUNDS}),
+     unnest(s) AS t(sym)
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -4714,6 +4790,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "lm_ppl_buckets": q_lm_ppl_buckets,
     "ccnet_pipeline": q_ccnet_pipeline,
+    "bpe_merges": q_bpe_merges,
+    "bpe_vocab_counts": q_bpe_vocab_counts,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4834,6 +4912,8 @@ ORACLE_SQL: dict[str, str] = {
     "lm_perplexity": SQL_lm_perplexity,
     "lm_ppl_buckets": SQL_lm_ppl_buckets,
     "ccnet_pipeline": _sql_ccnet_pipeline(),
+    "bpe_merges": SQL_bpe_merges,
+    "bpe_vocab_counts": SQL_bpe_vocab_counts,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
