@@ -4616,6 +4616,47 @@ FROM ppl p JOIN gated g USING (doc_id), th
 """
 
 
+def q_search_match_all_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_all + filters + non-relevance sort: the reference search
+    API's empty-query path (search-api/app.py:220) combined with
+    ``sort_by: quality`` (app.py:257-261, quality_score desc). Filters are
+    non-scoring (bool filter context); doc_id tiebreak keeps the top-k
+    deterministic like every other entry in the search tier."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter((F.col("lang") == "en") & (F.col("n_chars") >= 50))
+        .select(
+            "doc_id",
+            F.round(TS.doc_quality(F.col("text")), 4).alias("quality"),
+            "n_chars",
+        )
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_search_match_all_sorted = """
+SELECT doc_id,
+       round(
+         CASE WHEN wc >= 300 THEN 25.0
+              WHEN wc >= 150 THEN 15.0
+              WHEN wc >= 50 THEN 10.0
+              ELSE 0.0 END
+         + least(20.0, (uw * 1.0 / wc) * 25), 4) AS quality,
+       n_chars
+FROM (
+  SELECT doc_id, n_chars,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS wc,
+         len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       x -> x != ''))) AS uw
+  FROM documents
+  WHERE lang = 'en' AND n_chars >= 50
+)
+ORDER BY quality DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # Distributed BPE tokenizer training (operators/bpe.py, Sennrich et al.
 # 2016): greedy merge loop over the bounded word-vocab table, one argmax
@@ -4792,6 +4833,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_pipeline": q_ccnet_pipeline,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab_counts": q_bpe_vocab_counts,
+    "search_match_all_sorted": q_search_match_all_sorted,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4914,6 +4956,7 @@ ORACLE_SQL: dict[str, str] = {
     "ccnet_pipeline": _sql_ccnet_pipeline(),
     "bpe_merges": SQL_bpe_merges,
     "bpe_vocab_counts": SQL_bpe_vocab_counts,
+    "search_match_all_sorted": SQL_search_match_all_sorted,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
