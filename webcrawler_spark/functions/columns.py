@@ -266,3 +266,58 @@ def surt_key(url: Column) -> Column:
     path = F.regexp_extract(url, _SCHEME_AUTH + r"[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     return F.concat(rev, F.lit(")"), path)
+
+
+# RefinedWeb-style URL quality filtering (Penedo et al. 2023 §3.1.2, after
+# the public UT1 blocklists): a hard host blocklist plus fractional "soft
+# word" scores summed over blocklist words appearing anywhere in the URL.
+# The reference only hard-blocks social domains (parser substring list,
+# services/parser/app.py); the soft-score tier is the LLM-pipeline
+# extension that catches spam/adult URLs on unlisted hosts.
+
+DEFAULT_URL_SOFT_WORDS: dict[str, float] = {
+    "casino": 1.0,
+    "poker": 0.8,
+    "adult": 1.0,
+    "free-money": 0.5,
+    "webcam": 0.6,
+    "lottery": 0.5,
+}
+
+
+def url_block_score(
+    url: Column, soft_words: dict[str, float] | None = None
+) -> Column:
+    """Sum of soft-word weights for blocklist words contained in the URL.
+
+    The word/weight table is a literal struct array folded with
+    ``aggregate`` — pure codegen, no join, no UDF; word order is pinned
+    (sorted) so the float sum is identical in the DuckDB oracle's
+    addition chain.
+    """
+    words = sorted((soft_words or DEFAULT_URL_SOFT_WORDS).items())
+    arr = F.array(
+        *[
+            F.struct(F.lit(w).alias("w"), F.lit(float(wt)).alias("wt"))
+            for w, wt in words
+        ]
+    )
+    return F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(F.contains(url, x["w"]), x["wt"]).otherwise(F.lit(0.0)),
+    )
+
+
+def url_quality_gate(
+    url: Column,
+    hard_hosts: tuple[str, ...] = (),
+    soft_words: dict[str, float] | None = None,
+    threshold: float = 1.0,
+) -> Column:
+    """True iff the URL passes: host not hard-blocked AND soft score <
+    threshold (RefinedWeb blocks at cumulative score >= 1.0)."""
+    host = surt_host(url)
+    hard = host.isin(*hard_hosts) if hard_hosts else F.lit(False)
+    return ~hard & (url_block_score(url, soft_words) < F.lit(float(threshold)))

@@ -4616,6 +4616,84 @@ FROM ppl p JOIN gated g USING (doc_id), th
 """
 
 
+def q_url_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL filter (columns.url_block_score /
+    url_quality_gate): hard host blocklist + fractional soft-word scores
+    over deterministic synthetic URLs (the TPC-H-key idiom every URL entry
+    uses). Word order in the score fold is pinned, so the float sum
+    replays exactly in the oracle's addition chain."""
+    from .functions import columns as C
+
+    orders = _t(spark, sf_dir, "orders")
+    host = F.element_at(
+        F.array(
+            F.lit("blog.example.com"),
+            F.lit("adult-site.example.net"),
+            F.lit("news.example.org"),
+            F.lit("fun-games.example.com"),
+            F.lit("shop.example.com"),
+        ),
+        (F.col("o_orderkey") % 5 + 1).cast("int"),
+    )
+    seg = F.element_at(
+        F.array(
+            F.lit("article"),
+            F.lit("casino"),
+            F.lit("review"),
+            F.lit("poker-lottery"),
+            F.lit("item"),
+            F.lit("free-money"),
+        ),
+        (F.col("o_custkey") % 6 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/"), seg, F.lit("/"),
+        F.col("o_orderkey").cast("string"),
+    )
+    return orders.select(
+        url.alias("url"),
+        F.round(C.url_block_score(url), 2).alias("block_score"),
+        C.url_quality_gate(
+            url, hard_hosts=("adult-site.example.net",)
+        ).alias("keep"),
+    )
+
+
+def _sql_url_quality_gate() -> str:
+    from .functions.columns import DEFAULT_URL_SOFT_WORDS
+
+    chain = "CAST(0.0 AS DOUBLE)"
+    for w, wt in sorted(DEFAULT_URL_SOFT_WORDS.items()):
+        chain += (
+            f"\n    + CASE WHEN contains(url, '{w}')"
+            f" THEN CAST({wt} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+        )
+    return f"""
+WITH u AS (
+  SELECT 'https://' ||
+         ['blog.example.com', 'adult-site.example.net', 'news.example.org',
+          'fun-games.example.com', 'shop.example.com']
+           [CAST(o_orderkey % 5 AS INT) + 1] ||
+         '/' ||
+         ['article', 'casino', 'review', 'poker-lottery', 'item',
+          'free-money'][CAST(o_custkey % 6 AS INT) + 1] ||
+         '/' || CAST(o_orderkey AS VARCHAR) AS url
+  FROM orders
+),
+scored AS (
+  SELECT url, {chain} AS score,
+         regexp_replace(lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+           '^www\\.', '') AS host
+  FROM u
+)
+SELECT url, round(score, 2) AS block_score,
+       (host != 'adult-site.example.net' AND score < CAST(1.0 AS DOUBLE))
+         AS keep
+FROM scored
+"""
+
+
 def q_search_match_all_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES match_all + filters + non-relevance sort: the reference search
     API's empty-query path (search-api/app.py:220) combined with
@@ -4834,6 +4912,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_vocab_counts": q_bpe_vocab_counts,
     "search_match_all_sorted": q_search_match_all_sorted,
+    "url_quality_gate": q_url_quality_gate,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -4957,6 +5036,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merges": SQL_bpe_merges,
     "bpe_vocab_counts": SQL_bpe_vocab_counts,
     "search_match_all_sorted": SQL_search_match_all_sorted,
+    "url_quality_gate": _sql_url_quality_gate(),
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
