@@ -471,9 +471,21 @@ def run_epoch(
     fetched.count()
     from concurrent.futures import ThreadPoolExecutor
 
+    # manifest column stats (Iceberg manifest min/max) for the tables whose
+    # key range bounds later pruned reads; they ride each write's existing
+    # Observation, so this costs no extra job
+    stats_for = {"frontier": ("url_fp",), "seen": ("url_fp",)}
     with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
         futures = {
-            t: pool.submit(cat.stage, t, epoch, df, None, sort_within.get(t))
+            t: pool.submit(
+                cat.stage,
+                t,
+                epoch,
+                df,
+                None,
+                sort_within.get(t),
+                tuple(c for c in stats_for.get(t, ()) if c in df.columns),
+            )
             for t, df in to_stage.items()
         }
         for t, fut in futures.items():

@@ -59,6 +59,9 @@ class Catalog:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # column min/max gathered by stage(stats_cols=...), keyed
+        # (table, epoch); commit_epoch folds them into the manifest entry
+        self._staged_stats: dict[tuple[str, int], dict] = {}
         os.makedirs(root, exist_ok=True)
 
     # ---- manifest ------------------------------------------------------------
@@ -93,6 +96,7 @@ class Catalog:
         df: DataFrame,
         partition_by: str | None = None,
         sort_within_by: str | None = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> int:
         """Write one table's epoch partition; returns row count (lineage).
 
@@ -100,6 +104,13 @@ class Catalog:
         column before the write — the parquet emulation of an Iceberg SORT
         ORDER (per-file clustering + min/max stats pruning), a per-partition
         sort with no extra shuffle.
+
+        ``stats_cols`` records manifest-level min/max for those columns
+        (Iceberg's manifest column stats): the aggregates ride the same
+        write-job Observation as the row count (no extra job), and
+        ``read_delta_pruned`` uses them to skip whole epoch partitions
+        whose range cannot match a predicate. Numeric/string columns only
+        (values must round-trip through the JSON manifest).
         """
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
@@ -109,21 +120,37 @@ class Catalog:
             shutil.rmtree(path)  # idempotent re-run of an uncommitted epoch
         if sort_within_by:
             df = df.sortWithinPartitions(sort_within_by)
-        # count rides the write job itself (Observation) — no second job
+        # count (and column stats) ride the write job itself (Observation)
+        # — no second job
         obs = Observation()
-        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
+        aggs = [F.count(F.lit(1)).alias("n")]
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+        writer = df.observe(obs, *aggs).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(path)
-        return int(obs.get["n"])
+        got = obs.get
+        if stats_cols:
+            self._staged_stats[(table, epoch)] = {
+                c: [got[f"min__{c}"], got[f"max__{c}"]] for c in stats_cols
+            }
+        return int(got["n"])
 
     def commit_epoch(self, epoch: int, table_counts: dict[str, int], counters: dict) -> None:
         """Atomic commit: epoch becomes visible only after manifest replace."""
         manifest = self.read_manifest()
         manifest["epochs"] = [e for e in manifest["epochs"] if e["epoch"] < epoch]
-        manifest["epochs"].append(
-            {"epoch": epoch, "tables": table_counts, "counters": counters}
-        )
+        entry = {"epoch": epoch, "tables": table_counts, "counters": counters}
+        stats = {
+            t: self._staged_stats.pop((t, e))
+            for (t, e) in list(self._staged_stats)
+            if e == epoch
+        }
+        if stats:
+            entry["stats"] = stats
+        manifest["epochs"].append(entry)
         self._write_manifest(manifest)
 
     # ---- read ------------------------------------------------------------------
@@ -160,6 +187,44 @@ class Catalog:
                 df = df.filter(F.col(_EPOCH_COL[table]) <= as_of_epoch)
             return df
         return self._read_delta_raw(table, as_of_epoch)
+
+    def read_delta_pruned(
+        self, table: str, as_of_epoch: int, col: str, lo, hi
+    ) -> DataFrame | None:
+        """Delta-union read with manifest-stats partition pruning: epoch
+        partitions whose recorded [min, max] of ``col`` cannot intersect
+        [lo, hi] are never opened (Iceberg manifest-level file skipping —
+        at 10^10 rows over hundreds of epochs, a host-range or recrawl
+        query touches only the epochs that wrote that range). Epochs with
+        no recorded stats are read (pruning must never drop data). Falls
+        back to filter-only on a compacted table (the compacted base spans
+        all epochs, so per-epoch stats no longer bound it). The predicate
+        filter is ALWAYS applied on top — pruning is an I/O optimization,
+        never a semantic one."""
+        from pyspark.sql import functions as F
+
+        pred = F.col(col).between(lo, hi)
+        manifest = self.read_manifest()
+        if manifest.get("compactions", {}).get(table) or manifest.get(
+            "expired", {}
+        ).get(table):
+            df = self.read_delta_union(table, as_of_epoch)
+            return None if df is None else df.filter(pred)
+        stats = {
+            e["epoch"]: e.get("stats", {}).get(table, {}).get(col)
+            for e in manifest["epochs"]
+        }
+        keep = []
+        for epoch in self._committed_epochs(table, as_of_epoch):
+            s = stats.get(epoch)
+            if s is None or s[0] is None or s[1] is None or (
+                not (s[1] < lo or s[0] > hi)
+            ):
+                keep.append(epoch)
+        if not keep:
+            return None
+        paths = [self._epoch_dir(table, e) for e in keep]
+        return self.spark.read.parquet(*paths).filter(pred)
 
     def read_merged(self, table: str, as_of_epoch: int) -> DataFrame | None:
         """Resolved current state of a merge table as of an epoch: the latest
