@@ -155,3 +155,40 @@ def resolve_redirects(
         F.when(ok, F.col("hops")).alias("hops"),
         ok.alias("resolved"),
     )
+
+
+def anchor_search(
+    links: DataFrame,
+    query_tokens: list[str],
+    target_col: str = "target_url",
+    anchor_col: str = "anchor_text",
+    k: int = 20,
+) -> DataFrame:
+    """Search the anchor index: rank link TARGETS by inbound anchor hits.
+
+    The off-page half of web ranking (Brin & Page 1998 §2.2 store anchor
+    words with the target doc for exactly this; the reference stores
+    per-link anchor_text in web_links without acting on it): a page is
+    ranked by what OTHER pages call it. Score = total occurrences of query
+    terms across the target's inbound anchors; n_terms = distinct query
+    terms matched (ties prefer broader coverage). Shape: the anchor
+    explode filters to the bounded query-term set IMMEDIATELY (predicate
+    on the exploded value, so only matching terms reach the shuffle), one
+    map-side-partial hash agg, bounded top-k.
+    """
+    toks = sorted({t.lower() for t in query_tokens})
+    terms = links.select(
+        F.col(target_col).alias("target"),
+        F.explode(
+            F.split(F.lower(F.col(anchor_col)), r"[^a-z0-9]+")
+        ).alias("term"),
+    ).filter(F.col("term").isin(toks))
+    return (
+        terms.groupBy("target")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("score"),
+            F.countDistinct("term").cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), F.desc("n_terms"), F.asc("target"))
+        .limit(k)
+    )

@@ -4616,6 +4616,57 @@ FROM ppl p JOIN gated g USING (doc_id), th
 """
 
 
+def q_anchor_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text target ranking (links.anchor_search) over the same
+    synthetic link table as anchor_text_index."""
+    from .operators.links import anchor_search
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    links = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            F.col("l_partkey").cast("string").alias("target_url"),
+            F.concat_ws(" ", "c_mktsegment", "o_orderpriority").alias(
+                "anchor_text"
+            ),
+        )
+    )
+    return anchor_search(
+        links, ["building", "urgent", "machinery"], k=20
+    ).select(F.col("target").cast("long").alias("target"), "score", "n_terms")
+
+
+SQL_anchor_search = """
+WITH links AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS target,
+         c_mktsegment || ' ' || o_orderpriority AS anchor
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+),
+terms AS (
+  SELECT target, t.term
+  FROM links, LATERAL unnest(string_split_regex(lower(anchor),
+                                                '[^a-z0-9]+')) AS t(term)
+  WHERE t.term IN ('building', 'machinery', 'urgent')
+)
+SELECT CAST(target AS BIGINT) AS target, score, n_terms
+FROM (
+  -- tiebreak on the STRING target (the Spark side sorts before its cast)
+  SELECT target,
+         CAST(count(*) AS BIGINT) AS score,
+         CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+  FROM terms
+  GROUP BY target
+  ORDER BY score DESC, n_terms DESC, target ASC
+  LIMIT 20
+)
+"""
+
+
 def q_url_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style URL filter (columns.url_block_score /
     url_quality_gate): hard host blocklist + fractional soft-word scores
@@ -4913,6 +4964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_vocab_counts": q_bpe_vocab_counts,
     "search_match_all_sorted": q_search_match_all_sorted,
     "url_quality_gate": q_url_quality_gate,
+    "anchor_search": q_anchor_search,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
@@ -5037,6 +5089,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_vocab_counts": SQL_bpe_vocab_counts,
     "search_match_all_sorted": SQL_search_match_all_sorted,
     "url_quality_gate": _sql_url_quality_gate(),
+    "anchor_search": SQL_anchor_search,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
