@@ -1,0 +1,80 @@
+"""Materialized inverted index (operators/postings.py): parity with the
+scan-time BM25, dictionary invariants, and the persisted-index plan shape
+(partition pruning on the term-hash bucket; no text column at query time)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from webcrawler_spark.operators import postings as PO
+from webcrawler_spark.operators import search as SE
+
+QT = ["customer", "window", "batch"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def index(docs):
+    post = PO.build_postings(docs, "text", "doc_id", n_buckets=16).cache()
+    dl = PO.doc_lengths(docs, "text", "doc_id").cache()
+    return post, dl
+
+
+def test_bm25_parity_with_scan_path(docs, index):
+    """postings_bm25 from the index == search_bm25 from the raw text,
+    score-for-score (same rounding, same tiebreak)."""
+    post, dl = index
+    via_index = PO.postings_bm25(post, dl, QT, k=50).collect()
+    via_scan = SE.search_bm25(docs, QT, "text", "doc_id", k=50).collect()
+    assert [(r["doc_id"], r["score"]) for r in via_index] == [
+        (r["doc_id"], r["score"]) for r in via_scan
+    ]
+    assert len(via_index) > 0
+
+
+def test_dictionary_invariants(docs, index):
+    post, _ = index
+    d = PO.term_dictionary(post)
+    # df <= cf (a doc contributes >= 1 occurrence), max_tf <= cf
+    assert d.filter((F.col("df") > F.col("cf")) | (F.col("max_tf") > F.col("cf"))).count() == 0
+    # df of a term == distinct docs containing it, cross-checked from raw text
+    row = d.filter(F.col("word") == "customer").first()
+    expected = docs.filter(F.col("text").rlike("(?i)customer")).count()
+    # rlike over raw text can over-count (substring inside a longer token);
+    # exact check via the tokenizer itself
+    from webcrawler_spark.operators.textstats import tokens
+
+    exact = docs.filter(F.array_contains(tokens(F.col("text")), "customer")).count()
+    assert row is not None and row["df"] == exact and exact <= expected
+
+
+def test_postings_rows_are_per_term_doc(docs, index):
+    post, _ = index
+    assert post.groupBy("word", "doc_id").count().filter("count > 1").count() == 0
+    # bucket is total: every row lands in [0, 16)
+    assert post.filter((F.col("bucket") < 0) | (F.col("bucket") >= 16)).count() == 0
+
+
+def test_persisted_index_plan_prunes_and_skips_text(spark, index, tmp_path):
+    """The 100 TB claim: query-time reads touch only the postings table,
+    pruned to the query terms' buckets — never the documents text."""
+    post, dl = index
+    pdir, ldir = str(tmp_path / "post"), str(tmp_path / "dl")
+    post.write.partitionBy("bucket").parquet(pdir)
+    dl.write.parquet(ldir)
+    q = PO.postings_bm25(
+        spark.read.parquet(pdir), spark.read.parquet(ldir), QT, k=20, n_buckets=16
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan  # no raw-text scan anywhere in the plan
+    # constant-folded bucket predicate reaches the partition filters
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "bucket" in pf
+    # and the scan output matches the fixture-built index's answer
+    fresh = [(r["doc_id"], r["score"]) for r in q.collect()]
+    base = [(r["doc_id"], r["score"]) for r in PO.postings_bm25(post, dl, QT, k=20).collect()]
+    assert fresh == base

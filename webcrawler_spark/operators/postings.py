@@ -1,0 +1,125 @@
+"""Materialized inverted index: the Elasticsearch-analog postings table.
+
+The reference indexes every parsed page into Elasticsearch
+(services/parser/app.py bulk-index -> services/search-api/app.py queries);
+ES's internal structure is an inverted index (term dictionary + postings
+lists). The search operators in `operators/search.py` re-tokenize the
+corpus per query — correct, and fine when each query is a one-off batch
+job, but at 100 TB the scan dominates: every search pays the full
+explode + agg over the text column.
+
+This module is the materialize-once scale path: build the postings table
+`(word, doc_id, tf)` and the doc-length table once per ingest epoch
+(exactly when ES would bulk-index), persist both bucketed by word hash,
+and answer queries with a term-slice join — each query touches only the
+postings rows of its query terms (a partition-pruned read when the table
+is written bucketed/partitioned by `bucket`), never the raw text.
+
+100 TB shape: one explode + map-side partial hash-agg builds the postings
+(same shape as keywords_global, the plan the epoch job already runs); the
+dictionary is a second hash-agg over the postings, tiny relative to the
+corpus. Query time: the per-term dictionary rows (|query| rows) broadcast,
+the postings are filtered to the query's word set BEFORE any shuffle
+(predicate pushdown to the bucketed scan), and the per-doc score agg
+shuffles only matching (doc, term) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(word, doc_id, tf, bucket): one postings row per distinct (term, doc).
+
+    `bucket` = pmod(xxhash64(word), n_buckets) is the partition key for the
+    persisted table — queries prune to their terms' buckets. Mirrors ES's
+    shard-internal term partitioning (SURVEY S12-S13)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    )
+    return (
+        toks.groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int"))
+    )
+
+
+def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, dl): token count per doc — BM25's length normalizer.
+    Persisted alongside the postings at index-build time."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("dl"),
+    )
+
+
+def term_dictionary(postings: DataFrame) -> DataFrame:
+    """ES term dictionary: per-term document frequency (df), collection
+    frequency (cf = total occurrences), and the hottest single-doc tf.
+    One hash-agg over the postings; at 100 TB this is the small table the
+    query planner broadcasts for idf."""
+    return postings.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+    )
+
+
+def postings_bm25(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_tokens: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-k answered FROM the materialized index — byte-identical
+    scores to `search.search_bm25` on the same corpus (pinned by
+    tests/test_postings.py parity), but the plan never touches the text
+    column: filter postings to the query terms (pushed to the scan),
+    broadcast the |query|-row df/stats sides, one per-doc agg.
+
+    Pass `n_buckets` (the value used at build_postings time) when `postings`
+    is the PERSISTED table partitioned by `bucket`: the query then also
+    filters on the terms' bucket ids — xxhash64 of literals constant-folds,
+    so the predicate lands on the partition column and the scan prunes to
+    |query| of n_buckets partitions."""
+    stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qpost = postings
+    if n_buckets is not None:
+        cond = None
+        for t in query_tokens:
+            eq = F.col("bucket") == F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).cast("int")
+            cond = eq if cond is None else (cond | eq)
+        qpost = qpost.filter(cond)
+    qpost = qpost.filter(F.col("word").isin(*query_tokens)).select("word", "doc_id", "tf")
+    dfreq = qpost.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qpost.join(F.broadcast(dfreq), "word")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

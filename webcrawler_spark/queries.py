@@ -1880,6 +1880,55 @@ SELECT doc_id, score FROM (
 """
 
 
+# Materialized inverted index (ES postings analog, operators/postings.py):
+# term dictionary stats + BM25 answered from the index instead of the text
+
+
+def q_postings_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    post = PO.build_postings(docs, "text", "doc_id")
+    return (
+        PO.term_dictionary(post)
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(20)
+        .select("word", "df", "cf", "max_tf")
+    )
+
+
+SQL_postings_dictionary = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                    w -> w != '')) AS word
+  FROM documents
+),
+post AS (SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM post GROUP BY word
+ORDER BY df DESC, word ASC LIMIT 20
+"""
+
+
+def q_postings_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same answer as search_bm25 (parity pinned in tests/test_postings.py),
+    # different physical path: scores come from the materialized postings +
+    # doc-length tables; the text column is read once at index build, never
+    # at query time.
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    post = PO.build_postings(docs, "text", "doc_id")
+    dl = PO.doc_lengths(docs, "text", "doc_id")
+    return PO.postings_bm25(post, dl, _QUERY_TOKENS, k=20).select("doc_id", "score")
+
+
+SQL_postings_bm25 = SQL_search_bm25
+
+
 # W5: stable pagination (page 2 of docs by n_chars desc)
 
 
@@ -4880,6 +4929,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "keywords_per_doc": q_keywords_per_doc,
     "search_score": q_search_score,
     "search_bm25": q_search_bm25,
+    "postings_dictionary": q_postings_dictionary,
+    "postings_bm25": q_postings_bm25,
     "search_fuzzy": q_search_fuzzy,
     "search_filter_range": q_search_filter_range,
     "suggest_prefix": q_suggest_prefix,
@@ -5005,6 +5056,8 @@ ORACLE_SQL: dict[str, str] = {
     "keywords_per_doc": SQL_keywords_per_doc,
     "search_score": SQL_search_score,
     "search_bm25": SQL_search_bm25,
+    "postings_dictionary": SQL_postings_dictionary,
+    "postings_bm25": SQL_postings_bm25,
     "search_fuzzy": SQL_search_fuzzy,
     "search_filter_range": SQL_search_filter_range,
     "suggest_prefix": SQL_suggest_prefix,
