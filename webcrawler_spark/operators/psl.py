@@ -1,0 +1,111 @@
+"""Registrable-domain extraction — the publicsuffix.org list algorithm.
+
+The reference groups politeness and dedup state by raw host
+(services/url-frontier/app.py per-domain queues); at web scale that
+conflates `a.blogspot.com` with `b.blogspot.com` (thousands of independent
+sites on one "host family") and splits `www.example.co.uk` from
+`example.co.uk`. Production crawlers key politeness, mirror detection, and
+per-site budgets on the REGISTRABLE domain (public suffix + 1 label),
+computed against the Public Suffix List.
+
+Algorithm (publicsuffix.org/list/, verbatim semantics):
+  1. every rule whose labels are a suffix of the host's labels matches;
+     a wildcard rule `*.base` matches hosts ending in `base` with at
+     least one extra label and counts as len(base)+1 labels;
+  2. an exception rule `!rule` prevails over everything and its public
+     suffix is the rule minus its leftmost label;
+  3. otherwise the prevailing rule is the longest match; no match => the
+     public suffix is the last label alone;
+  4. registrable domain = public suffix + one more label (NULL when the
+     host IS a public suffix).
+
+100 TB shape: the full PSL is ~9k rules — a classic broadcast dimension.
+Hosts explode into at most `max_labels` suffix candidates (bounded fan-out,
+no skew: candidates distribute exactly like hosts), broadcast-join the rule
+dim, one per-host agg picks the prevailing rule. All native codegen — no
+Python in the path. The snapshot below is a deliberately small test PSL
+covering all three rule kinds; swap in the real list as the same
+three-column dim at deploy time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (rule, kind) — kind: normal | wildcard (`*.rule` in PSL syntax) |
+# exception (`!rule`). A tiny but semantically complete snapshot.
+PSL_SNAPSHOT: list[tuple[str, str]] = [
+    ("com", "normal"),
+    ("org", "normal"),
+    ("net", "normal"),
+    ("io", "normal"),
+    ("dev", "normal"),
+    ("uk", "normal"),
+    ("co.uk", "normal"),
+    ("org.uk", "normal"),
+    ("au", "normal"),
+    ("com.au", "normal"),
+    ("jp", "normal"),
+    ("co.jp", "normal"),
+    ("de", "normal"),
+    ("fr", "normal"),
+    ("github.io", "normal"),
+    ("blogspot.com", "normal"),
+    ("ck", "wildcard"),       # *.ck — every 2-label .ck domain is a suffix…
+    ("www.ck", "exception"),  # !www.ck — …except www.ck itself
+]
+
+MAX_RULE_LABELS = 5  # longest real PSL rules are 4-5 labels
+
+
+def rules_dim(spark: SparkSession, rules: list[tuple[str, str]] | None = None) -> DataFrame:
+    """(rule, kind, k) broadcast dimension; k = label count of the rule."""
+    rules = PSL_SNAPSHOT if rules is None else rules
+    df = spark.createDataFrame(rules, "rule string, kind string")
+    return df.withColumn("k", F.size(F.split(F.col("rule"), "\\.")))
+
+
+def registrable_domain(
+    hosts: DataFrame, dim: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Adds `registrable` (nullable string) to `hosts`.
+
+    Explode each host into its last-1..MAX_RULE_LABELS label suffixes,
+    broadcast-join the rule dim on exact suffix equality, fold matches per
+    host with rules 1-3 above, left-join back (rule 3's no-match default
+    and rule 4's NULL handled natively)."""
+    h = hosts.withColumn("_labels", F.split(F.lower(F.col(host_col)), "\\."))
+    h = h.withColumn("_n", F.size(F.col("_labels")))
+    cand = h.select(
+        host_col,
+        "_labels",
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.least(F.col("_n"), F.lit(MAX_RULE_LABELS)))).alias(
+            "_k"
+        ),
+    ).withColumn("_suffix", F.array_join(F.slice("_labels", -F.col("_k"), F.col("_k")), "."))
+    m = cand.join(F.broadcast(dim), cand["_suffix"] == dim["rule"], "inner")
+    # effective public-suffix length of each matching rule
+    eff = F.when(F.col("kind") == "exception", F.col("k") - 1).when(
+        (F.col("kind") == "wildcard") & (F.col("_n") >= F.col("k") + 1), F.col("k") + 1
+    ).when(F.col("kind") == "normal", F.col("k"))
+    m = m.withColumn("_eff", eff).filter(F.col("_eff").isNotNull())
+    per_host = m.groupBy(host_col).agg(
+        F.max(F.when(F.col("kind") == "exception", F.col("_eff"))).alias("_exc"),
+        F.max(F.when(F.col("kind") != "exception", F.col("_eff"))).alias("_best"),
+    )
+    out = (
+        h.join(per_host, host_col, "left")
+        .withColumn("_ps_len", F.coalesce(F.col("_exc"), F.col("_best"), F.lit(1)))
+        .withColumn(
+            "registrable",
+            F.when(
+                F.col("_n") > F.col("_ps_len"),
+                F.array_join(
+                    F.slice("_labels", -(F.col("_ps_len") + 1), F.col("_ps_len") + 1), "."
+                ),
+            ),
+        )
+    )
+    return out.drop("_labels", "_n", "_exc", "_best", "_ps_len")

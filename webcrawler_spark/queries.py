@@ -3638,6 +3638,111 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
 # picks one registrable host's whole subtree via a single key prefix.
 
 
+# Registrable-domain extraction (operators/psl.py): publicsuffix.org
+# algorithm (normal + wildcard + exception rules) over synthetic hosts with
+# multi-label suffixes; politeness/mirror state keys on registrable domain,
+# not raw host, at web scale.
+
+
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import psl as PS
+
+    orders = _t(spark, sf_dir, "orders")
+    host = (
+        F.when(F.col("o_orderkey") % 6 == 0,
+               F.concat(F.lit("shop"), (F.col("o_custkey") % 10).cast("string"),
+                        F.lit(".example.co.uk")))
+        .when(F.col("o_orderkey") % 6 == 1,
+              F.concat(F.lit("user"), (F.col("o_custkey") % 10).cast("string"),
+                       F.lit(".github.io")))
+        .when(F.col("o_orderkey") % 6 == 2,
+              F.concat(F.lit("www.site"), (F.col("o_custkey") % 10).cast("string"),
+                       F.lit(".com")))
+        .when(F.col("o_orderkey") % 6 == 3,
+              F.concat(F.lit("a.b.site"), (F.col("o_custkey") % 10).cast("string"),
+                       F.lit(".com")))
+        .when(F.col("o_orderkey") % 6 == 4,
+              F.concat(F.lit("x"), (F.col("o_custkey") % 5).cast("string"),
+                       F.lit(".www.ck")))
+        .otherwise(
+              F.concat(F.lit("y"), (F.col("o_custkey") % 5).cast("string"),
+                       F.lit(".foo.ck")))
+    )
+    hosts = orders.select(host.alias("host"))
+    reg = PS.registrable_domain(hosts, PS.rules_dim(spark), "host")
+    return (
+        reg.groupBy("registrable")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.countDistinct("host").alias("n_hosts"))
+        .orderBy(F.desc("n_rows"), F.asc("registrable"))
+        .limit(20)
+    )
+
+
+SQL_registrable_domains = """
+WITH h AS (
+  SELECT CASE
+           WHEN o_orderkey % 6 = 0 THEN 'shop' || CAST(o_custkey % 10 AS VARCHAR) || '.example.co.uk'
+           WHEN o_orderkey % 6 = 1 THEN 'user' || CAST(o_custkey % 10 AS VARCHAR) || '.github.io'
+           WHEN o_orderkey % 6 = 2 THEN 'www.site' || CAST(o_custkey % 10 AS VARCHAR) || '.com'
+           WHEN o_orderkey % 6 = 3 THEN 'a.b.site' || CAST(o_custkey % 10 AS VARCHAR) || '.com'
+           WHEN o_orderkey % 6 = 4 THEN 'x' || CAST(o_custkey % 5 AS VARCHAR) || '.www.ck'
+           ELSE 'y' || CAST(o_custkey % 5 AS VARCHAR) || '.foo.ck'
+         END AS host
+  FROM orders
+),
+rules(rule, kind) AS (VALUES
+  ('com','normal'), ('org','normal'), ('net','normal'), ('io','normal'),
+  ('dev','normal'), ('uk','normal'), ('co.uk','normal'), ('org.uk','normal'),
+  ('au','normal'), ('com.au','normal'), ('jp','normal'), ('co.jp','normal'),
+  ('de','normal'), ('fr','normal'), ('github.io','normal'),
+  ('blogspot.com','normal'), ('ck','wildcard'), ('www.ck','exception')
+),
+lab AS (
+  SELECT host, string_split(lower(host), '.') AS labels,
+         len(string_split(lower(host), '.')) AS n
+  FROM h
+),
+cand AS (
+  SELECT host, labels, n, unnest(generate_series(1, least(n, 5))) AS k
+  FROM lab
+),
+m AS (
+  SELECT c.host, c.n,
+         CASE WHEN r.kind = 'exception' THEN len(string_split(r.rule, '.')) - 1
+              WHEN r.kind = 'wildcard'
+                   AND c.n >= len(string_split(r.rule, '.')) + 1
+                   THEN len(string_split(r.rule, '.')) + 1
+              WHEN r.kind = 'normal' THEN len(string_split(r.rule, '.'))
+         END AS eff,
+         r.kind AS kind
+  FROM cand c JOIN rules r
+    ON array_to_string(list_slice(c.labels, c.n - c.k + 1, c.n), '.') = r.rule
+),
+per_host AS (
+  SELECT host,
+         max(CASE WHEN kind = 'exception' THEN eff END) AS exc,
+         max(CASE WHEN kind != 'exception' THEN eff END) AS best
+  FROM m WHERE eff IS NOT NULL GROUP BY host
+),
+reg AS (
+  SELECT lab.host,
+         CASE WHEN lab.n > coalesce(p.exc, p.best, 1)
+              THEN array_to_string(
+                     list_slice(lab.labels,
+                                lab.n - coalesce(p.exc, p.best, 1),
+                                lab.n), '.')
+         END AS registrable
+  FROM lab LEFT JOIN per_host p ON lab.host = p.host
+)
+SELECT registrable,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+FROM reg GROUP BY registrable
+ORDER BY n_rows DESC, registrable ASC LIMIT 20
+"""
+
+
 def q_surt_prefix_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import columns as C
 
@@ -4965,6 +5070,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
+    "registrable_domains": q_registrable_domains,
     "mirror_hosts": q_mirror_hosts,
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
@@ -5092,6 +5198,7 @@ ORACLE_SQL: dict[str, str] = {
     "pagerank": SQL_pagerank,
     "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
+    "registrable_domains": SQL_registrable_domains,
     "mirror_hosts": SQL_mirror_hosts,
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
