@@ -173,3 +173,53 @@ def test_resolve_redirects_chains_and_loops(spark):
     for bad in ["c0", "c1", "self", "x", "y"]:  # 7 and 6 hops, loops
         r = out[bad]
         assert not r["resolved"] and r["final_url"] is None and r["hops"] is None
+
+
+def _numpy_trustrank(edges, seeds, n_iter, d):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    seeds = [v for v in seeds if v in idx]
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    t = np.zeros(len(nodes))
+    for v in seeds:
+        t[idx[v]] = 1.0 / len(seeds)
+    r = t.copy()
+    for _ in range(n_iter):
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        nxt = (1.0 - d) * t + d * dangling * t
+        for u, vs in out.items():
+            share = r[idx[u]] / len(vs)
+            for v in vs:
+                nxt[idx[v]] += d * share
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_trustrank_matches_power_iteration(spark, diamond_edges):
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])  # 99 not in graph
+    got = {
+        r["node"]: r["rank"]
+        for r in G.trustrank(diamond_edges, seeds, n_iter=4, damping=0.85).collect()
+    }
+    want = _numpy_trustrank(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (5, 1)], [1, 99], n_iter=4, d=0.85
+    )
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12, abs=1e-15), v
+    # the spam-demotion property: 5 reaches the graph only AS a source
+    # (nothing links to it) and is not seeded -> zero trust; everything
+    # downstream of seed 1 is trusted
+    assert got[5] == 0.0
+    assert got[2] > 0 and got[3] > 0 and got[4] > 0
+    # mass conserved: dangling mass teleports back into the seed vector
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_trustrank_no_seeds_in_graph(spark, diamond_edges):
+    seeds = spark.createDataFrame([(42,)], ["node"])
+    got = G.trustrank(diamond_edges, seeds, n_iter=2)
+    assert got.columns == ["node", "rank"]
+    assert got.filter(F.col("rank") != 0.0).count() == 0

@@ -104,6 +104,93 @@ def pagerank(
     return ranks
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport vector restricted to a trusted seed set — trust flows
+    out from vetted hosts along links, spam neighborhoods (reachable only
+    through untrusted paths) score ~0. The crawl-frontier use: demote or
+    drop hosts below a trust floor from the politeness budget, the
+    link-graph complement to `operators/traps.py`'s URL-shape signals.
+
+    `seeds` is a (node) DataFrame; seeds outside the graph are ignored.
+    r0 = t, and each round r = (1-d)·t + d·(inflow + dangling_mass·t)
+    where t(node) = 1/|seeds ∩ graph| on seeds, 0 elsewhere — dangling
+    mass teleports by t, so total trust mass stays 1. Same 1000-executor
+    shape as :func:`pagerank`: per-round one edges⋈ranks shuffle on the
+    node key + map-side-partial agg; the dangling mass is the only driver
+    scalar; localCheckpoint keeps lineage O(1)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct().join(
+        nodes, "node"
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+        seed_nodes = seed_nodes.localCheckpoint(eager=True)
+    s = seed_nodes.count()
+    if s == 0:
+        # no trusted seed survives in the graph — nothing to propagate
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
+    nodes_t = nodes.join(
+        F.broadcast(seed_nodes.withColumn("_seed", F.lit(True))), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0)).alias("t"),
+    )
+    if checkpoint:
+        nodes_t = nodes_t.localCheckpoint(eager=True)
+    deg = out_degrees(e)
+    ranks = nodes_t.select("node", "t", F.col("t").alias("rank"))
+    for _ in range(n_iter):
+        with_deg = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
+            "node", "rank", "outdeg"
+        )
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(with_deg.filter(F.col("outdeg").isNotNull()),
+                   e["src"] == F.col("node"))
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes_t.join(contribs, "node", "left")
+            .select(
+                "node",
+                "t",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                       + F.lit(dangling) * F.col("t"))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
 def host_rank(
     links: DataFrame,
     n_iter: int = 5,

@@ -1624,6 +1624,83 @@ SELECT node, round(rank * 1000.0, 6) AS rank_permille FROM r3
 """
 
 
+# TrustRank (graph.trustrank, Gyöngyi et al. 2004): seeded-teleport PageRank
+# over the same bipartite graph — trust flows out of the seed customers
+# (src % 20 = 0); suppliers reachable only from unseeded customers score 0.
+# 3 iterations unrolled in the oracle, dangling mass teleports by the seed
+# vector t.
+
+
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    seeds = edges.filter(F.col("src") % 20 == 0).select(F.col("src").alias("node"))
+    out = G.trustrank(edges, seeds, n_iter=3, damping=0.85)
+    return out.select("node", F.round(F.col("rank") * 1000.0, 6).alias("trust_permille"))
+
+
+SQL_trustrank = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 20 = 0),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+tv AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0/(SELECT ns FROM s)
+              ELSE 0.0 END AS t
+  FROM nodes LEFT JOIN seeds USING (node)
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, t, t AS rank FROM tv),
+d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r1 AS (
+  SELECT tv.node, tv.t,
+         (1.0 - 0.85) * tv.t + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d0) * tv.t) AS rank
+  FROM tv LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r0 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r2 AS (
+  SELECT tv.node, tv.t,
+         (1.0 - 0.85) * tv.t + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d1) * tv.t) AS rank
+  FROM tv LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r1 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r3 AS (
+  SELECT tv.node,
+         (1.0 - 0.85) * tv.t + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d2) * tv.t) AS rank
+  FROM tv LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r2 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+)
+SELECT node, round(rank * 1000.0, 6) AS trust_permille FROM r3
+"""
+
+
 # HITS hubs & authorities (operators/graph.hits): 2 iterations unrolled in
 # the DuckDB oracle over the same customer->supplier bipartite graph as
 # `pagerank`; L2-normalized per half-step, scores scaled x1000 and rounded.
@@ -5068,6 +5145,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality": q_gopher_quality,
     "resolve_redirects": q_resolve_redirects,
     "pagerank": q_pagerank,
+    "trustrank": q_trustrank,
     "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
     "registrable_domains": q_registrable_domains,
@@ -5196,6 +5274,7 @@ ORACLE_SQL: dict[str, str] = {
     "gopher_quality": _sql_gopher_quality(),
     "resolve_redirects": SQL_resolve_redirects,
     "pagerank": SQL_pagerank,
+    "trustrank": SQL_trustrank,
     "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
     "registrable_domains": SQL_registrable_domains,
