@@ -6,7 +6,12 @@ conflates `a.blogspot.com` with `b.blogspot.com` (thousands of independent
 sites on one "host family") and splits `www.example.co.uk` from
 `example.co.uk`. Production crawlers key politeness, mirror detection, and
 per-site budgets on the REGISTRABLE domain (public suffix + 1 label),
-computed against the Public Suffix List.
+computed against the Public Suffix List. The reference itself leans on
+this exact notion: its internal/external link classification is
+`tldextract.extract(url).registered_domain` (services/parser/app.py:168-175)
+— `functions/urlnorm.registered_domain` is the documented two/three-label
+heuristic stand-in for row-at-a-time parity; this module is the full PSL
+algorithm as a distributed plan.
 
 Algorithm (publicsuffix.org/list/, verbatim semantics):
   1. every rule whose labels are a suffix of the host's labels matches;

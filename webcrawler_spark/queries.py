@@ -3931,6 +3931,135 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# Sitemap XML parsing (sources/sitemap.py): sitemapindex fan-out resolved by
+# one equi-join, urlset leaves parsed natively (regexp element split, no XML
+# lib / no UDF); per-leaf URL counts + priority stats. The fixture builds 10
+# per-host urlset leaves (deterministically ordered string_agg) plus one
+# index referencing them all.
+
+
+def q_sitemap_urlset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import sitemap as SM
+
+    orders = _t(spark, sf_dir, "orders")
+    host = (F.col("o_custkey") % 10).cast("string")
+    entry = F.concat(
+        F.lit("<url><loc>https://host"), host, F.lit(".example.com/item/"),
+        F.col("o_orderkey").cast("string"), F.lit("</loc>"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("<priority>0."), (F.col("o_orderkey") % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    leaves = (
+        orders.select(host.alias("h"), F.col("o_orderkey").alias("k"), entry.alias("e"))
+        .groupBy("h")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("e")))),
+                    lambda s: s["e"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("https://host"), F.col("h"),
+                     F.lit(".example.com/sitemap.xml")).alias("sitemap_url"),
+            F.concat(F.lit('<?xml version="1.0"?><urlset>'), F.col("body"),
+                     F.lit("</urlset>")).alias("xml"),
+        )
+    )
+    index = leaves.agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat(F.lit("<sitemap><loc>"), F.col("sitemap_url"),
+                             F.lit("</loc></sitemap>"))
+                )
+            ),
+            "",
+        ).alias("body")
+    ).select(
+        F.lit("https://root.example.com/sitemap_index.xml").alias("sitemap_url"),
+        F.concat(F.lit("<sitemapindex>"), F.col("body"),
+                 F.lit("</sitemapindex>")).alias("xml"),
+    )
+    fetched = leaves.union(index)
+    resolved = SM.expand_index(fetched).filter(~F.col("unresolved_index"))
+    parsed = SM.parse_urlset(resolved)
+    return (
+        parsed.groupBy("sitemap_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum(F.when(F.col("priority") == 0.5, 1).otherwise(0)).alias("n_default_prio"),
+            F.round(F.avg("priority"), 6).alias("avg_priority"),
+        )
+        .orderBy("sitemap_url")
+    )
+
+
+SQL_sitemap_urlset = """
+WITH leaves AS (
+  SELECT 'https://host' || CAST(o_custkey % 10 AS VARCHAR) || '.example.com/sitemap.xml' AS sitemap_url,
+         '<?xml version="1.0"?><urlset>' ||
+         string_agg(
+           '<url><loc>https://host' || CAST(o_custkey % 10 AS VARCHAR) ||
+           '.example.com/item/' || CAST(o_orderkey AS VARCHAR) || '</loc>' ||
+           CASE WHEN o_orderkey % 3 = 0
+                THEN '<priority>0.' || CAST(o_orderkey % 10 AS VARCHAR) || '</priority>'
+                ELSE '' END || '</url>',
+           '' ORDER BY o_orderkey) ||
+         '</urlset>' AS xml
+  FROM orders GROUP BY o_custkey % 10
+),
+idx AS (
+  SELECT 'https://root.example.com/sitemap_index.xml' AS sitemap_url,
+         '<sitemapindex>' ||
+         string_agg('<sitemap><loc>' || sitemap_url || '</loc></sitemap>',
+                    '' ORDER BY sitemap_url) ||
+         '</sitemapindex>' AS xml
+  FROM leaves
+),
+fetched AS (SELECT * FROM leaves UNION ALL SELECT * FROM idx),
+children AS (
+  SELECT unnest(regexp_extract_all(xml, '(?s)<sitemap\\s*>(.*?)</sitemap\\s*>', 1)) AS e
+  FROM fetched WHERE xml LIKE '%<sitemapindex%'
+),
+child_locs AS (
+  SELECT regexp_extract(e, '(?s)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1) AS child_loc
+  FROM children
+),
+resolved AS (
+  SELECT DISTINCT f.sitemap_url, f.xml
+  FROM fetched f
+  WHERE f.xml NOT LIKE '%<sitemapindex%'
+     OR f.sitemap_url IN (SELECT child_loc FROM child_locs)
+),
+entries AS (
+  SELECT sitemap_url,
+         unnest(regexp_extract_all(xml, '(?s)<url\\s*>(.*?)</url\\s*>', 1)) AS e
+  FROM resolved WHERE xml NOT LIKE '%<sitemapindex%'
+),
+parsed AS (
+  SELECT sitemap_url,
+         regexp_extract(e, '(?s)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1) AS loc,
+         coalesce(CASE WHEN regexp_extract(e, '(?s)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1) != ''
+                       THEN CAST(regexp_extract(e, '(?s)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1) AS DOUBLE)
+                  END, 0.5) AS priority
+  FROM entries
+)
+SELECT sitemap_url,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(CASE WHEN priority = 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_default_prio,
+       round(avg(priority), 6) AS avg_priority
+FROM parsed WHERE loc != ''
+GROUP BY sitemap_url ORDER BY sitemap_url
+"""
+
+
 def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.robots import robots_table, sitemap_seeds
 
@@ -5152,6 +5281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mirror_hosts": q_mirror_hosts,
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
+    "sitemap_urlset": q_sitemap_urlset,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
@@ -5281,6 +5411,7 @@ ORACLE_SQL: dict[str, str] = {
     "mirror_hosts": SQL_mirror_hosts,
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
+    "sitemap_urlset": SQL_sitemap_urlset,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
