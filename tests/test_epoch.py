@@ -481,6 +481,7 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         use_host_rank=True,
         scrub_pii=True,
         compact_every=2,
+        respect_meta_robots=True,
     )
 
     def run(tag):
@@ -499,3 +500,64 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
     assert sum(c["urls_scheduled"] for c in c1) > 0
     assert all(c["urls_scheduled"] <= 50 for c in c1)  # global budget binds
     assert sum(c["pages_fetched"] for c in c1) > 0
+
+
+def test_respect_meta_robots_gates_index_and_links(spark, tmp_path_factory):
+    """cfg.respect_meta_robots: noindex pages fetch but never reach
+    web_content; nofollow pages index but contribute no discovered links;
+    content="none" does both. Off (default) = reference parity: every page
+    indexes and every link discovers."""
+    from webcrawler_spark.functions.htmllib import extract_text
+
+    def page(path, meta, link):
+        body = f'<a href="http://mr.test/{link}">next</a><p>{f"unique words for page {path} " * 40}</p>'
+        html = f'<html><head><title>{path}</title>{meta}</head><body>{body}</body></html>'
+        return (f"http://mr.test/{path}", None, html.encode(), extract_text(html), "en")
+
+    pages = spark.createDataFrame(
+        [
+            page("a", "", "from-a"),
+            page("b", '<meta name="robots" content="nofollow">', "from-b"),
+            page("c", '<meta name="robots" content="noindex">', "from-c"),
+            page("d", '<meta name="robots" content="none">', "from-d"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [(f"http://mr.test/{p}", 10, 0) for p in "abcd"],
+        "url string, priority int, depth int",
+    )
+    robots = spark.createDataFrame(
+        [("mr.test", [], [], 1.0)],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
+    )
+
+    out = {}
+    for flag in (False, True):
+        root = tmp_path_factory.mktemp(f"mr_{flag}")
+        cat = Catalog(spark, str(root))
+        E.run_epochs(
+            spark, cat, pages, seeds, robots, 1,
+            CrawlConfig(epoch_seconds=60, respect_meta_robots=flag),
+        )
+        indexed = {
+            r["url_norm"] for r in cat.read_delta_union("web_content", 0).collect()
+        }
+        links = cat.read_delta_union("links", 0)
+        targets = {r["target_url"] for r in links.collect()} if links is not None else set()
+        out[flag] = (indexed, targets)
+
+    def paths(urls):
+        return {u.rsplit("/", 1)[-1] for u in urls}
+
+    idx_off, tgt_off = out[False]
+    idx_on, tgt_on = out[True]
+    assert paths(idx_off) == set("abcd")
+    assert {f"from-{p}" for p in "abcd"} <= paths(tgt_off)
+    # flag on: noindex (c) and none (d) drop from the index; nofollow (b)
+    # and none (d) contribute no links
+    assert paths(idx_on) == {"a", "b"}
+    assert {"from-a", "from-c"} <= paths(tgt_on)
+    assert "from-b" not in paths(tgt_on)
+    assert "from-d" not in paths(tgt_on)

@@ -973,3 +973,29 @@ def test_canonical_groups(spark):
     # declared target x was never crawled: smallest member (d) represents
     assert out["d"]["canonical_url"] == "x" and out["d"]["rep_url"] == "d" and out["d"]["is_rep"]
     assert out["e"]["rep_url"] == "e" and out["e"]["is_rep"]  # singleton
+
+
+def test_meta_robots_flags_variants(spark):
+    """<meta name=robots> parsing: quote styles, attribute order, case,
+    whitespace, multi-tag restrictive combining, and non-robots decoys."""
+    from webcrawler_spark.functions import columns as C
+
+    cases = [
+        ('<meta name="robots" content="noindex">', True, False),
+        ("<meta name='robots' content='nofollow'>", False, True),
+        ('<meta name=robots content="NONE">', True, True),
+        ('<meta content=" NOINDEX , NOFOLLOW " name="robots">', True, True),
+        ('<meta name="robots" content="index, follow">', False, False),
+        ('<meta name="robots" content="noindex"><meta name="robots" content="nofollow">', True, True),
+        ('<meta name="description" content="noindex nofollow">', False, False),
+        ("no meta at all", False, False),
+    ]
+    df = spark.createDataFrame(
+        [(f"<html><head>{h}</head></html>",) for h, _, _ in cases], "html string"
+    )
+    rows = df.select(
+        C.meta_robots_noindex(F.col("html")).alias("ni"),
+        C.meta_robots_nofollow(F.col("html")).alias("nf"),
+    ).collect()
+    for (h, ni, nf), r in zip(cases, rows):
+        assert (r["ni"], r["nf"]) == (ni, nf), h

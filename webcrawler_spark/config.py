@@ -49,6 +49,13 @@ class CrawlConfig:
     # dedup decisions are identical with scrubbing on or off.
     scrub_pii: bool = False
 
+    # page-level Robots Exclusion Protocol (<meta name="robots">): noindex
+    # pages are fetched but not indexed into web_content, nofollow pages
+    # contribute no discovered links (none = both). Off = reference parity
+    # (the reference honors robots.txt only; its parser keeps rel metadata
+    # but never gates on it, services/parser/app.py:142).
+    respect_meta_robots: bool = False
+
     # global per-epoch fetch budget (fleet capacity) applied AFTER the
     # per-host politeness schedule: the top `global_budget` schedule rows by
     # (priority [+ host-rank boost] desc, url_norm asc) are kept — exact

@@ -321,3 +321,48 @@ def url_quality_gate(
     host = surt_host(url)
     hard = host.isin(*hard_hosts) if hard_hosts else F.lit(False)
     return ~hard & (url_block_score(url, soft_words) < F.lit(float(threshold)))
+
+
+# --- robots META tag (REP page-level layer; robotstxt.org/meta) -------------
+# The reference parses robots.txt only; the <meta name="robots"> layer is the
+# per-page half of the Robots Exclusion Protocol: noindex = do not index the
+# page, nofollow = do not follow its links, none = both. Multiple tags (and
+# attribute order variants) combine restrictively per Google/REP docs.
+
+_MR_NAME_FIRST = (
+    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']?\s*robots\s*["']?[^>]*"""
+    r"""\bcontent\s*=\s*["']([^"'>]*)"""
+)
+_MR_CONTENT_FIRST = (
+    r"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']([^"'>]*)["'][^>]*"""
+    r"""\bname\s*=\s*["']?\s*robots\s*["']?"""
+)
+
+
+def _meta_robots_tokens(html: Column) -> Column:
+    """Lowercased, whitespace-stripped directive tokens from EVERY robots
+    meta tag in the document (both attribute orders)."""
+    contents = F.concat(
+        F.regexp_extract_all(html, F.lit(_MR_NAME_FIRST), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_MR_CONTENT_FIRST), F.lit(1)),
+    )
+    return F.flatten(
+        F.transform(
+            contents,
+            lambda c: F.split(F.regexp_replace(F.lower(c), r"\s+", ""), ","),
+        )
+    )
+
+
+def meta_robots_noindex(html: Column) -> Column:
+    """True when any robots meta tag carries noindex (or none)."""
+    return F.arrays_overlap(
+        _meta_robots_tokens(html), F.array(F.lit("noindex"), F.lit("none"))
+    )
+
+
+def meta_robots_nofollow(html: Column) -> Column:
+    """True when any robots meta tag carries nofollow (or none)."""
+    return F.arrays_overlap(
+        _meta_robots_tokens(html), F.array(F.lit("nofollow"), F.lit("none"))
+    )

@@ -292,8 +292,16 @@ def run_epoch(
             raise AssertionError(f"extract_text != text for {n_bad} rows (byte-identity broken)")
 
     # ---- 5. parse: links (F16/P2-P4/U2) + docs (F7/F11/F14/F15)
+    pages_for_links = ok
+    if cfg.respect_meta_robots:
+        # page-level REP: a nofollow page is indexed (unless also noindex)
+        # but its outlinks never enter discovery — native regexp gate, no
+        # extra shuffle (rides the parse projection)
+        pages_for_links = ok.filter(
+            ~C.meta_robots_nofollow(F.col("html").cast("string"))
+        )
     links_df = L.extract_all_links(
-        ok.select("url_norm", "html", "depth"), epoch
+        pages_for_links.select("url_norm", "html", "depth"), epoch
     ).dropDuplicates(["source_url", "target_url"])
 
     meta = ok.withColumn("_meta", extract_metadata_udf(F.col("html"), F.col("url_norm")))
@@ -319,6 +327,12 @@ def run_epoch(
             "left_anti",
         )
     indexed = fresh_docs.filter(F.col("action") == "indexed")
+    if cfg.respect_meta_robots:
+        # noindex pages are fetched and their links followed (unless also
+        # nofollow) but they never reach the index append
+        indexed = indexed.filter(
+            ~C.meta_robots_noindex(F.col("html").cast("string"))
+        )
     # per-doc top-20 keywords (F16; parser/app.py:426-442 feeding
     # indexer/app.py:268-298, reference truncation [:20]). groupBy
     # (url_norm, word) partial-aggregates map-side, so the extra shuffle is

@@ -3931,6 +3931,73 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# Robots META tag gate (functions/columns.py meta_robots_*): page-level REP
+# directives parsed natively from both attribute orders, multiple tags
+# combined restrictively; wired into the epoch loop via
+# CrawlConfig.respect_meta_robots (noindex -> not indexed, nofollow -> links
+# not followed).
+
+
+def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import columns as C
+
+    orders = _t(spark, sf_dir, "orders")
+    m = F.col("o_orderkey") % 5
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(m == 1, F.lit('<meta content="NOFOLLOW" name="robots">'))
+        .when(m == 2, F.lit('<meta name=robots content="None">'))
+        .when(m == 3, F.lit('<meta name="robots" content="noindex">'
+                            '<meta name="robots" content="nofollow">'))
+        .otherwise(F.lit('<meta name="description" content="nofollow noindex decoy">')),
+        F.lit("</head><body></body></html>"),
+    )
+    flags = orders.select(
+        C.meta_robots_noindex(html).alias("noindex"),
+        C.meta_robots_nofollow(html).alias("nofollow"),
+    )
+    return (
+        flags.groupBy("noindex", "nofollow")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("noindex", "nofollow")
+    )
+
+
+SQL_meta_robots_gate = r"""
+WITH pages AS (
+  SELECT o_orderkey AS k,
+         '<html><head>' ||
+         CASE WHEN o_orderkey % 5 = 0 THEN '<meta name="robots" content="noindex, follow">'
+              WHEN o_orderkey % 5 = 1 THEN '<meta content="NOFOLLOW" name="robots">'
+              WHEN o_orderkey % 5 = 2 THEN '<meta name=robots content="None">'
+              WHEN o_orderkey % 5 = 3 THEN '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'
+              ELSE '<meta name="description" content="nofollow noindex decoy">' END ||
+         '</head><body></body></html>' AS html
+  FROM orders
+),
+toks AS (
+  SELECT k, unnest(flatten(list_transform(
+           regexp_extract_all(html, '(?is)<meta\b[^>]*\bname\s*=\s*["'']?\s*robots\s*["'']?[^>]*\bcontent\s*=\s*["'']([^"''>]*)', 1)
+           || regexp_extract_all(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']([^"''>]*)["''][^>]*\bname\s*=\s*["'']?\s*robots\s*["'']?', 1),
+           c -> string_split(regexp_replace(lower(c), '\s+', '', 'g'), ',')))) AS t
+  FROM pages
+),
+flags AS (
+  SELECT k, bool_or(t IN ('noindex', 'none')) AS noindex,
+            bool_or(t IN ('nofollow', 'none')) AS nofollow
+  FROM toks GROUP BY k
+),
+per_page AS (
+  SELECT coalesce(f.noindex, false) AS noindex,
+         coalesce(f.nofollow, false) AS nofollow
+  FROM pages p LEFT JOIN flags f ON p.k = f.k
+)
+SELECT noindex, nofollow, CAST(count(*) AS BIGINT) AS n
+FROM per_page GROUP BY noindex, nofollow ORDER BY noindex, nofollow
+"""
+
+
 # Sitemap XML parsing (sources/sitemap.py): sitemapindex fan-out resolved by
 # one equi-join, urlset leaves parsed natively (regexp element split, no XML
 # lib / no UDF); per-leaf URL counts + priority stats. The fixture builds 10
@@ -5282,6 +5349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
     "sitemap_urlset": q_sitemap_urlset,
+    "meta_robots_gate": q_meta_robots_gate,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
@@ -5412,6 +5480,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
     "sitemap_urlset": SQL_sitemap_urlset,
+    "meta_robots_gate": SQL_meta_robots_gate,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
