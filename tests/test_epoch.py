@@ -482,6 +482,7 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         scrub_pii=True,
         compact_every=2,
         respect_meta_robots=True,
+        politeness_by_registrable=True,
     )
 
     def run(tag):

@@ -999,3 +999,65 @@ def test_meta_robots_flags_variants(spark):
     ).collect()
     for (h, ni, nf), r in zip(cases, rows):
         assert (r["ni"], r["nf"]) == (ni, nf), h
+
+
+def test_registered_domain_col_parity(spark):
+    """Codegen registered_domain_col byte-matches the Python stand-in
+    (urlnorm.registered_domain) across label counts, SLDs, ports, case."""
+    from webcrawler_spark.functions import columns as C
+    from webcrawler_spark.functions.urlnorm import registered_domain
+
+    hosts = [
+        "example.com", "www.example.com", "a.b.c.example.com", "example",
+        "shop.example.co.uk", "x.co.uk", "co.uk", "a.gov.br", "a.b.com.au",
+        "EXAMPLE.ORG", "Sub.Example.Net:8080", "host7.example.com",
+        "deep.sub.blogspot.com", "localhost", "a.ac.jp", "b.edu.cn",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select("host", C.registered_domain_col(F.col("host")).alias("rd")).collect()
+    }
+    for h in hosts:
+        assert got[h] == registered_domain(h), h
+
+
+def test_scheduler_politeness_by_registrable(spark):
+    """politeness_by_registrable=True: subdomains of one site share a single
+    budget (the most conservative member's); off = per-host budgets."""
+    cfg_off = CrawlConfig(epoch_seconds=3, hot_host_salt=1)
+    cfg_on = CrawlConfig(epoch_seconds=3, hot_host_salt=1, politeness_by_registrable=True)
+    rows = [(f"https://a.site.com/p{i}", "a.site.com", 90 - i, 0, 0) for i in range(5)]
+    rows += [(f"https://b.site.com/p{i}", "b.site.com", 50 - i, 0, 0) for i in range(5)]
+    rows += [(f"https://other.com/p{i}", "other.com", 10, 0, 0) for i in range(2)]
+    pending = _pending_df(spark, rows)
+
+    off, off_def, _ = S.schedule_epoch(pending, None, None, 0, cfg_off)
+    on, on_def, _ = S.schedule_epoch(pending, None, None, 0, cfg_on)
+    # off: 3 per host -> 3+3+2
+    assert off.count() == 8 and off_def.count() == 4
+    # on: site.com shares ONE budget of 3; other.com keeps its own
+    assert on.count() == 5 and on_def.count() == 7
+    site = on.filter(F.col("host").like("%site.com")).orderBy("rank_in_host").collect()
+    # the site's 3 slots go to the top-priority rows ACROSS its subdomains
+    assert [r["url"] for r in site] == [
+        "https://a.site.com/p0", "https://a.site.com/p1", "https://a.site.com/p2",
+    ]
+    assert [r["rank_in_host"] for r in site] == [1, 2, 3]
+    # schedule carries no internal key column
+    assert "_pol_key" not in on.columns and "_pol_key" not in on_def.columns
+
+
+def test_scheduler_politeness_by_registrable_salted_equals_unsalted(spark):
+    cfg_p = CrawlConfig(epoch_seconds=4, hot_host_salt=1, politeness_by_registrable=True)
+    cfg_s = CrawlConfig(epoch_seconds=4, hot_host_salt=4, politeness_by_registrable=True)
+    rows = [
+        (f"https://s{i % 3}.fam.com/p{i:03d}", f"s{i % 3}.fam.com", i % 7, 0, 0)
+        for i in range(60)
+    ]
+    pending = _pending_df(spark, rows)
+    a, ad, _ = S.schedule_epoch(pending, None, None, 0, cfg_p)
+    b, bd, _ = S.schedule_epoch(pending, None, None, 0, cfg_s)
+    ka = sorted((r["rank_in_host"], r["url_norm"]) for r in a.collect())
+    kb = sorted((r["rank_in_host"], r["url_norm"]) for r in b.collect())
+    assert ka == kb and ad.count() == bd.count()

@@ -49,6 +49,13 @@ class CrawlConfig:
     # dedup decisions are identical with scrubbing on or off.
     scrub_pii: bool = False
 
+    # politeness keyed on the registrable domain (site) instead of the raw
+    # host: every subdomain of a *.blogspot.com-style family shares ONE
+    # per-epoch budget — the most conservative member host's. Off =
+    # reference parity (per-domain queues keyed on raw host,
+    # url-frontier/app.py).
+    politeness_by_registrable: bool = False
+
     # page-level Robots Exclusion Protocol (<meta name="robots">): noindex
     # pages are fetched but not indexed into web_content, nofollow pages
     # contribute no discovered links (none = both). Off = reference parity

@@ -366,3 +366,24 @@ def meta_robots_nofollow(html: Column) -> Column:
     return F.arrays_overlap(
         _meta_robots_tokens(html), F.array(F.lit("nofollow"), F.lit("none"))
     )
+
+
+def registered_domain_col(host: Column) -> Column:
+    """Codegen mirror of `urlnorm.registered_domain` (the tldextract
+    stand-in, parser/app.py:168-175): last two labels, or three when the
+    second-level label is a common SLD (co.uk-style). Byte parity with the
+    Python function is pinned in tests. For full publicsuffix.org
+    semantics use `operators/psl.py` (broadcast rule dim)."""
+    h = F.lower(F.split(host, ":").getItem(0))
+    labels = F.split(h, "\\.")
+    n = F.size(labels)
+    sld = F.element_at(labels, -2)
+    tld = F.element_at(labels, -1)
+    three = sld.isin("co", "com", "org", "net", "ac", "gov", "edu") & (
+        F.length(tld) == 2
+    )
+    return F.when(n <= 2, h).otherwise(
+        F.when(three, F.concat_ws(".", F.element_at(labels, -3), sld, tld)).otherwise(
+            F.concat_ws(".", sld, tld)
+        )
+    )

@@ -104,11 +104,27 @@ def schedule_epoch(
         ),
     ).drop("effective_delay")
 
+    # ---- opt-in: politeness keyed on the registrable domain (the SITE) —
+    # *.blogspot.com-style subdomain families share one budget (the most
+    # conservative member host's) instead of each subdomain claiming its
+    # own. Key = the same registered-domain rule the reference's tldextract
+    # internal-link check uses (parser/app.py:168-175), as pure codegen.
+    # The group-min runs BEFORE the salted pre-filter so a host whose rows
+    # all pre-defer still contributes its (possibly binding) budget.
+    pol_key = "host"
+    if cfg.politeness_by_registrable:
+        pol_key = "_pol_key"
+        pending = pending.withColumn(
+            pol_key, C.registered_domain_col(F.col("host"))
+        ).withColumn(
+            "host_budget", F.min("host_budget").over(Window.partitionBy(pol_key))
+        )
+
     # ---- W1: per-host top-k under total ordering, optionally salted (skew)
     salt = salt_factor if salt_factor is not None else cfg.hot_host_salt
     pre_overflow = None
     if salt and salt > 1:
-        pre_w = Window.partitionBy("host", "salt").orderBy(*_ORDER())
+        pre_w = Window.partitionBy(pol_key, "salt").orderBy(*_ORDER())
         salted = pending.withColumn(
             "salt", F.pmod(F.xxhash64("url_norm"), F.lit(salt)).cast("int")
         ).withColumn("_pre_rank", F.row_number().over(pre_w))
@@ -122,14 +138,14 @@ def schedule_epoch(
         pending = salted.filter(F.col("_pre_rank") <= F.col("host_budget")).drop(
             "salt", "_pre_rank"
         )
-    w = Window.partitionBy("host").orderBy(*_ORDER())
+    w = Window.partitionBy(pol_key).orderBy(*_ORDER())
     ranked = pending.withColumn("rank_in_host", F.row_number().over(w))
 
     schedule = (
         ranked.filter(F.col("rank_in_host") <= F.col("host_budget"))
         .withColumn("shard_id", C.shard_id(F.col("host"), cfg.n_shards))
         .withColumn("epoch", F.lit(epoch))
-        .drop("host_budget")
+        .drop("host_budget", "_pol_key")
     )
 
     overflow = ranked.filter(F.col("rank_in_host") > F.col("host_budget")).drop(
@@ -141,7 +157,7 @@ def schedule_epoch(
         overflow.withColumn("ready_epoch", F.lit(epoch + 1))
         .withColumn("reason", F.lit("politeness_budget"))
         .withColumn("attempts", F.col("attempts") + 1)
-        .drop("host_budget")
+        .drop("host_budget", "_pol_key")
     )
 
     rejected = overdrawn

@@ -3931,6 +3931,71 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# Site-level politeness (scheduler.schedule_epoch with
+# CrawlConfig.politeness_by_registrable): subdomain families share one
+# per-epoch budget keyed on the registrable domain (codegen
+# columns.registered_domain_col). The oracle re-derives the window rank
+# under the scheduler's exact total ordering.
+
+
+def q_site_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .config import CrawlConfig
+    from .operators import scheduler as S
+
+    orders = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.lit("s"), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit(".site"), (F.col("o_custkey") % 8).cast("string"), F.lit(".com"),
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"),
+                   F.col("o_orderkey").cast("string"))
+    pending = orders.select(
+        url.alias("url"),
+        url.alias("url_norm"),
+        F.col("o_orderkey").alias("url_fp"),
+        host.alias("host"),
+        F.concat(F.lit("/p/"), F.col("o_orderkey").cast("string")).alias("path"),
+        (F.col("o_orderkey") % 97).cast("int").alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("string").alias("source_url"),
+        F.lit(0).alias("discovered_epoch"),
+        F.lit(0).alias("attempts"),
+    )
+    cfg = CrawlConfig(epoch_seconds=30, hot_host_salt=2, politeness_by_registrable=True)
+    schedule, deferred, _ = S.schedule_epoch(pending, None, None, 0, cfg)
+    site = F.regexp_extract(F.col("host"), r"(site\d+\.com)$", 1)
+    sched = schedule.groupBy(site.alias("site")).agg(
+        F.count(F.lit(1)).alias("n_scheduled"),
+        F.max("priority").alias("top_priority"),
+    )
+    defr = deferred.groupBy(site.alias("site")).agg(
+        F.count(F.lit(1)).alias("n_deferred")
+    )
+    return sched.join(defr, "site", "left").fillna(0, ["n_deferred"]).orderBy("site")
+
+
+SQL_site_politeness = """
+WITH pending AS (
+  SELECT 'https://s' || CAST(o_orderkey % 3 AS VARCHAR) || '.site' ||
+         CAST(o_custkey % 8 AS VARCHAR) || '.com/p/' || CAST(o_orderkey AS VARCHAR) AS url_norm,
+         'site' || CAST(o_custkey % 8 AS VARCHAR) || '.com' AS site,
+         CAST(o_orderkey % 97 AS INTEGER) AS priority
+  FROM orders
+),
+ranked AS (
+  SELECT site, priority,
+         ROW_NUMBER() OVER (PARTITION BY site
+                            ORDER BY priority DESC, url_norm ASC) AS rk
+  FROM pending
+)
+SELECT site,
+       CAST(sum(CASE WHEN rk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_scheduled,
+       CAST(max(CASE WHEN rk <= 30 THEN priority END) AS INTEGER) AS top_priority,
+       CAST(sum(CASE WHEN rk > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_deferred
+FROM ranked GROUP BY site ORDER BY site
+"""
+
+
 # Robots META tag gate (functions/columns.py meta_robots_*): page-level REP
 # directives parsed natively from both attribute orders, multiple tags
 # combined restrictively; wired into the epoch loop via
@@ -5350,6 +5415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_discovery": q_sitemap_discovery,
     "sitemap_urlset": q_sitemap_urlset,
     "meta_robots_gate": q_meta_robots_gate,
+    "site_politeness": q_site_politeness,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
@@ -5481,6 +5547,7 @@ ORACLE_SQL: dict[str, str] = {
     "sitemap_discovery": SQL_sitemap_discovery,
     "sitemap_urlset": SQL_sitemap_urlset,
     "meta_robots_gate": SQL_meta_robots_gate,
+    "site_politeness": SQL_site_politeness,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
