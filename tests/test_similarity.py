@@ -338,3 +338,55 @@ def test_wav_audio_decodes_for_real(spark):
     )
     with _pytest.raises(Exception):
         MM.extract_media_features(bad, dim=16, decode_stub=False).collect()
+
+
+def test_pq_topk_matches_numpy_reference(spark):
+    """pq_index/pq_topk (Jégou et al. 2011) against a from-scratch numpy PQ
+    with the same deterministic init, one Lloyd round, and ADC ranking."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(
+        ((r["vec_id"], np.asarray(r["embedding"], dtype=np.float64)) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    X = np.stack([t[1] for t in rows])
+    q = X[ids.tolist().index(0)]
+    m, k_sub = 4, 16
+    dsub = X.shape[1] // m
+
+    codes = np.zeros((len(ids), m), dtype=int)
+    luts = []
+    for mi in range(m):
+        S = X[:, mi * dsub:(mi + 1) * dsub]
+        cb = S[:k_sub].copy()  # init: k_sub lowest-id subvectors (ids sorted)
+        # one Lloyd round: argmin assign (same -2xc+c2 form as _assign_udf),
+        # per-dim mean, empty cluster keeps init centroid
+        d = -2.0 * (S @ cb.T) + (cb * cb).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        nb = cb.copy()
+        for c in range(k_sub):
+            if (a == c).any():
+                nb[c] = S[a == c].mean(axis=0)
+        d = -2.0 * (S @ nb.T) + (nb * nb).sum(axis=1)[None, :]
+        codes[:, mi] = np.argmin(d, axis=1)
+        luts.append(((nb - q[mi * dsub:(mi + 1) * dsub][None, :]) ** 2).sum(axis=1))
+
+    adc = sum(luts[mi][codes[:, mi]] for mi in range(m))
+    order = sorted(range(len(ids)), key=lambda i: (round(adc[i], 6), ids[i]))
+    want = [(int(ids[i]), round(float(adc[i]), 6)) for i in order[:10]]
+
+    from webcrawler_spark.operators import similarity as SIM
+
+    got = [
+        (r["vec_id"], r["approx_dist"])
+        for r in SIM.pq_topk(emb, list(q), m=m, k_sub=k_sub, k=10).collect()
+    ]
+    assert got == want
+    # compression sanity: codes live in [0, k_sub)
+    cdf, _ = SIM.pq_index(emb, m=m, k_sub=k_sub)
+    import pyspark.sql.functions as F
+    for mi in range(m):
+        bad = cdf.filter((F.col(f"code{mi}") < 0) | (F.col(f"code{mi}") >= k_sub)).count()
+        assert bad == 0

@@ -518,3 +518,102 @@ def semantic_dedup(
     )
     clusters = near_dup_clusters(pairs)
     return dedup_keep_list(embeddings, clusters.withColumnRenamed("doc_id", id_col), id_col)
+
+
+def pq_index(
+    embeddings: DataFrame,
+    m: int = 4,
+    k_sub: int = 16,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantizer (Jégou, Douze & Schmid, TPAMI 2011) — the
+    10^10-vector ANN memory shape: split the dim-D space into `m` subspaces,
+    k-means each independently (deterministic init = the k_sub lowest-id
+    vectors' subvectors, same Lloyd structure as ivf_index), and encode every
+    vector as `m` small codes. A 64-dim float vector (256 B) compresses to
+    m=4 bytes + id — the whole corpus's codes fit where the raw vectors
+    never would, and queries scan codes, not vectors.
+
+    Returns (embeddings + code0..code{m-1} columns, codebooks[m][k_sub][dsub]).
+    Codebooks are m*k_sub*dsub floats of driver state (the IVF-centroid
+    precedent); assignment is the vectorized argmin UDF per subspace, the
+    update a native posexplode + avg per subspace."""
+    first = embeddings.select(vec_col).first()
+    dim = len(first[vec_col])
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    dsub = dim // m
+    vecs = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    init = vecs.orderBy(F.asc(id_col)).limit(k_sub).collect()
+    codebooks = [
+        [[float(x) for x in r["v"][mi * dsub:(mi + 1) * dsub]] for r in init]
+        for mi in range(m)
+    ]
+    for _ in range(n_iters):
+        new_books = []
+        for mi in range(m):
+            sub = vecs.select(
+                F.slice("v", mi * dsub + 1, dsub).alias("sv")
+            ).withColumn("cluster", _assign_udf(codebooks[mi])(F.col("sv")))
+            rows = (
+                sub.select("cluster", F.posexplode("sv").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("val").alias("mu"))
+                .collect()
+            )
+            by_c: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_c.setdefault(r["cluster"], {})[r["pos"]] = r["mu"]
+            new_books.append(
+                [
+                    [by_c[c][p] for p in range(dsub)] if c in by_c else codebooks[mi][c]
+                    for c in range(k_sub)
+                ]
+            )
+        codebooks = new_books
+    codes = embeddings.select(
+        "*",
+        *[
+            _assign_udf(codebooks[mi])(
+                F.slice(F.col(vec_col).cast("array<double>"), mi * dsub + 1, dsub)
+            ).alias(f"code{mi}")
+            for mi in range(m)
+        ],
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC): the query builds an
+    m x k_sub table of squared L2 distances to every sub-centroid
+    (driver-side, tiny), and each vector's approximate distance is m table
+    lookups + adds over its CODES — no per-vector float math at all. Rank
+    ascending, deterministic id tiebreak."""
+    import numpy as np
+
+    codes, codebooks = pq_index(embeddings, m, k_sub, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dsub = len(q) // m
+    adc = None
+    for mi in range(m):
+        qm = q[mi * dsub:(mi + 1) * dsub]
+        t = ((np.asarray(codebooks[mi], dtype=np.float64) - qm[None, :]) ** 2).sum(axis=1)
+        lut = F.array(*[F.lit(float(x)) for x in t])
+        term = F.element_at(lut, F.col(f"code{mi}") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        codes.select(F.col(id_col), F.round(adc, 6).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

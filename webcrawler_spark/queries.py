@@ -2537,6 +2537,62 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, list(qvec), n_planes=8, dim=len(qvec), k=10)
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.pq_topk(emb, list(qvec), m=4, k_sub=16, k=10)
+
+
+def _pq_sql(m: int = 4, k_sub: int = 16, dsub: int = 16) -> str:
+    """similarity.pq_index + pq_topk re-derived per subspace: deterministic
+    init (k_sub lowest-vec_id subvectors), ONE unrolled Lloyd round (argmin
+    assignment, per-dim mean, empty cells keep the init centroid), encode,
+    then ADC = sum of per-subspace squared-L2 lookup-table entries. CTEs
+    MATERIALIZED so DuckDB does not re-inline the per-subspace chains."""
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n"
+        f"dims_sub AS (FROM generate_series(1, {dsub}) AS t(pos))"
+    ]
+    for mi in range(m):
+        lo, hi = mi * dsub + 1, (mi + 1) * dsub
+        parts.append(f""",
+sub{mi} AS MATERIALIZED (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e),
+c0_{mi} AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, sv AS cv
+  FROM sub{mi} ORDER BY vec_id LIMIT {k_sub}),
+a0_{mi} AS MATERIALIZED (
+  SELECT s.vec_id, s.sv, arg_min(c.c, list_distance(s.sv, c.cv)) AS cluster
+  FROM sub{mi} s CROSS JOIN c0_{mi} c GROUP BY s.vec_id, s.sv),
+m1_{mi} AS MATERIALIZED (
+  SELECT cluster AS c, list(mu ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(sv[pos]) AS mu
+    FROM a0_{mi} CROSS JOIN dims_sub GROUP BY cluster, pos) GROUP BY cluster),
+c1_{mi} AS MATERIALIZED (
+  SELECT c0.c, coalesce(m1.mv, c0.cv) AS cv
+  FROM c0_{mi} c0 LEFT JOIN m1_{mi} m1 USING (c)),
+code_{mi} AS MATERIALIZED (
+  SELECT s.vec_id, arg_min(c.c, list_distance(s.sv, c.cv)) AS code
+  FROM sub{mi} s CROSS JOIN c1_{mi} c GROUP BY s.vec_id, s.sv),
+q{mi} AS (SELECT v[{lo}:{hi}] AS qv FROM e WHERE vec_id = 0),
+qt_{mi} AS MATERIALIZED (
+  SELECT c.c AS code, sum((c.cv[pos] - q.qv[pos]) * (c.cv[pos] - q.qv[pos])) AS d
+  FROM c1_{mi} c CROSS JOIN q{mi} q CROSS JOIN dims_sub GROUP BY c.c)""")
+    joins = "\n".join(
+        f"JOIN code_{mi} ON e.vec_id = code_{mi}.vec_id "
+        f"JOIN qt_{mi} t{mi} ON code_{mi}.code = t{mi}.code"
+        for mi in range(m)
+    )
+    adc = " + ".join(f"t{mi}.d" for mi in range(m))
+    parts.append(
+        f"\nSELECT e.vec_id, round({adc}, 6) AS approx_dist\nFROM e\n{joins}\n"
+        "ORDER BY approx_dist ASC, e.vec_id ASC LIMIT 10\n"
+    )
+    return "".join(parts)
+
+
+SQL_ann_pq_topk = _pq_sql()
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster the embeddings, drop semantic duplicates
     (within-cell cosine >= threshold, transitive, keep min id). The oracle
@@ -5471,6 +5527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
@@ -5607,6 +5664,7 @@ ORACLE_SQL: dict[str, str] = {
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "ann_pq_topk": SQL_ann_pq_topk,
     "fuzzy_url_dedupe": SQL_fuzzy_url_dedupe,
     "ann_ivf_topk": SQL_ann_ivf_topk,
     "semantic_dedup": SQL_semantic_dedup,
