@@ -390,3 +390,32 @@ def test_pq_topk_matches_numpy_reference(spark):
     for mi in range(m):
         bad = cdf.filter((F.col(f"code{mi}") < 0) | (F.col(f"code{mi}") >= k_sub)).count()
         assert bad == 0
+
+
+def test_ivfpq_is_cell_filtered_pq(spark):
+    """ivfpq == pq ADC ranking restricted to the IVF probe cells: every
+    result id must come from a probed cell, and the ADC values must agree
+    with pq_topk's for the same ids (same global codebooks)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    from webcrawler_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = SIM.ivfpq_topk(emb, q, n_centroids=8, nprobe=3, m=4, k_sub=8, k=10).collect()
+    assert len(got) == 10
+
+    indexed, centroids = SIM.ivf_index(emb, 8)
+    cmat = np.asarray(centroids)
+    qa = np.asarray(q)
+    probe = set(np.argsort(((cmat - qa[None, :]) ** 2).sum(axis=1))[:3].tolist())
+    clusters = {r["vec_id"]: r["cluster"] for r in indexed.select("vec_id", "cluster").collect()}
+    assert all(clusters[r["vec_id"]] in probe for r in got)
+
+    # ADC parity with the unpruned PQ ranking for the same ids
+    full = {
+        r["vec_id"]: r["approx_dist"]
+        for r in SIM.pq_topk(emb, q, m=4, k_sub=8, k=10**6).collect()
+    }
+    for r in got:
+        assert r["approx_dist"] == full[r["vec_id"]]

@@ -617,3 +617,46 @@ def pq_topk(
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 4,
+    k_sub: int = 16,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN composition (FAISS IVFPQ,
+    here the `by_residual=False` variant: PQ codebooks trained on the raw
+    vectors, not per-cell residuals): the IVF coarse quantizer prunes to
+    nprobe/n_centroids of the corpus, then ADC lookup tables rank the
+    survivors by their m-byte codes. At 10^10 vectors the query touches
+    nprobe cells' CODES only — no raw vector is read after index build."""
+    import numpy as np
+
+    indexed, centroids = ivf_index(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes, codebooks = pq_index(indexed, m, k_sub, id_col=id_col, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    probe = [int(c) for c in np.argsort(((cmat - q[None, :]) ** 2).sum(axis=1))[:nprobe]]
+    dsub = len(q) // m
+    adc = None
+    for mi in range(m):
+        qm = q[mi * dsub:(mi + 1) * dsub]
+        t = ((np.asarray(codebooks[mi], dtype=np.float64) - qm[None, :]) ** 2).sum(axis=1)
+        term = F.element_at(
+            F.array(*[F.lit(float(x)) for x in t]), F.col(f"code{mi}") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes.filter(F.col("cluster").isin(probe))
+        .select(F.col(id_col), F.round(adc, 6).alias("approx_dist"))
+        .orderBy(F.asc("approx_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -2593,6 +2593,71 @@ qt_{mi} AS MATERIALIZED (
 SQL_ann_pq_topk = _pq_sql()
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return SIM.ivfpq_topk(emb, list(qvec), n_centroids=16, nprobe=4, m=4, k_sub=16, k=10)
+
+
+def _ivfpq_sql(m: int = 4, k_sub: int = 16, dsub: int = 16) -> str:
+    """similarity.ivfpq_topk re-derived: the ann_ivf_topk coarse block
+    (2 Lloyd rounds -> af assignment + 4-cell probe) composed with the
+    ann_pq_topk block (per-subspace codebooks + ADC tables, trained on the
+    raw vectors — the FAISS by_residual=False variant); survivors of the
+    cell filter rank by their code lookups."""
+    ivf_block = """,
+dims AS (FROM generate_series(1, 64) AS t(pos)),
+c0 AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16),
+a0 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, arg_min(c0.c, list_distance(e.v, c0.cv)) AS cluster
+  FROM e CROSS JOIN c0 GROUP BY e.vec_id, e.v),
+m1 AS MATERIALIZED (
+  SELECT cluster AS c, list(mu ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS mu
+    FROM a0 CROSS JOIN dims GROUP BY cluster, pos) GROUP BY cluster),
+c1 AS MATERIALIZED (
+  SELECT c0.c, coalesce(m1.mv, c0.cv) AS cv FROM c0 LEFT JOIN m1 USING (c)),
+a1 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, arg_min(c1.c, list_distance(e.v, c1.cv)) AS cluster
+  FROM e CROSS JOIN c1 GROUP BY e.vec_id, e.v),
+m2 AS MATERIALIZED (
+  SELECT cluster AS c, list(mu ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS mu
+    FROM a1 CROSS JOIN dims GROUP BY cluster, pos) GROUP BY cluster),
+c2 AS MATERIALIZED (
+  SELECT c1.c, coalesce(m2.mv, c1.cv) AS cv FROM c1 LEFT JOIN m2 USING (c)),
+af AS MATERIALIZED (
+  SELECT e.vec_id, arg_min(c2.c, list_distance(e.v, c2.cv)) AS cluster
+  FROM e CROSS JOIN c2 GROUP BY e.vec_id, e.v),
+qfull AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c2.c FROM c2 CROSS JOIN qfull
+  ORDER BY list_distance(c2.cv, qfull.qv) ASC, c2.c ASC LIMIT 4)"""
+    pq_full = _pq_sql(m, k_sub, dsub)
+    # splice: keep _pq_sql's WITH-head and per-subspace CTEs, swap its
+    # final select for the cell-filtered one
+    head, _ = pq_full.rsplit("\nSELECT e.vec_id", 1)
+    joins = "\n".join(
+        f"JOIN code_{mi} ON e.vec_id = code_{mi}.vec_id "
+        f"JOIN qt_{mi} t{mi} ON code_{mi}.code = t{mi}.code"
+        for mi in range(m)
+    )
+    adc = " + ".join(f"t{mi}.d" for mi in range(m))
+    return (
+        head
+        + ivf_block
+        + f"\nSELECT e.vec_id, round({adc}, 6) AS approx_dist\nFROM e\n"
+        + "JOIN af ON e.vec_id = af.vec_id JOIN probe ON af.cluster = probe.c\n"
+        + joins
+        + "\nORDER BY approx_dist ASC, e.vec_id ASC LIMIT 10\n"
+    )
+
+
+SQL_ann_ivfpq_topk = _ivfpq_sql()
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: IVF-cluster the embeddings, drop semantic duplicates
     (within-cell cosine >= threshold, transitive, keep min id). The oracle
@@ -5528,6 +5593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "semantic_dedup": q_semantic_dedup,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
@@ -5665,6 +5731,7 @@ ORACLE_SQL: dict[str, str] = {
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
     "ann_pq_topk": SQL_ann_pq_topk,
+    "ann_ivfpq_topk": SQL_ann_ivfpq_topk,
     "fuzzy_url_dedupe": SQL_fuzzy_url_dedupe,
     "ann_ivf_topk": SQL_ann_ivf_topk,
     "semantic_dedup": SQL_semantic_dedup,
