@@ -1061,3 +1061,44 @@ def test_scheduler_politeness_by_registrable_salted_equals_unsalted(spark):
     ka = sorted((r["rank_in_host"], r["url_norm"]) for r in a.collect())
     kb = sorted((r["rank_in_host"], r["url_norm"]) for r in b.collect())
     assert ka == kb and ad.count() == bd.count()
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """Count-Min: estimate >= true for every key; exact on a collision-free
+    population; and sketches MERGE (cell-wise add of two halves == sketch of
+    the union — the distributed-combine property)."""
+    from webcrawler_spark.operators import sketches as SK
+
+    rows = [(k,) for k in range(40) for _ in range(k + 1)]  # key k appears k+1 times
+    df = spark.createDataFrame(rows, "host_id long")
+    cms = SK.build_cms(df, "host_id", width=512).cache()
+    truth = df.groupBy("host_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = SK.estimate_cms(cms, truth, "host_id", width=512).collect()
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in est)
+    # 40 keys in 4x512 cells: overestimate should be zero here
+    assert all(r["est_cnt"] == r["true_cnt"] for r in est)
+
+    # mergeability: sketch(first half) + sketch(second half) == sketch(all)
+    h1 = SK.build_cms(df.filter(F.col("host_id") < 20), "host_id", width=512)
+    h2 = SK.build_cms(df.filter(F.col("host_id") >= 20), "host_id", width=512)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("r", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    a = {(r["r"], r["col"]): r["cnt"] for r in merged.collect()}
+    b = {(r["r"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert a == b
+
+
+def test_cms_overestimates_under_collisions(spark):
+    """A width far below the key cardinality forces collisions: estimates
+    stay >= truth (never under), and at least one key overestimates."""
+    from webcrawler_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in range(2000)], "host_id long")
+    cms = SK.build_cms(df, "host_id", width=16)
+    truth = df.groupBy("host_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = SK.estimate_cms(cms, truth, "host_id", width=16).collect()
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in est)
+    assert any(r["est_cnt"] > r["true_cnt"] for r in est)

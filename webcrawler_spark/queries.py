@@ -4052,6 +4052,58 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# Count-Min Sketch heavy hitters (operators/sketches.py): bounded-memory
+# host-discovery counters (the Redis host-stats analog at stream scale);
+# Carter-Wegman hashes replay exactly in DuckDB, estimate >= true always.
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    # skewed key population: 3/4 of rows land on 7 hot hosts
+    key = F.when(
+        F.col("o_orderkey") % 4 != 0, (F.col("o_custkey") % 7).cast("long")
+    ).otherwise((F.col("o_custkey") % 1000).cast("long"))
+    keyed = orders.select(key.alias("host_id"))
+    cms = SK.build_cms(keyed, "host_id", width=256)
+    truth = keyed.groupBy("host_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = SK.estimate_cms(cms, truth, "host_id", width=256)
+    return (
+        est.select("host_id", "true_cnt", "est_cnt")
+        .orderBy(F.desc("true_cnt"), F.asc("host_id"))
+        .limit(20)
+    )
+
+
+SQL_cms_heavy_hitters = """
+WITH keyed AS (
+  SELECT CASE WHEN o_orderkey % 4 != 0 THEN o_custkey % 7
+              ELSE o_custkey % 1000 END AS host_id
+  FROM orders
+),
+params(r, a, b) AS (VALUES (0, 911, 13), (1, 3571, 97),
+                           (2, 181081, 1009), (3, 2718281, 31)),
+cells AS (
+  SELECT p.r, ((p.a * (k.host_id % 2147483647) + p.b) % 2147483647) % 256 AS col,
+         count(*) AS cnt
+  FROM keyed k CROSS JOIN params p GROUP BY p.r, col
+),
+truth AS (SELECT host_id, count(*) AS true_cnt FROM keyed GROUP BY host_id),
+est AS (
+  SELECT t.host_id, t.true_cnt, min(coalesce(c.cnt, 0)) AS est_cnt
+  FROM truth t CROSS JOIN params p
+  LEFT JOIN cells c
+    ON c.r = p.r
+   AND c.col = ((p.a * (t.host_id % 2147483647) + p.b) % 2147483647) % 256
+  GROUP BY t.host_id, t.true_cnt
+)
+SELECT host_id, CAST(true_cnt AS BIGINT) AS true_cnt,
+       CAST(est_cnt AS BIGINT) AS est_cnt
+FROM est ORDER BY true_cnt DESC, host_id ASC LIMIT 20
+"""
+
+
 # Site-level politeness (scheduler.schedule_epoch with
 # CrawlConfig.politeness_by_registrable): subdomain families share one
 # per-epoch budget keyed on the registrable domain (codegen
@@ -5537,6 +5589,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urlset": q_sitemap_urlset,
     "meta_robots_gate": q_meta_robots_gate,
     "site_politeness": q_site_politeness,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
@@ -5671,6 +5724,7 @@ ORACLE_SQL: dict[str, str] = {
     "sitemap_urlset": SQL_sitemap_urlset,
     "meta_robots_gate": SQL_meta_robots_gate,
     "site_politeness": SQL_site_politeness,
+    "cms_heavy_hitters": SQL_cms_heavy_hitters,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
