@@ -1102,3 +1102,27 @@ def test_cms_overestimates_under_collisions(spark):
     est = SK.estimate_cms(cms, truth, "host_id", width=16).collect()
     assert all(r["est_cnt"] >= r["true_cnt"] for r in est)
     assert any(r["est_cnt"] > r["true_cnt"] for r in est)
+
+
+def test_hll_accuracy_and_merge(spark):
+    """HLL: estimate within the published ~1.04/sqrt(m) band (generous 3x
+    margin), register-wise max of two halves == registers of the union,
+    and the small-range linear-counting branch engages for tiny sets."""
+    from webcrawler_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in range(10000)], "key long")
+    est = SK.hll_estimate(SK.hll_registers(df, "key")).first()
+    rel = abs(est["estimate"] - 10000) / 10000
+    assert rel < 3 * 1.04 / (64 ** 0.5), f"rel err {rel}"
+
+    h1 = SK.hll_registers(df.filter(F.col("key") < 5000), "key")
+    h2 = SK.hll_registers(df.filter(F.col("key") >= 5000), "key")
+    merged = h1.unionByName(h2).groupBy("j").agg(F.max("rho").alias("rho"))
+    a = {(r["j"], r["rho"]) for r in merged.collect()}
+    b = {(r["j"], r["rho"]) for r in SK.hll_registers(df, "key").collect()}
+    assert a == b
+
+    small = spark.createDataFrame([(k,) for k in range(20)], "key long")
+    est_s = SK.hll_estimate(SK.hll_registers(small, "key")).first()
+    # 20 distinct keys, 64 registers: linear counting, usually dead-on
+    assert abs(est_s["estimate"] - 20) <= 4

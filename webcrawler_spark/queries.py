@@ -4104,6 +4104,56 @@ FROM est ORDER BY true_cnt DESC, host_id ASC LIMIT 20
 """
 
 
+# HyperLogLog cardinality (operators/sketches.py): the ES `cardinality`
+# aggregation implemented openly — 64 registers, portable Carter-Wegman
+# hash, arithmetic leading-zero rank; raw estimator + linear-counting
+# small-range correction, replayed exactly in DuckDB.
+
+
+def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.select(F.col("o_custkey").alias("key"))
+    reg = SK.hll_registers(keyed, "key", b=6)
+    est = SK.hll_estimate(reg, b=6)
+    truth = keyed.agg(F.countDistinct("key").alias("true_distinct"))
+    return truth.crossJoin(est).select("true_distinct", "n_registers", "estimate")
+
+
+SQL_hll_cardinality = """
+WITH keys AS (SELECT o_custkey AS key FROM orders),
+reg AS (
+  SELECT j, max(rho) AS rho FROM (
+    SELECT CAST(h % 64 AS INTEGER) AS j,
+           CAST(CASE WHEN floor(h / 64) > 0
+                     THEN 25 - floor(log2(floor(h / 64)))
+                     ELSE 26 END AS INTEGER) AS rho
+    FROM (
+      SELECT (y * y + 69621 * y + 97) % 2147483647 AS h FROM (
+        SELECT (x * x + 48271 * x + 11) % 2147483647 AS y FROM (
+          SELECT key % 2147483647 AS x FROM keys)))
+  ) GROUP BY j
+),
+agg AS (
+  SELECT count(*) AS v,
+         sum(power(CAST(2 AS DOUBLE), -rho)) AS s
+  FROM reg
+),
+est AS (
+  SELECT CAST(v AS INTEGER) AS n_registers,
+         CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 / (s + (64 - v)) <= CAST(160 AS DOUBLE)
+                   AND (64 - v) > 0
+              THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - v))
+              ELSE CAST(0.709 AS DOUBLE) * 64 * 64 / (s + (64 - v)) END AS e
+  FROM agg
+)
+SELECT (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM keys) AS true_distinct,
+       n_registers, round(e, 4) AS estimate
+FROM est
+"""
+
+
 # Site-level politeness (scheduler.schedule_epoch with
 # CrawlConfig.politeness_by_registrable): subdomain families share one
 # per-epoch budget keyed on the registrable domain (codegen
@@ -5590,6 +5640,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "meta_robots_gate": q_meta_robots_gate,
     "site_politeness": q_site_politeness,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "hll_cardinality": q_hll_cardinality,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
@@ -5725,6 +5776,7 @@ ORACLE_SQL: dict[str, str] = {
     "meta_robots_gate": SQL_meta_robots_gate,
     "site_politeness": SQL_site_politeness,
     "cms_heavy_hitters": SQL_cms_heavy_hitters,
+    "hll_cardinality": SQL_hll_cardinality,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
