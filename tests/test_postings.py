@@ -78,3 +78,29 @@ def test_persisted_index_plan_prunes_and_skips_text(spark, index, tmp_path):
     fresh = [(r["doc_id"], r["score"]) for r in q.collect()]
     base = [(r["doc_id"], r["score"]) for r in PO.postings_bm25(post, dl, QT, k=20).collect()]
     assert fresh == base
+
+
+def test_merge_postings_replace_semantics(spark, docs):
+    """Two-epoch index maintenance: epoch-1 re-crawls half the docs with new
+    text — merged postings must equal a fresh build over (old half ∪ new
+    versions), with no stale terms surviving."""
+    import pyspark.sql.functions as F
+
+    old = docs.limit(40).cache()
+    half_ids = [r["doc_id"] for r in old.limit(20).collect()]
+    recrawled = old.filter(F.col("doc_id").isin(half_ids)).withColumn(
+        "text", F.concat(F.lit("freshterm "), F.col("text"))
+    )
+    base = PO.build_postings(old, "text", "doc_id")
+    delta = PO.build_postings(recrawled, "text", "doc_id")
+    merged = PO.merge_postings(base, delta)
+
+    current = old.filter(~F.col("doc_id").isin(half_ids)).unionByName(recrawled)
+    want = PO.build_postings(current, "text", "doc_id")
+    a = {(r["word"], r["doc_id"], r["tf"]) for r in merged.collect()}
+    b = {(r["word"], r["doc_id"], r["tf"]) for r in want.collect()}
+    assert a == b
+    # the new term is present exactly for the re-crawled docs; stale
+    # postings for those docs carry the updated tf only
+    fresh = {r["doc_id"] for r in merged.filter(F.col("word") == "freshterm").collect()}
+    assert fresh == set(half_ids)

@@ -123,3 +123,16 @@ def postings_bm25(
         .agg(F.round(F.sum("term_score"), 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def merge_postings(base: DataFrame, delta: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Index maintenance across crawl epochs (the ES segment-merge /
+    re-index analog): the delta's documents REPLACE their base postings
+    (a re-crawled page's old terms must vanish), unseen documents append.
+    One left-anti join on the delta's (small, per-epoch) doc-id set + a
+    union — the accumulated base never rewrites, matching the catalog's
+    merge-on-read discipline; compaction folds deltas on the same cadence
+    as `Catalog.compact_delta`."""
+    delta_docs = delta.select(id_col).distinct()
+    kept = base.join(delta_docs, id_col, "left_anti")
+    return kept.unionByName(delta)

@@ -560,3 +560,30 @@ def date_histogram_terms(
         "sub_count",
         (F.col("sum_cents").cast("double") / F.lit(100.0)).alias("value_sum"),
     )
+
+
+def search_post_filter(
+    df: DataFrame,
+    query_tokens: list[str],
+    post_filter: Column,
+    facet_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``post_filter`` semantics (the faceted-navigation contract the
+    search-api's filtered queries imply): aggregations are computed on the
+    QUERY result BEFORE the post filter, hits AFTER it — so a UI can show
+    "source: web (123)" while the user has web selected. One matched scan
+    feeds both sides; per facet bucket: n_matches (pre-filter) and n_hits
+    (post-filter)."""
+    matched = df.filter(
+        match_score(F.col(text_col), query_tokens) >= 1
+    ).select(F.col(id_col), F.col(facet_col), post_filter.alias("_pf"))
+    return (
+        matched.groupBy(facet_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.sum(F.when(F.col("_pf"), 1).otherwise(0)).alias("n_hits"),
+        )
+        .orderBy(F.desc("n_matches"), F.asc(facet_col))
+    )

@@ -4052,6 +4052,41 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# ES post_filter semantics (search.search_post_filter): facet counts on the
+# query result BEFORE the post filter, hit counts AFTER — per source bucket.
+
+
+def q_search_post_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_post_filter(
+        docs,
+        _QUERY_TOKENS,
+        post_filter=(F.col("n_chars") >= 600) & (F.col("lang") == "en"),
+        facet_col="source",
+    )
+
+
+SQL_search_post_filter = f"""
+WITH toks AS (
+  SELECT doc_id, source, n_chars, lang,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     w -> w != '') AS tl
+  FROM documents
+),
+matched AS (
+  SELECT doc_id, source,
+         (n_chars >= 600 AND lang = 'en') AS pf
+  FROM toks
+  WHERE len(list_intersect(list_distinct(tl), [{_QT_SQL}])) >= 1
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(sum(CASE WHEN pf THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+FROM matched GROUP BY source
+ORDER BY n_matches DESC, source ASC
+"""
+
+
 # Count-Min Sketch heavy hitters (operators/sketches.py): bounded-memory
 # host-discovery counters (the Redis host-stats analog at stream scale);
 # Carter-Wegman hashes replay exactly in DuckDB, estimate >= true always.
@@ -5639,6 +5674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urlset": q_sitemap_urlset,
     "meta_robots_gate": q_meta_robots_gate,
     "site_politeness": q_site_politeness,
+    "search_post_filter": q_search_post_filter,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
     "anchor_text_index": q_anchor_text_index,
@@ -5775,6 +5811,7 @@ ORACLE_SQL: dict[str, str] = {
     "sitemap_urlset": SQL_sitemap_urlset,
     "meta_robots_gate": SQL_meta_robots_gate,
     "site_politeness": SQL_site_politeness,
+    "search_post_filter": SQL_search_post_filter,
     "cms_heavy_hitters": SQL_cms_heavy_hitters,
     "hll_cardinality": SQL_hll_cardinality,
     "anchor_text_index": SQL_anchor_text_index,
