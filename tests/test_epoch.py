@@ -483,6 +483,7 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         compact_every=2,
         respect_meta_robots=True,
         politeness_by_registrable=True,
+        build_index=True,
     )
 
     def run(tag):
@@ -562,3 +563,30 @@ def test_respect_meta_robots_gates_index_and_links(spark, tmp_path_factory):
     assert {"from-a", "from-c"} <= paths(tgt_on)
     assert "from-b" not in paths(tgt_on)
     assert "from-d" not in paths(tgt_on)
+
+
+def test_build_index_maintains_postings(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    """cfg.build_index: the union of per-epoch postings deltas equals a
+    fresh index built over the accumulated web_content — per-epoch index
+    maintenance is exact, never a rebuild."""
+    from webcrawler_spark.operators import postings as PO
+
+    root = tmp_path_factory.mktemp("crawl_index")
+    cat = Catalog(spark, str(root))
+    E.run_epochs(
+        spark, cat, pages_df, seeds_df, robots_df, 3,
+        CrawlConfig(epoch_seconds=6, hot_host_salt=2, build_index=True),
+    )
+    acc = cat.read_delta_union("postings", 2)
+    assert acc is not None
+    web = cat.read_delta_union("web_content", 2).select(
+        F.col("url_norm").alias("doc_id"), F.col("content").alias("text")
+    )
+    fresh = PO.build_postings(web, "text", "doc_id")
+    a = {(r["word"], r["doc_id"], r["tf"]) for r in acc.collect()}
+    b = {(r["word"], r["doc_id"], r["tf"]) for r in fresh.collect()}
+    assert a == b and len(a) > 0
+    # and the index answers BM25 without touching web_content text
+    dl = PO.doc_lengths(web, "text", "doc_id")
+    hits = PO.postings_bm25(acc, dl, ["analysis", "engine"], k=5).collect()
+    assert len(hits) > 0

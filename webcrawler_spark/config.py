@@ -49,6 +49,12 @@ class CrawlConfig:
     # dedup decisions are identical with scrubbing on or off.
     scrub_pii: bool = False
 
+    # per-epoch inverted-index maintenance (the ES bulk-index analog, S12):
+    # each epoch stages a postings delta (word, doc_id, tf, bucket) for its
+    # newly indexed docs; the accumulated index is the delta union
+    # (operators/postings.py). Off = no extra write job.
+    build_index: bool = False
+
     # politeness keyed on the registrable domain (site) instead of the raw
     # host: every subdomain of a *.blogspot.com-style family shares ONE
     # per-epoch budget — the most conservative member host's. Off =

@@ -475,6 +475,20 @@ def run_epoch(
     to_stage["links"] = links_df
     to_stage["web_content"] = web_delta
     to_stage["host_stats"] = host_stats_new
+    if cfg.build_index:
+        # the ES bulk-index analog (S12): this epoch's indexed docs become a
+        # postings delta — deltas are disjoint by doc (the seen set fetches
+        # each url once), so the accumulated index is the plain delta union;
+        # re-index/compaction semantics live in postings.merge_postings
+        from ..operators import postings as PO
+
+        to_stage["postings"] = PO.build_postings(
+            web_delta.select(
+                F.col("url_norm").alias("doc_id"), F.col("content").alias("text")
+            ),
+            "text",
+            "doc_id",
+        )
 
     # The 7-8 table writes are independent jobs over a handful of shared
     # cached inputs; writing them from one thread serializes their per-job
