@@ -319,3 +319,47 @@ def test_stream_epoch_collision_raises(spark, tmp_path):
     cat.commit_epoch(5, {"seen": cat.stage("seen", 5, df)}, {"epoch": 5})
     with pytest.raises(ValueError, match="collision"):
         commit_stream_batch(cat, "seen", 3, df)
+
+
+def test_stream_cms_merges_to_batch_sketch(spark, dirs, tmp_path):
+    """Per-micro-batch CMS deltas committed to the catalog sum to exactly
+    the sketch a single batch build produces over the union — the
+    mergeable-sketch exactly-once story — and flood estimates stay
+    one-sided (>= true count per host)."""
+    from webcrawler_spark.operators import sketches as SK
+    from webcrawler_spark.storage.catalog import Catalog
+
+    # two micro-batches of discovered URLs; host h0 floods in both
+    batches = [
+        [(f"https://h{i % 3}.test/p{j}",) for j in range(20) for i in range(1 + (j % 2))],
+        [("https://h0.test/x%d" % j,) for j in range(30)],
+    ]
+    for bi, rows in enumerate(batches):
+        pdf = pd.DataFrame(rows, columns=["url"])
+        os.makedirs(dirs["in"], exist_ok=True)
+        pdf.to_parquet(os.path.join(dirs["in"], f"b{bi}.parquet"))
+
+    keyed_stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dirs["in"])
+        .withColumn("host_fp", F.pmod(F.xxhash64(F.split_part(F.col("url"), F.lit("/"), F.lit(3))), F.lit(2**31)))
+    )
+    cat = Catalog(spark, str(tmp_path / "cms_cat"))
+    I.stream_cms_to_catalog(keyed_stream, cat, dirs["ckpt"], key_col="host_fp")
+
+    merged = I.merged_cms(cat, cat.last_committed_epoch())
+    all_rows = spark.read.parquet(dirs["in"]).withColumn(
+        "host_fp", F.pmod(F.xxhash64(F.split_part(F.col("url"), F.lit("/"), F.lit(3))), F.lit(2**31))
+    )
+    want = SK.build_cms(all_rows, "host_fp")
+    a = {(r["r"], r["col"], r["cnt"]) for r in merged.collect()}
+    b = {(r["r"], r["col"], r["cnt"]) for r in want.collect()}
+    assert a == b and len(a) > 0
+
+    truth = all_rows.groupBy("host_fp").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = SK.estimate_cms(merged, truth, "host_fp").collect()
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in est)
+    # the flooding host is identifiable from the sketch alone
+    top = max(est, key=lambda r: r["est_cnt"])
+    assert top["true_cnt"] == max(r["true_cnt"] for r in est)

@@ -316,3 +316,44 @@ def stream_to_catalog(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_cms_to_catalog(
+    keyed: DataFrame,
+    cat,
+    checkpoint: str,
+    key_col: str = "host_fp",
+    width: int = 256,
+    base_epoch: int = 0,
+    table: str = "cms_cells",
+) -> None:
+    """Streaming host-flood counters: each micro-batch commits its OWN
+    Count-Min sketch (operators/sketches.build_cms) as a catalog epoch —
+    ≤ depth×width rows per batch no matter the batch size. The global
+    sketch is the cell-wise SUM over the delta union (`merged_cms`): the
+    mergeable-sketch property means no read-modify-write, so exactly-once
+    falls out of the same replay-skip as :func:`stream_to_catalog`, and
+    the accumulated state a 10^10-URL discovery stream leaves behind is
+    KBs per batch instead of a per-host counter table."""
+    from ..operators import sketches as SK
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        delta = SK.build_cms(batch_df, key_col, width=width)
+        commit_stream_batch(cat, table, base_epoch + int(batch_id), delta)
+
+    q = (
+        keyed.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def merged_cms(cat, upto: int, table: str = "cms_cells") -> DataFrame:
+    """The global sketch over all committed micro-batches: cell-wise sum
+    (CMS merge) of the per-batch deltas."""
+    df = cat.read_delta_union(table, upto)
+    return df.groupBy("r", "col").agg(F.sum("cnt").alias("cnt"))
