@@ -104,3 +104,27 @@ def test_merge_postings_replace_semantics(spark, docs):
     # postings for those docs carry the updated tf only
     fresh = {r["doc_id"] for r in merged.filter(F.col("word") == "freshterm").collect()}
     assert fresh == set(half_ids)
+
+
+def test_positional_phrase_matches_scan_path(spark, docs):
+    """postings_phrase from the positional index == search_phrase from raw
+    text, doc-for-doc and count-for-count, incl. a 3-token phrase."""
+    from webcrawler_spark.operators import search as SE
+
+    pos = PO.build_positional_postings(docs, "text", "doc_id").cache()
+    for phrase in ["batch window", "customer batch window"]:
+        toks = phrase.split()
+        via_index = [
+            (r["doc_id"], r["phrase_freq"])
+            for r in PO.postings_phrase(pos, toks, k=100).collect()
+        ]
+        via_scan = [
+            (r["doc_id"], r["phrase_freq"])
+            for r in SE.search_phrase(docs, phrase, k=100).collect()
+        ]
+        assert via_index == via_scan, phrase
+    # positions are 1-based and dense per doc
+    agg = pos.groupBy("doc_id").agg(
+        F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count(F.lit(1)).alias("n")
+    )
+    assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0

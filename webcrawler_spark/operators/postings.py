@@ -136,3 +136,56 @@ def merge_postings(base: DataFrame, delta: DataFrame, id_col: str = "doc_id") ->
     delta_docs = delta.select(id_col).distinct()
     kept = base.join(delta_docs, id_col, "left_anti")
     return kept.unionByName(delta)
+
+
+def build_positional_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(word, doc_id, pos, bucket): the POSITIONAL index — what ES actually
+    stores to answer match_phrase without re-reading source text. One
+    posexplode; positions are 1-based over the analyzed token stream (the
+    same stream `phrase_count` scans), bucketed by term hash like
+    `build_postings` for query-time partition pruning."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos0", "word"),
+    )
+    return toks.select(
+        "word",
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.pmod(F.xxhash64("word"), F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+
+
+def postings_phrase(
+    positional: DataFrame,
+    phrase_tokens: list[str],
+    k: int = 20,
+) -> DataFrame:
+    """match_phrase answered FROM the positional index — identical results
+    to `search.search_phrase` (pinned in tests): the first term's postings
+    anchor candidate starts, each subsequent term joins on
+    (doc_id, pos = start + offset), adjacency falls out of the equi-join
+    keys. Per-term slices are scan-pruned exactly like postings_bm25; the
+    joins key on (doc, position) — co-partitioned after the first
+    shuffle, and survivor cardinality shrinks at every step."""
+    n = len(phrase_tokens)
+    cur = (
+        positional.filter(F.col("word") == phrase_tokens[0])
+        .select("doc_id", F.col("pos").alias("start"))
+    )
+    for j in range(1, n):
+        nxt = positional.filter(F.col("word") == phrase_tokens[j]).select(
+            "doc_id", (F.col("pos") - j).alias("start")
+        )
+        cur = cur.join(nxt, ["doc_id", "start"])
+    return (
+        cur.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("phrase_freq"))
+        .orderBy(F.desc("phrase_freq"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -4052,6 +4052,39 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# Positional index (postings.build_positional_postings + postings_phrase):
+# match_phrase answered from (word, doc, pos) rows — the first term anchors
+# candidate starts, adjacency is an equi-join on (doc, start+offset);
+# result-identical to the scan-time search_phrase (pinned in tests).
+
+
+def q_postings_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = PO.build_positional_postings(docs, "text", "doc_id")
+    return PO.postings_phrase(pos, ["batch", "window"], k=20)
+
+
+SQL_postings_phrase = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+pp AS (
+  SELECT doc_id, toks[pos] AS word, pos FROM (
+    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t)
+),
+p0 AS (SELECT doc_id, pos AS start FROM pp WHERE word = 'batch'),
+p1 AS (SELECT doc_id, pos - 1 AS start FROM pp WHERE word = 'window')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_freq
+FROM p0 JOIN p1 USING (doc_id, start)
+GROUP BY doc_id ORDER BY phrase_freq DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ES post_filter semantics (search.search_post_filter): facet counts on the
 # query result BEFORE the post filter, hit counts AFTER — per source bucket.
 
@@ -5674,6 +5707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urlset": q_sitemap_urlset,
     "meta_robots_gate": q_meta_robots_gate,
     "site_politeness": q_site_politeness,
+    "postings_phrase": q_postings_phrase,
     "search_post_filter": q_search_post_filter,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
@@ -5811,6 +5845,7 @@ ORACLE_SQL: dict[str, str] = {
     "sitemap_urlset": SQL_sitemap_urlset,
     "meta_robots_gate": SQL_meta_robots_gate,
     "site_politeness": SQL_site_politeness,
+    "postings_phrase": SQL_postings_phrase,
     "search_post_filter": SQL_search_post_filter,
     "cms_heavy_hitters": SQL_cms_heavy_hitters,
     "hll_cardinality": SQL_hll_cardinality,
