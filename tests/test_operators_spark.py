@@ -1126,3 +1126,35 @@ def test_hll_accuracy_and_merge(spark):
     est_s = SK.hll_estimate(SK.hll_registers(small, "key")).first()
     # 20 distinct keys, 64 registers: linear counting, usually dead-on
     assert abs(est_s["estimate"] - 20) <= 4
+
+
+def test_weighted_sample_aes_parity_and_bias(spark):
+    """weighted_sample (Efraimidis-Spirakis A-ES, deterministic u): exact
+    parity with a pure-Python replica; non-positive weights never selected;
+    a dominant weight always wins a slot."""
+    import math
+
+    from webcrawler_spark.operators import corpus as CP
+    from webcrawler_spark.operators.sketches import _P
+
+    rows = [(i, float((i * 13) % 29 + 1) / 7.0) for i in range(200)]
+    rows += [(500, 0.0), (501, -2.0)]      # must never be selected
+    rows += [(600, 10_000.0)]              # dominant weight: key ~ 0 (max)
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in CP.weighted_sample(df, "wt", n=30).collect()
+    ]
+
+    def key(i, w):
+        h = (48611 * (i % _P) + 7) % _P
+        u = (h + 1.0) / (_P + 1.0)
+        return round(math.log(u) / w, 9)
+
+    want = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:30]
+    assert got == want
+    ids = {i for i, _ in got}
+    assert 600 in ids and 500 not in ids and 501 not in ids

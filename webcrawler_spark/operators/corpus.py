@@ -512,3 +512,42 @@ def write_corpus_shards(
         .save(path)
     )
     return packed
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: int = 7,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    the A-ES one-pass scheme): each row draws key = u^(1/w) with u ~ U(0,1]
+    and the n largest keys are the sample — inclusion probabilities follow
+    the weights exactly, in one distributed pass with no sequential state.
+    This closes the DSIR loop: `dsir_importance` log-weights → exp →
+    weighted selection of the target-distribution-matched subset.
+
+    Determinism rule: u is not random — it derives from the same portable
+    Carter-Wegman hash family as `operators/sketches.py` (exact int64 in
+    any engine), u = (h + 1) / (P + 1) ∈ (0, 1], so reruns and the DuckDB
+    oracle reproduce the sample bit-for-bit. log-space keys (ln u / w)
+    avoid u^(1/w) underflow for tiny weights; ordering is identical.
+    Non-positive weights are excluded (zero-weight rows must never win).
+
+    100 TB shape: a projection + global top-n — and top-n here rides
+    `orderBy().limit(n)`, which Spark executes as per-partition partial
+    top-n + a driver-side merge of n-row heads (TakeOrderedAndProject),
+    never a full sort."""
+    from .sketches import _P
+
+    key = F.col(id_col)
+    h = (F.lit(48611) * (key % F.lit(_P)) + F.lit(salt)) % F.lit(_P)
+    u = (h.cast("double") + 1.0) / float(_P + 1)
+    log_key = F.log(u) / F.col(weight_col)
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("sample_key", F.round(log_key, 9))
+        .orderBy(F.desc("sample_key"), F.asc(id_col))
+        .limit(n)
+    )

@@ -4052,6 +4052,38 @@ JOIN sizes sb ON sb.host = pairs.host_b
 # The oracle recomputes the expected outcome arithmetically.
 
 
+# Weighted sampling without replacement (corpus.weighted_sample, Efraimidis
+# & Spirakis 2006): deterministic u from the portable hash, key = ln(u)/w,
+# global top-n — the DSIR-weighted subset selector.
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        (((F.col("n_chars") % 97) + 1).cast("double") / 10.0).alias("wt"),
+    )
+    return CP.weighted_sample(weighted, "wt", n=50).select("doc_id", "sample_key")
+
+
+SQL_weighted_sample = """
+WITH w AS (
+  SELECT doc_id, CAST((n_chars % 97) + 1 AS DOUBLE) / 10 AS wt FROM documents
+),
+k AS (
+  SELECT doc_id,
+         round(
+           ln((CAST((48611 * (doc_id % 2147483647) + 7) % 2147483647 AS DOUBLE) + 1.0)
+              / 2147483648.0) / wt, 9) AS sample_key
+  FROM w WHERE wt > 0
+)
+SELECT doc_id, sample_key FROM k
+ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+"""
+
+
 # Positional index (postings.build_positional_postings + postings_phrase):
 # match_phrase answered from (word, doc, pos) rows — the first term anchors
 # candidate starts, adjacency is an equi-join on (doc, start+offset);
@@ -5707,6 +5739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sitemap_urlset": q_sitemap_urlset,
     "meta_robots_gate": q_meta_robots_gate,
     "site_politeness": q_site_politeness,
+    "weighted_sample": q_weighted_sample,
     "postings_phrase": q_postings_phrase,
     "search_post_filter": q_search_post_filter,
     "cms_heavy_hitters": q_cms_heavy_hitters,
@@ -5845,6 +5878,7 @@ ORACLE_SQL: dict[str, str] = {
     "sitemap_urlset": SQL_sitemap_urlset,
     "meta_robots_gate": SQL_meta_robots_gate,
     "site_politeness": SQL_site_politeness,
+    "weighted_sample": SQL_weighted_sample,
     "postings_phrase": SQL_postings_phrase,
     "search_post_filter": SQL_search_post_filter,
     "cms_heavy_hitters": SQL_cms_heavy_hitters,
