@@ -1158,3 +1158,26 @@ def test_weighted_sample_aes_parity_and_bias(spark):
     assert got == want
     ids = {i for i, _ in got}
     assert 600 in ids and 500 not in ids and 501 not in ids
+
+
+def test_exact_heavy_hitters_equals_exact_groupby(spark):
+    """Two-pass CMS heavy hitters == plain groupBy-threshold, even with a
+    collision-heavy tiny width (one-sided error can only ADD candidates,
+    never drop a true heavy hitter; the exact pass removes the flukes)."""
+    from webcrawler_spark.operators import sketches as SK
+
+    rows = [(k % 50,) for k in range(3000)] + [(7,)] * 500 + [(13,)] * 200
+    df = spark.createDataFrame(rows, "host_id long")
+    for width in (8, 256):
+        got = [
+            (r["host_id"], r["cnt"])
+            for r in SK.exact_heavy_hitters(df, "host_id", min_count=100, width=width).collect()
+        ]
+        want = [
+            (r["host_id"], r["cnt"])
+            for r in df.groupBy("host_id").agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 100)
+            .orderBy(F.desc("cnt"), F.asc("host_id"))
+            .collect()
+        ]
+        assert got == want, width

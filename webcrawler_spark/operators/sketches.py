@@ -165,3 +165,37 @@ def hll_estimate(registers: DataFrame, b: int = 6) -> DataFrame:
         v.cast("int").alias("n_registers"),
         F.round(est, 4).alias("estimate"),
     )
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int,
+    width: int = 256,
+) -> DataFrame:
+    """EXACT frequency-threshold heavy hitters via the classic CMS two-pass:
+    pass 1 sketches the stream; candidates = keys whose ESTIMATE clears the
+    threshold (one-sided error ⇒ every true heavy hitter is a candidate —
+    no false negatives, guaranteed); pass 2 exactly counts candidates only.
+
+    100 TB shape, stated honestly: in a one-shot batch the candidate pass
+    (distinct keys probed against the sketch) costs the same exchange
+    class as an exact groupBy — the two-pass shape pays off when pass 1's
+    sketch ALREADY EXISTS: the streaming flood counter
+    (`streaming.ingest.merged_cms`) accumulates it per micro-batch with
+    KBs of state, and this operator is then the cheap exact VERIFIER —
+    a broadcast semi-join of the corpus against the (heavy hitters +
+    collision flukes) candidate set, no full-corpus counter table ever
+    materialized in stream state."""
+    cms = build_cms(df, key_col, width=width)
+    keys = df.select(key_col).distinct()
+    cand = estimate_cms(cms, keys, key_col, width=width).filter(
+        F.col("est_cnt") >= min_count
+    ).select(key_col)
+    exact = (
+        df.join(F.broadcast(cand), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    return exact.orderBy(F.desc("cnt"), F.asc(key_col))

@@ -4204,6 +4204,51 @@ FROM est ORDER BY true_cnt DESC, host_id ASC LIMIT 20
 """
 
 
+# CMS two-pass exact heavy hitters (sketches.exact_heavy_hitters): the
+# sketch's one-sided error means candidates can't miss a true heavy hitter;
+# the exact pass counts candidates only.
+
+
+def q_exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders")
+    key = F.when(
+        F.col("o_orderkey") % 4 != 0, (F.col("o_custkey") % 7).cast("long")
+    ).otherwise((F.col("o_custkey") % 1000).cast("long"))
+    keyed = orders.select(key.alias("host_id"))
+    return SK.exact_heavy_hitters(keyed, "host_id", min_count=500, width=64)
+
+
+SQL_exact_heavy_hitters = """
+WITH keyed AS (
+  SELECT CASE WHEN o_orderkey % 4 != 0 THEN o_custkey % 7
+              ELSE o_custkey % 1000 END AS host_id
+  FROM orders
+),
+params(r, a, b) AS (VALUES (0, 911, 13), (1, 3571, 97),
+                           (2, 181081, 1009), (3, 2718281, 31)),
+cells AS (
+  SELECT p.r, ((p.a * (k.host_id % 2147483647) + p.b) % 2147483647) % 64 AS col,
+         count(*) AS cnt
+  FROM keyed k CROSS JOIN params p GROUP BY p.r, col
+),
+cand AS (
+  SELECT d.host_id
+  FROM (SELECT DISTINCT host_id FROM keyed) d CROSS JOIN params p
+  LEFT JOIN cells c
+    ON c.r = p.r
+   AND c.col = ((p.a * (d.host_id % 2147483647) + p.b) % 2147483647) % 64
+  GROUP BY d.host_id
+  HAVING min(coalesce(c.cnt, 0)) >= 500
+)
+SELECT k.host_id, CAST(count(*) AS BIGINT) AS cnt
+FROM keyed k JOIN cand USING (host_id)
+GROUP BY k.host_id HAVING count(*) >= 500
+ORDER BY cnt DESC, host_id ASC
+"""
+
+
 # HyperLogLog cardinality (operators/sketches.py): the ES `cardinality`
 # aggregation implemented openly — 64 registers, portable Carter-Wegman
 # hash, arithmetic leading-zero rank; raw estimator + linear-counting
@@ -5744,6 +5789,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_post_filter": q_search_post_filter,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "hll_cardinality": q_hll_cardinality,
+    "exact_heavy_hitters": q_exact_heavy_hitters,
     "anchor_text_index": q_anchor_text_index,
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
@@ -5883,6 +5929,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_post_filter": SQL_search_post_filter,
     "cms_heavy_hitters": SQL_cms_heavy_hitters,
     "hll_cardinality": SQL_hll_cardinality,
+    "exact_heavy_hitters": SQL_exact_heavy_hitters,
     "anchor_text_index": SQL_anchor_text_index,
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
