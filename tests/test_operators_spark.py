@@ -989,6 +989,14 @@ def test_meta_robots_flags_variants(spark):
         ('<meta name="robots" content="noindex"><meta name="robots" content="nofollow">', True, True),
         ('<meta name="description" content="noindex nofollow">', False, False),
         ("no meta at all", False, False),
+        # unquoted content attribute (valid HTML) — must match
+        ("<meta name=robots content=noindex>", True, False),
+        ('<meta name="robots" content=none>', True, True),
+        ("<meta content=nofollow name=robots>", False, True),
+        # robots-PREFIXED name values are NOT robots directives
+        ('<meta name="robots-nocontent" content="noindex">', False, False),
+        ("<meta name=robotsx content=noindex>", False, False),
+        ('<meta content="noindex" name="robots-nocontent">', False, False),
     ]
     df = spark.createDataFrame(
         [(f"<html><head>{h}</head></html>",) for h, _, _ in cases], "html string"
@@ -1181,3 +1189,47 @@ def test_exact_heavy_hitters_equals_exact_groupby(spark):
             .collect()
         ]
         assert got == want, width
+
+
+def test_estimate_cms_empty_sketch_returns_zero(spark):
+    """estimate_cms on an EMPTY sketch (a merged CMS before any committed
+    batch) estimates every probe key at 0 instead of crashing on the
+    null max-depth row."""
+    from webcrawler_spark.operators import sketches as SK
+
+    keyed = spark.createDataFrame([(i,) for i in range(20)], "host_id long")
+    empty = SK.build_cms(keyed, "host_id").filter(F.lit(False))
+    est = SK.estimate_cms(empty, keyed.limit(5), "host_id")
+    rows = est.collect()
+    assert len(rows) == 5 and all(r["est_cnt"] == 0 for r in rows)
+
+
+def test_weighted_sample_string_ids(spark):
+    """weighted_sample over a STRING id column (the crawl corpus keys docs
+    by url_norm): ids hash through the portable rolling fingerprint to a
+    non-negative int64 — exact parity with a pure-Python replica, and two
+    distinct ids never share a u by construction of the fp domain."""
+    import math
+
+    from webcrawler_spark.operators import corpus as CP
+    from webcrawler_spark.operators.sketches import _P
+    from webcrawler_spark.operators.textstats import _rolling_fp
+
+    rows = [(f"https://site{i}.com/p", float((i * 13) % 29 + 1) / 7.0) for i in range(200)]
+    rows += [("https://zero.com/", 0.0)]  # must never be selected
+    df = spark.createDataFrame(rows, "doc_id string, wt double")
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in CP.weighted_sample(df, "wt", n=30).collect()
+    ]
+
+    def key(i, w):
+        h = (48611 * (_rolling_fp(i) % _P) + 7) % _P
+        u = (h + 1.0) / (_P + 1.0)
+        return round(math.log(u) / w, 9)
+
+    want = sorted(
+        ((i, key(i, w)) for i, w in rows if w > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:30]
+    assert got == want

@@ -31,17 +31,24 @@ def sys_busy_cores_over(t0_snap, t1_snap, ncpu: int) -> float:
     return (1 - di / dt) * ncpu if dt else 0.0
 
 
-def synth_frontier(spark, n_urls: int, n_hosts: int = 1000):
+def synth_frontier(
+    spark,
+    n_urls: int,
+    n_hosts: int = 1000,
+    hot_hosts: int = 3,
+    hot_frac: float = 0.3,
+):
     """Skewed synthetic URL frontier, generated entirely JVM-side:
-    ~30% of URLs land on 3 hot hosts (the skew the salted top-k handles);
-    URL variants embed normalization traps (utm params, case, ports,
+    ``hot_frac`` of URLs land on ``hot_hosts`` hot hosts (default ~30% on 3
+    — the skew the salted top-k handles; the skew-stress bench uses 50% on
+    1); URL variants embed normalization traps (utm params, case, ports,
     trailing slashes) so the canonicalize UDF does real work."""
     from pyspark.sql import functions as F
 
     df = spark.range(n_urls)
     h = F.pmod(F.xxhash64("id"), F.lit(10000))
-    host_id = F.when(h < 3000, F.pmod(h, F.lit(3))).otherwise(
-        F.pmod(h, F.lit(n_hosts - 3)) + 3
+    host_id = F.when(h < int(hot_frac * 10000), F.pmod(h, F.lit(hot_hosts))).otherwise(
+        F.pmod(h, F.lit(n_hosts - hot_hosts)) + hot_hosts
     )
     variant = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5))
     base = F.concat(
@@ -63,9 +70,19 @@ def synth_frontier(spark, n_urls: int, n_hosts: int = 1000):
     )
 
 
-def frontier_bench(spark, n_urls: int) -> dict:
+def frontier_bench(
+    spark,
+    n_urls: int,
+    salt: int | None = None,
+    hot_hosts: int = 3,
+    hot_frac: float = 0.3,
+) -> dict:
     """Timed: canonicalize -> fingerprint -> anti-join dedup -> priority ->
-    politeness schedule -> count. Returns urls/sec."""
+    politeness schedule -> count. Returns urls/sec.
+
+    ``salt``/``hot_hosts``/``hot_frac`` parameterize the skew-stress
+    variant (50% of URLs on ONE host, salting on vs off); defaults are the
+    standard north-rule frontier."""
     from pyspark.sql import functions as F
 
     import os as _os_cfg
@@ -78,20 +95,20 @@ def frontier_bench(spark, n_urls: int) -> dict:
     # salt knob: 3 hot hosts hold 30% of an n-URL frontier, so each
     # (host, salt) sort group sees ~0.1*n/salt rows vs ~n/1000 for a cold
     # host — the pre-rank window's straggler tail scales down with salt
-    cfg = CrawlConfig(
-        epoch_seconds=60,
-        hot_host_salt=int(_os_cfg.environ.get("SPARK_GRAFT_BENCH_SALT", "8")),
-    )
+    if salt is None:
+        salt = int(_os_cfg.environ.get("SPARK_GRAFT_BENCH_SALT", "8"))
+    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=salt)
 
     # seen set: first half of the id space, canonical fps (setup, untimed)
     seen = (
-        D.canonicalize(synth_frontier(spark, n_urls // 2))
+        D.canonicalize(synth_frontier(spark, n_urls // 2, hot_hosts=hot_hosts,
+                                      hot_frac=hot_frac))
         .select("url_fp")
         .persist()
     )
     seen.count()
 
-    candidates = synth_frontier(spark, n_urls)
+    candidates = synth_frontier(spark, n_urls, hot_hosts=hot_hosts, hot_frac=hot_frac)
     import os as _os
 
     try:
@@ -143,6 +160,7 @@ def frontier_bench(spark, n_urls: int) -> dict:
     seen.unpersist()
     return {
         "n_urls": n_urls,
+        "salt": salt,
         "n_scheduled": n_scheduled,
         "n_deferred": n_deferred,
         "seconds": round(elapsed, 3),

@@ -329,22 +329,32 @@ def url_quality_gate(
 # page, nofollow = do not follow its links, none = both. Multiple tags (and
 # attribute order variants) combine restrictively per Google/REP docs.
 
-_MR_NAME_FIRST = (
-    r"""(?is)<meta\b[^>]*\bname\s*=\s*["']?\s*robots\s*["']?[^>]*"""
-    r"""\bcontent\s*=\s*["']([^"'>]*)"""
-)
-_MR_CONTENT_FIRST = (
-    r"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']([^"'>]*)["'][^>]*"""
-    r"""\bname\s*=\s*["']?\s*robots\s*["']?"""
+# name="robots" must match EXACTLY (quoted with optional inner whitespace,
+# or unquoted followed by a terminator consumed from the char class — NOT a
+# lookahead, so the DuckDB oracle's RE2 engine can run the identical
+# pattern): `name="robots-nocontent"` and any other robots-prefixed
+# attribute value must NOT register as a robots directive. The name-first
+# fragment excludes `>` from the terminator so the match can never escape
+# the tag; the name-last fragment allows `>` (nothing follows the name).
+_MR_NAME_FIRST_FRAG = r"""\bname\s*=\s*(?:["']\s*robots\s*["']|robots[\s/])"""
+_MR_NAME_LAST_FRAG = r"""\bname\s*=\s*(?:["']\s*robots\s*["']|robots[\s/>])"""
+
+# content value: quoted (may contain commas/whitespace) or unquoted (a
+# single HTML token, valid per the spec: <meta name=robots content=noindex>)
+_MR_PATTERNS = (
+    rf"""(?is)<meta\b[^>]*{_MR_NAME_FIRST_FRAG}[^>]*\bcontent\s*=\s*["']([^"'>]*)""",
+    rf"""(?is)<meta\b[^>]*{_MR_NAME_FIRST_FRAG}[^>]*\bcontent\s*=\s*([^\s"'>]+)""",
+    rf"""(?is)<meta\b[^>]*\bcontent\s*=\s*["']([^"'>]*)["'][^>]*{_MR_NAME_LAST_FRAG}""",
+    rf"""(?is)<meta\b[^>]*\bcontent\s*=\s*([^\s"'>]+)[^>]*{_MR_NAME_LAST_FRAG}""",
 )
 
 
 def _meta_robots_tokens(html: Column) -> Column:
     """Lowercased, whitespace-stripped directive tokens from EVERY robots
-    meta tag in the document (both attribute orders)."""
+    meta tag in the document (both attribute orders, quoted or unquoted
+    attribute values)."""
     contents = F.concat(
-        F.regexp_extract_all(html, F.lit(_MR_NAME_FIRST), F.lit(1)),
-        F.regexp_extract_all(html, F.lit(_MR_CONTENT_FIRST), F.lit(1)),
+        *[F.regexp_extract_all(html, F.lit(p), F.lit(1)) for p in _MR_PATTERNS]
     )
     return F.flatten(
         F.transform(

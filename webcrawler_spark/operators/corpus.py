@@ -535,13 +535,26 @@ def weighted_sample(
     avoid u^(1/w) underflow for tiny weights; ordering is identical.
     Non-positive weights are excluded (zero-weight rows must never win).
 
+    Non-integral id columns (the crawl corpus keys docs by url_norm, a
+    string) are first hashed to a non-negative int64 with the same
+    portable polynomial fingerprint as `operators/sketches.py` keys —
+    `key % _P` on a raw string would null out and every row would draw
+    the same u. Integral ids are used directly (oracle-replayable as
+    plain arithmetic).
+
     100 TB shape: a projection + global top-n — and top-n here rides
     `orderBy().limit(n)`, which Spark executes as per-partition partial
     top-n + a driver-side merge of n-row heads (TakeOrderedAndProject),
     never a full sort."""
     from .sketches import _P
 
-    key = F.col(id_col)
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    if dict(docs.dtypes).get(id_col) in _INTEGRAL:
+        key = F.col(id_col)
+    else:
+        from .textstats import doc_fingerprint_udf
+
+        key = F.pmod(doc_fingerprint_udf(F.col(id_col).cast("string")), F.lit(_P))
     h = (F.lit(48611) * (key % F.lit(_P)) + F.lit(salt)) % F.lit(_P)
     u = (h.cast("double") + 1.0) / float(_P + 1)
     log_key = F.log(u) / F.col(weight_col)

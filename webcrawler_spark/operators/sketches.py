@@ -66,8 +66,11 @@ def estimate_cms(
 ) -> DataFrame:
     """Adds `est_cnt` = min over the sketch rows of the key's cell counts
     (0 when a cell was never touched). One broadcast join of the ≤
-    depth×width-row sketch; estimate ≥ true count always."""
-    depth = cms.agg(F.max("r")).first()[0] + 1
+    depth×width-row sketch; estimate ≥ true count always. An EMPTY sketch
+    (e.g. a merged CMS before any committed batch) estimates every key at
+    0 — probe at full depth against zero-filled cells."""
+    max_r = cms.agg(F.max("r")).first()[0]
+    depth = len(PARAMS) if max_r is None else max_r + 1
     probes = keys.select(
         "*",
         F.explode(

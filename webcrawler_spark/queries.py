@@ -4375,7 +4375,7 @@ def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import columns as C
 
     orders = _t(spark, sf_dir, "orders")
-    m = F.col("o_orderkey") % 5
+    m = F.col("o_orderkey") % 7
     html = F.concat(
         F.lit("<html><head>"),
         F.when(m == 0, F.lit('<meta name="robots" content="noindex, follow">'))
@@ -4383,6 +4383,9 @@ def q_meta_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.lit('<meta name=robots content="None">'))
         .when(m == 3, F.lit('<meta name="robots" content="noindex">'
                             '<meta name="robots" content="nofollow">'))
+        .when(m == 4, F.lit('<meta name=robots content=noindex>'))
+        .when(m == 5, F.lit('<meta name="robots-nocontent" content="noindex">'
+                            '<meta name=robotsx content=nofollow>'))
         .otherwise(F.lit('<meta name="description" content="nofollow noindex decoy">')),
         F.lit("</head><body></body></html>"),
     )
@@ -4401,18 +4404,22 @@ SQL_meta_robots_gate = r"""
 WITH pages AS (
   SELECT o_orderkey AS k,
          '<html><head>' ||
-         CASE WHEN o_orderkey % 5 = 0 THEN '<meta name="robots" content="noindex, follow">'
-              WHEN o_orderkey % 5 = 1 THEN '<meta content="NOFOLLOW" name="robots">'
-              WHEN o_orderkey % 5 = 2 THEN '<meta name=robots content="None">'
-              WHEN o_orderkey % 5 = 3 THEN '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'
+         CASE WHEN o_orderkey % 7 = 0 THEN '<meta name="robots" content="noindex, follow">'
+              WHEN o_orderkey % 7 = 1 THEN '<meta content="NOFOLLOW" name="robots">'
+              WHEN o_orderkey % 7 = 2 THEN '<meta name=robots content="None">'
+              WHEN o_orderkey % 7 = 3 THEN '<meta name="robots" content="noindex"><meta name="robots" content="nofollow">'
+              WHEN o_orderkey % 7 = 4 THEN '<meta name=robots content=noindex>'
+              WHEN o_orderkey % 7 = 5 THEN '<meta name="robots-nocontent" content="noindex"><meta name=robotsx content=nofollow>'
               ELSE '<meta name="description" content="nofollow noindex decoy">' END ||
          '</head><body></body></html>' AS html
   FROM orders
 ),
 toks AS (
   SELECT k, unnest(flatten(list_transform(
-           regexp_extract_all(html, '(?is)<meta\b[^>]*\bname\s*=\s*["'']?\s*robots\s*["'']?[^>]*\bcontent\s*=\s*["'']([^"''>]*)', 1)
-           || regexp_extract_all(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']([^"''>]*)["''][^>]*\bname\s*=\s*["'']?\s*robots\s*["'']?', 1),
+           regexp_extract_all(html, '(?is)<meta\b[^>]*\bname\s*=\s*(?:["'']\s*robots\s*["'']|robots[\s/])[^>]*\bcontent\s*=\s*["'']([^"''>]*)', 1)
+           || regexp_extract_all(html, '(?is)<meta\b[^>]*\bname\s*=\s*(?:["'']\s*robots\s*["'']|robots[\s/])[^>]*\bcontent\s*=\s*([^\s"''>]+)', 1)
+           || regexp_extract_all(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*["'']([^"''>]*)["''][^>]*\bname\s*=\s*(?:["'']\s*robots\s*["'']|robots[\s/>])', 1)
+           || regexp_extract_all(html, '(?is)<meta\b[^>]*\bcontent\s*=\s*([^\s"''>]+)[^>]*\bname\s*=\s*(?:["'']\s*robots\s*["'']|robots[\s/>])', 1),
            c -> string_split(regexp_replace(lower(c), '\s+', '', 'g'), ',')))) AS t
   FROM pages
 ),

@@ -30,6 +30,9 @@ def session_confs(shuffle_partitions: int) -> dict[str, str]:
         "spark.sql.files.maxPartitionBytes": "128m",
         "spark.sql.session.timeZone": "UTC",
         "spark.ui.enabled": "false",
+        # keep stdout/stderr clean for harnesses that parse output lines
+        # (the driver's bench tail window is small; progress bars pollute it)
+        "spark.ui.showConsoleProgress": "false",
         "spark.sql.autoBroadcastJoinThreshold": "32m",
     }
     # shuffle/spill on tmpfs when available: local-mode shuffle writes are
