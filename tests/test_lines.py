@@ -283,3 +283,52 @@ def test_ccnet_normalize_python_parity_and_dedup_effect(spark):
     hashes = {hashlib.md5(got[i].encode()).hexdigest() for i in range(3)}
     assert len(hashes) == 1
     assert got[3] != got[0]
+
+
+def test_ccnet_normalize_nfd_multiscript_parity(spark):
+    """ccnet_normalize_nfd (opt-in exact-NFD variant): matches a
+    pure-Python unicodedata.normalize('NFD') re-derivation on a
+    multi-script fixture, folds accents the Latin-1 translate table
+    cannot (Polish ś/ż, Czech ř/ě, Vietnamese tone stacks, combining
+    sequences), and agrees byte-for-byte with the codegen default on
+    Latin-1-only text."""
+    import re
+    import unicodedata
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import textstats as T
+
+    def py_norm_nfd(t):
+        s = unicodedata.normalize("NFD", t.lower())
+        s = "".join(c for c in s if not unicodedata.combining(c))
+        s = s.translate(str.maketrans(T.CCNET_DIGITS_SRC, T.CCNET_DIGITS_DST))
+        s = re.sub(r"\s+", " ", s)
+        s = re.sub(r"[^a-z0 ]", "", s)
+        s = re.sub(r" +", " ", s)
+        return s.strip()
+
+    texts = [
+        "The Café costs 1234 dollars, really!",   # Latin-1 (both paths agree)
+        "Zażółć gęślą jaźń 42",                  # Polish beyond Latin-1
+        "Příliš žluťoučký kůň úpěl ďábelské ódy", # Czech
+        "Tiếng Việt có dấu thanh điệu",           # Vietnamese tone stacks
+        "café vs café",                # combining vs precomposed é
+        "naïve – déjà vu… 99 problems",
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    out = df.select(
+        "doc_id",
+        T.ccnet_normalize_nfd(F.col("text")).alias("nfd"),
+        T.ccnet_normalize(F.col("text")).alias("latin1"),
+    ).collect()
+    got = {r["doc_id"]: (r["nfd"], r["latin1"]) for r in out}
+    for i, t in enumerate(texts):
+        assert got[i][0] == py_norm_nfd(t), (i, got[i][0], py_norm_nfd(t))
+    # Latin-1-only text: both variants byte-identical
+    assert got[0][0] == got[0][1]
+    # combining and precomposed é normalize to the same form
+    assert got[4][0] == "cafe vs cafe"
+    # Polish ż/ź fold only on the NFD path (translate table lacks them)
+    assert "zazo" in got[1][0] and "zazo" not in got[1][1]

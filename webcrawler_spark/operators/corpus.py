@@ -449,6 +449,7 @@ def sequence_plan(
     source_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Training-sequence packing plan: map each doc onto the fixed-length
     token sequences it feeds (the final LLM-data step — documents
@@ -464,9 +465,18 @@ def sequence_plan(
 
     Per-source streams keep the window partitioned (pack_shards' rule: a
     GLOBAL order cumsum would be a single-partition window); training
-    mixtures are assembled per source anyway. Empty docs are dropped."""
+    mixtures are assembled per source anyway. Empty docs are dropped.
+
+    ``n_tokens_col`` swaps the whitespace token count for a precomputed
+    per-doc count column (e.g. BPE subword lengths from
+    ``bpe.encode_docs`` — see ``bpe_sequence_plan``) so token budgets
+    reflect the real tokenizer the training run will use."""
     w = Window.partitionBy(source_col).orderBy(id_col)
-    n = whitespace_tokens(F.col(text_col))
+    n = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else whitespace_tokens(F.col(text_col))
+    )
     d = docs.select(
         F.col(source_col).alias("source"), F.col(id_col).alias("doc_id"), n.alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
@@ -481,6 +491,30 @@ def sequence_plan(
         .cast("long")
         .alias("seq_last"),
         (F.col("cum_before") % seq_len).cast("long").alias("first_offset"),
+    )
+
+
+def bpe_sequence_plan(
+    docs: DataFrame,
+    merges: list[dict],
+    seq_len: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``sequence_plan`` with REAL tokenizer lengths: per-doc token counts
+    come from the learned BPE merges (``bpe.encode_docs`` — vocab-side
+    rewrite + broadcast join, so merges touch each distinct word once)
+    instead of whitespace tokens. The packing arithmetic is unchanged;
+    only the n_tokens feeding the cumulative-sum window differs, so
+    sequence budgets match what the training run's tokenizer will
+    actually emit."""
+    from . import bpe as B
+
+    counts = B.encode_docs(docs, merges, id_col=id_col, text_col=text_col)
+    d = docs.select(F.col(source_col), F.col(id_col)).join(counts, id_col)
+    return sequence_plan(
+        d, seq_len, source_col, id_col, text_col, n_tokens_col="n_subwords"
     )
 
 

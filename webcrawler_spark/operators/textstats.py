@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, StringType
 
 # shared stopword list (subset of english stopwords; fixed so Spark and the
 # DuckDB oracle agree byte-for-byte)
@@ -133,6 +133,36 @@ def ccnet_normalize(text: Column) -> Column:
     s = F.translate(s, CCNET_DIGITS_SRC, CCNET_DIGITS_DST)
     # all whitespace -> space BEFORE punct strip, so newline-separated words
     # don't concatenate when the punct class eats the separator
+    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, "[^a-z0 ]", "")
+    s = F.regexp_replace(s, " +", " ")
+    return F.trim(s)
+
+
+@pandas_udf(StringType())
+def _nfd_fold_udf(text: pd.Series) -> pd.Series:
+    """Exact accent folding: lowercase, canonical NFD decomposition,
+    strip combining marks (stdlib unicodedata; one Arrow batch per call)."""
+    import unicodedata
+
+    def fold(t: str | None) -> str:
+        t = unicodedata.normalize("NFD", (t or "").lower())
+        return "".join(c for c in t if not unicodedata.combining(c))
+
+    return text.map(fold)
+
+
+def ccnet_normalize_nfd(text: Column) -> Column:
+    """Opt-in exact-NFD variant of :func:`ccnet_normalize` (DELTAS #16):
+    accent folding runs as a full canonical decomposition + combining-mark
+    strip in an Arrow-batched UDF, giving Wenzek et al. parity beyond the
+    Latin-1-supplement translate table (Polish ś/ź, Czech ř/ě, Vietnamese
+    tone stacks, fullwidth-composed sequences…). Every downstream step is
+    byte-identical to the codegen default, so on Latin-1-only text the two
+    variants agree exactly. The translate-table version stays the hot-path
+    default: this one crosses the JVM↔Arrow boundary once per batch."""
+    s = _nfd_fold_udf(text)
+    s = F.translate(s, CCNET_DIGITS_SRC, CCNET_DIGITS_DST)
     s = F.regexp_replace(s, r"\s+", " ")
     s = F.regexp_replace(s, "[^a-z0 ]", "")
     s = F.regexp_replace(s, " +", " ")

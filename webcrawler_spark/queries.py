@@ -1393,6 +1393,63 @@ FROM norm
 """
 
 
+# exact-NFD variant (textstats.ccnet_normalize_nfd, DELTAS #16): accent
+# folding via full canonical decomposition + combining-mark strip, beyond
+# the Latin-1 translate table. Oracle: DuckDB's utf8proc-backed
+# strip_accents(lower(x)) computes the identical fold (probed equal to
+# unicodedata NFD on Polish/Czech/Vietnamese/combining fixtures).
+_CCNET_NFD_FIXTURE: list[tuple[int, str]] = [
+    (-1, "Héllo,  Wörld!\nCafé #42 — costs 1234 dollars…"),
+    (-2, "Zażółć gęślą jaźń 42"),
+    (-3, "Příliš žluťoučký kůň úpěl ďábelské ódy"),
+    (-4, "Tiếng Việt có dấu thanh điệu"),
+    (-5, "café vs café"),  # combining vs precomposed é
+    (-6, "   already clean lower text   "),
+    (-7, ""),
+]
+
+
+def q_ccnet_nfd_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fix = spark.createDataFrame(_CCNET_NFD_FIXTURE, "doc_id long, text string")
+    norm = T.ccnet_normalize_nfd(F.col("text"))
+    return docs.unionByName(fix).select(
+        "doc_id",
+        F.length(norm).cast("int").alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+def _sql_ccnet_nfd_hash() -> str:
+    from .operators.textstats import CCNET_DIGITS_DST, CCNET_DIGITS_SRC
+
+    vals = ",\n  ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _CCNET_NFD_FIXTURE
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {vals}) AS fx(doc_id, text)
+),
+norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+             translate(strip_accents(lower(text)),
+                       '{CCNET_DIGITS_SRC}', '{CCNET_DIGITS_DST}'),
+             '\\s+', ' ', 'g'),
+             '[^a-z0 ]', '', 'g'),
+             ' +', ' ', 'g')) AS n
+  FROM corpus
+)
+SELECT doc_id, CAST(length(n) AS INT) AS norm_len, md5(n) AS norm_md5
+FROM norm
+"""
+
+
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021, A1.1) per doc: duplicate
     segment fractions + top-2-gram / duplicated-3-gram char fractions.
@@ -5678,17 +5735,21 @@ def q_bpe_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return B.subword_vocab(docs, n_merges=_BPE_ROUNDS)
 
 
-def _sql_bpe_chain(n: int = _BPE_ROUNDS) -> str:
+def _sql_bpe_chain(n: int = _BPE_ROUNDS, keep_word: bool = False) -> str:
     """Unrolled BPE rounds: v0 = char-wrapped word vocab; round r = pair
-    counts over v{r-1} -> deterministic argmax b{r} -> rewritten v{r}."""
-    parts = ["""WITH words AS (
+    counts over v{r-1} -> deterministic argmax b{r} -> rewritten v{r}.
+    ``keep_word`` carries the source word through every vocab CTE so
+    downstream SQL can join per-word subword lengths back onto doc
+    occurrences (the bpe_sequence_plan oracle)."""
+    w = "word, " if keep_word else ""
+    parts = [f"""WITH words AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(list_filter(string_split_regex(lower(text),
                  '[^a-z0-9]+'), w -> w != '')) AS word FROM documents)
   GROUP BY word
 ),
 v0 AS MATERIALIZED (
-  SELECT '(' || array_to_string(
+  SELECT {w}'(' || array_to_string(
            list_transform(range(1, length(word) + 1), i -> word[i]), ')(')
          || ')(_)' AS wrapped, freq
   FROM words
@@ -5707,7 +5768,7 @@ p{r} AS (
 b{r} AS MATERIALIZED (SELECT pair, replace(pair, ')(', '') AS merged, cnt
          FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
 v{r} AS MATERIALIZED (
-  SELECT replace(wrapped, (SELECT pair FROM b{r}),
+  SELECT {w}replace(wrapped, (SELECT pair FROM b{r}),
                  (SELECT merged FROM b{r})) AS wrapped, freq
   FROM v{r - 1}
 )""")
@@ -5726,6 +5787,55 @@ FROM (SELECT string_split(substr(wrapped, 2, length(wrapped) - 2),
                           ')(') AS s, freq FROM v{_BPE_ROUNDS}),
      unnest(s) AS t(sym)
 GROUP BY 1
+"""
+
+
+# BPE-aware sequence packing (corpus.bpe_sequence_plan): the packing
+# cumulative-sum window fed by LEARNED-tokenizer lengths (bpe.encode_docs)
+# instead of whitespace counts — token budgets match what the training
+# tokenizer will actually emit. Oracle: the unrolled BPE chain carries the
+# word through the vocab rewrites, joins per-word subword lengths back
+# onto doc occurrences, then replays the same per-source cumsum.
+
+
+def q_bpe_sequence_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe as B
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, n_merges=_BPE_ROUNDS)
+    return CP.bpe_sequence_plan(docs, merges, seq_len=512)
+
+
+SQL_bpe_sequence_plan = _sql_bpe_chain(keep_word=True) + f"""
+, wsub AS (
+  SELECT word,
+         CAST(len(string_split(substr(wrapped, 2, length(wrapped) - 2),
+                               ')(')) AS BIGINT) AS n_sub
+  FROM v{_BPE_ROUNDS}
+),
+occ AS (
+  SELECT source, doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w != '')) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT source, doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tokens
+  FROM occ JOIN wsub USING (word)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+              - n_tokens AS BIGINT) AS cum_before
+  FROM per_doc
+)
+SELECT source, doc_id, n_tokens, cum_before,
+       CAST(cum_before // 512 AS BIGINT) AS seq_first,
+       CAST((cum_before + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+       CAST(cum_before % 512 AS BIGINT) AS first_offset
+FROM cum
 """
 
 
@@ -5777,6 +5887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "c4_line_filter": q_c4_line_filter,
     "wet_roundtrip": q_wet_roundtrip,
     "ccnet_norm_hash": q_ccnet_norm_hash,
+    "ccnet_nfd_hash": q_ccnet_nfd_hash,
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality": q_gopher_quality,
     "resolve_redirects": q_resolve_redirects,
@@ -5842,6 +5953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ccnet_pipeline": q_ccnet_pipeline,
     "bpe_merges": q_bpe_merges,
     "bpe_vocab_counts": q_bpe_vocab_counts,
+    "bpe_sequence_plan": q_bpe_sequence_plan,
     "search_match_all_sorted": q_search_match_all_sorted,
     "url_quality_gate": q_url_quality_gate,
     "anchor_search": q_anchor_search,
@@ -5917,6 +6029,7 @@ ORACLE_SQL: dict[str, str] = {
     "c4_line_filter": SQL_c4_line_filter,
     "wet_roundtrip": SQL_wet_roundtrip,
     "ccnet_norm_hash": _sql_ccnet_norm_hash(),
+    "ccnet_nfd_hash": _sql_ccnet_nfd_hash(),
     "gopher_repetition": SQL_gopher_repetition,
     "gopher_quality": _sql_gopher_quality(),
     "resolve_redirects": SQL_resolve_redirects,
@@ -5982,6 +6095,7 @@ ORACLE_SQL: dict[str, str] = {
     "ccnet_pipeline": _sql_ccnet_pipeline(),
     "bpe_merges": SQL_bpe_merges,
     "bpe_vocab_counts": SQL_bpe_vocab_counts,
+    "bpe_sequence_plan": SQL_bpe_sequence_plan,
     "search_match_all_sorted": SQL_search_match_all_sorted,
     "url_quality_gate": _sql_url_quality_gate(),
     "anchor_search": SQL_anchor_search,
