@@ -419,3 +419,59 @@ def test_ivfpq_is_cell_filtered_pq(spark):
     }
     for r in got:
         assert r["approx_dist"] == full[r["vec_id"]]
+
+
+# ---- batch ANN + recall eval (similarity.brute_topk_batch / ivf_topk_batch /
+# ann_recall) ----------------------------------------------------------------
+
+
+def _emb_and_queries(spark, n_q=3):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = (
+        emb.orderBy(F.asc("vec_id"))
+        .limit(n_q)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    )
+    return emb, qs
+
+
+def test_brute_topk_batch_matches_per_query(spark):
+    """The batched exact top-k must equal brute_force_topk run per query."""
+    emb, qs = _emb_and_queries(spark)
+    batch = SIM.brute_topk_batch(emb, qs, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cos_sim"]))
+    for q in qs.collect():
+        single = SIM.brute_force_topk(emb, list(q["qv"]), k=5).collect()
+        want = [(i + 1, r["vec_id"], r["cos_sim"]) for i, r in enumerate(single)]
+        assert sorted(got[q["query_id"]]) == want, q["query_id"]
+
+
+def test_ivf_topk_batch_matches_per_query(spark):
+    """The no-driver-loop IVF batch path must equal ivf_topk per query
+    (same deterministic index: identical init + Lloyd rounds)."""
+    emb, qs = _emb_and_queries(spark)
+    batch = SIM.ivf_topk_batch(emb, qs, n_centroids=16, nprobe=4, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for q in qs.collect():
+        single = {
+            r["vec_id"]
+            for r in SIM.ivf_topk(
+                emb, list(q["qv"]), n_centroids=16, nprobe=4, k=5
+            ).collect()
+        }
+        assert got[q["query_id"]] == single, q["query_id"]
+
+
+def test_ann_recall_full_probe_is_exact(spark):
+    """Probing every cell makes IVF brute force: recall@k must be 1.0 for
+    all queries; with nprobe<n_centroids recall stays in [0, 1]."""
+    emb, qs = _emb_and_queries(spark)
+    full = SIM.ann_recall(emb, qs, n_centroids=8, nprobe=8, k=10).collect()
+    assert len(full) == 3
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 10 for r in full)
+    part = SIM.ann_recall(emb, qs, n_centroids=16, nprobe=2, k=10).collect()
+    assert all(0.0 <= r["recall"] <= 1.0 for r in part)

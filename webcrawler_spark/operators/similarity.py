@@ -13,7 +13,7 @@
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
@@ -659,4 +659,132 @@ def ivfpq_topk(
         .select(F.col(id_col), F.round(adc, 6).alias("approx_dist"))
         .orderBy(F.asc("approx_dist"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def brute_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k for a BATCH of queries: broadcast the query set against
+    the corpus, score every (query, vector) pair, rank per query. This is
+    the ground-truth side of ANN evaluation; cost is Q x N cosines, so it
+    is the small-Q path (the broadcast side is the query set, never the
+    corpus). Returns (query_id, vec_id, cos_sim, rank<=k)."""
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).join(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """IVF ANN for a BATCH of queries with NO driver loop — the production
+    serving shape (ivf_topk's single-vector probe selection moves into the
+    plan). Build the index once; each query picks its nprobe cells by an
+    equi-free broadcast join against the n_centroids-row centroid dim +
+    per-query rank, then candidates come from a cluster-equi join (each
+    query reads only its cells). At 10^10 vectors / 10^6 queries the
+    shuffle is (query x probed-cell-rows), never Q x N.
+
+    Returns (query_id, vec_id, cos_sim, rank<=k)."""
+    indexed, centroids = ivf_index(embeddings, n_centroids, id_col=id_col, vec_col=vec_col)
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cluster int, cv array<double>",
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).cast("array<double>").alias("_qv"),
+    )
+    l2sq = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("_d"), F.asc("cluster"))
+    probes = (
+        q.join(F.broadcast(cent_df))
+        .select("query_id", "_qv", "cluster", l2sq.alias("_d"))
+        .withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", "cluster")
+    )
+    cand = indexed.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "cluster",
+    ).join(F.broadcast(probes), "cluster")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_v"), F.col("_qv")), 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qv",
+) -> DataFrame:
+    """ANN quality evaluation: recall@k of the IVF index against exact
+    brute-force ground truth, per query — the number every production ANN
+    deployment tracks to tune (n_centroids, nprobe). Returns
+    (query_id, n_hits, recall) with recall = |ivf top-k ∩ brute top-k| / k."""
+    brute = brute_topk_batch(
+        embeddings, queries, k, id_col, vec_col, qid_col, qvec_col
+    ).select("query_id", "vec_id")
+    ivf = ivf_topk_batch(
+        embeddings, queries, n_centroids, nprobe, k, id_col, vec_col, qid_col, qvec_col
+    ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    return (
+        brute.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
+        )
     )

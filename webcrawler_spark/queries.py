@@ -5839,6 +5839,190 @@ FROM cum
 """
 
 
+# --------------------------------------------------------------------------------
+# Recrawl scheduling (operators/recrawl.py — Cho & Garcia-Molina 2003):
+# per-URL Poisson change-rate estimate from a fetch log + freshness revisit
+# plan. Contract mapping: events is the fetch log — user_id keys the URL,
+# ts is the fetch time, and the content fingerprint is a per-URL-granular
+# bucket of `value` so URLs exhibit a wide spread of change rates.
+
+
+def _recrawl_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 37).cast("string"),
+        F.lit(".example.com/p"),
+        F.col("user_id").cast("string"),
+    )
+    sig = F.floor(
+        F.col("value") / (F.lit(10) + (F.col("user_id") % 50) * F.lit(5))
+    ).cast("string")
+    return ev.select(
+        url.alias("url"),
+        F.col("ts").alias("fetch_ts"),
+        sig.alias("content_sig"),
+        "event_id",
+    )
+
+
+_SQL_RECRAWL_RATES_CTE = """
+WITH hist AS (
+  SELECT 'https://h' || CAST(user_id % 37 AS VARCHAR) || '.example.com/p'
+           || CAST(user_id AS VARCHAR) AS url,
+         ts,
+         CAST(CAST(floor(value / (10 + (user_id % 50) * 5)) AS BIGINT)
+              AS VARCHAR) AS sig,
+         event_id
+  FROM events
+),
+lagged AS (
+  SELECT url, epoch_us(ts) AS us, sig,
+         lag(sig) OVER (PARTITION BY url ORDER BY epoch_us(ts), event_id)
+           AS prev
+  FROM hist
+),
+per_url AS (
+  SELECT url, count(*) - 1 AS k_intervals,
+         CAST(sum(CASE WHEN prev IS NULL THEN 0
+                       WHEN prev IS DISTINCT FROM sig THEN 1
+                       ELSE 0 END) AS BIGINT) AS n_changes,
+         (max(us) - min(us)) / (86400.0 * 1e6) AS span_days
+  FROM lagged GROUP BY url
+),
+rates AS (
+  SELECT url, k_intervals, n_changes,
+         round(span_days, 6) AS span_days,
+         round(CASE WHEN span_days > 0 THEN
+                 -ln((k_intervals - n_changes + 0.5) / (k_intervals + 0.5))
+                   / (span_days / k_intervals)
+               ELSE 0.0 END, 6) AS lambda_day
+  FROM per_url WHERE k_intervals >= 1
+)
+"""
+
+
+def q_recrawl_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import recrawl as RC
+
+    return RC.change_rates(_recrawl_history(spark, sf_dir), tiebreak_col="event_id")
+
+
+SQL_recrawl_rates = _SQL_RECRAWL_RATES_CTE + """
+SELECT url, k_intervals, n_changes, span_days, lambda_day FROM rates
+"""
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import recrawl as RC
+
+    rates = RC.change_rates(_recrawl_history(spark, sf_dir), tiebreak_col="event_id")
+    return RC.revisit_schedule(rates, min_days=0.25, max_days=30.0)
+
+
+SQL_recrawl_schedule = _SQL_RECRAWL_RATES_CTE + """
+SELECT url, k_intervals, n_changes, lambda_day,
+       round(least(greatest(CASE WHEN lambda_day > 0 THEN 1.0 / lambda_day
+                                 ELSE 30.0 END, 0.25), 30.0), 6) AS revisit_days,
+       CASE WHEN least(greatest(CASE WHEN lambda_day > 0 THEN 1.0 / lambda_day
+                                     ELSE 30.0 END, 0.25), 30.0) <= 1.0 THEN 'hot'
+            WHEN least(greatest(CASE WHEN lambda_day > 0 THEN 1.0 / lambda_day
+                                     ELSE 30.0 END, 0.25), 30.0) <= 7.0 THEN 'daily'
+            ELSE 'weekly' END AS tier
+FROM rates
+"""
+
+
+# ANN recall evaluation (similarity.ann_recall): recall@10 of the IVF index
+# vs exact brute-force ground truth for a BATCH of queries with no driver
+# loop — the number every ANN deployment tunes (n_centroids, nprobe) by.
+# Oracle: the ann_ivf_topk two-Lloyd-round block with a per-query probe
+# rank, plus a per-query brute rank, joined on membership.
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return SIM.ann_recall(emb, qs, n_centroids=16, nprobe=4, k=10)
+
+
+SQL_ann_recall_eval = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (FROM generate_series(1, 64) AS t(pos)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+  FROM e ORDER BY vec_id LIMIT 16
+),
+a0 AS (
+  SELECT e.vec_id, e.v, arg_min(c0.c, list_distance(e.v, c0.cv)) AS cluster
+  FROM e CROSS JOIN c0 GROUP BY e.vec_id, e.v
+),
+m1 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS m
+    FROM a0 CROSS JOIN dims GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+c1 AS (
+  SELECT c0.c, coalesce(m1.mv, c0.cv) AS cv FROM c0 LEFT JOIN m1 USING (c)
+),
+a1 AS (
+  SELECT e.vec_id, e.v, arg_min(c1.c, list_distance(e.v, c1.cv)) AS cluster
+  FROM e CROSS JOIN c1 GROUP BY e.vec_id, e.v
+),
+m2 AS (
+  SELECT cluster AS c, list(m ORDER BY pos) AS mv FROM (
+    SELECT cluster, pos, avg(v[pos]) AS m
+    FROM a1 CROSS JOIN dims GROUP BY cluster, pos
+  ) GROUP BY cluster
+),
+c2 AS (
+  SELECT c1.c, coalesce(m2.mv, c1.cv) AS cv FROM c1 LEFT JOIN m2 USING (c)
+),
+af AS MATERIALIZED (
+  SELECT e.vec_id, e.v, arg_min(c2.c, list_distance(e.v, c2.cv)) AS cluster
+  FROM e CROSS JOIN c2 GROUP BY e.vec_id, e.v
+),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 97 = 3),
+probe AS (
+  SELECT query_id, c FROM (
+    SELECT qs.query_id, c2.c,
+           ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                              ORDER BY list_distance(c2.cv, qs.qv) ASC, c2.c ASC)
+             AS r
+    FROM c2 CROSS JOIN qs
+  ) WHERE r <= 4
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, af.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY round(list_cosine_similarity(af.v, qs.qv), 6)
+                                DESC, af.vec_id ASC) AS r
+    FROM af JOIN probe p ON af.cluster = p.c
+            JOIN qs ON qs.query_id = p.query_id
+  ) WHERE r <= 10
+),
+brute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT qs.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.query_id
+                              ORDER BY round(list_cosine_similarity(e.v, qs.qv), 6)
+                                DESC, e.vec_id ASC) AS r
+    FROM e CROSS JOIN qs
+  ) WHERE r <= 10
+)
+SELECT b.query_id, CAST(count(i.vec_id) AS BIGINT) AS n_hits,
+       round(count(i.vec_id) / 10.0, 6) AS recall
+FROM brute b LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+GROUP BY b.query_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -5893,7 +6077,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolve_redirects": q_resolve_redirects,
     "pagerank": q_pagerank,
     "trustrank": q_trustrank,
-    "recrawl_schedule": q_recrawl_schedule,
     "surt_prefix_scan": q_surt_prefix_scan,
     "registrable_domains": q_registrable_domains,
     "mirror_hosts": q_mirror_hosts,
@@ -5954,6 +6137,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_vocab_counts": q_bpe_vocab_counts,
     "bpe_sequence_plan": q_bpe_sequence_plan,
+    "recrawl_rates": q_recrawl_rates,
+    "recrawl_schedule": q_recrawl_schedule,
+    "ann_recall_eval": q_ann_recall_eval,
     "search_match_all_sorted": q_search_match_all_sorted,
     "url_quality_gate": q_url_quality_gate,
     "anchor_search": q_anchor_search,
@@ -6035,7 +6221,6 @@ ORACLE_SQL: dict[str, str] = {
     "resolve_redirects": SQL_resolve_redirects,
     "pagerank": SQL_pagerank,
     "trustrank": SQL_trustrank,
-    "recrawl_schedule": SQL_recrawl_schedule,
     "surt_prefix_scan": SQL_surt_prefix_scan,
     "registrable_domains": SQL_registrable_domains,
     "mirror_hosts": SQL_mirror_hosts,
@@ -6096,6 +6281,9 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merges": SQL_bpe_merges,
     "bpe_vocab_counts": SQL_bpe_vocab_counts,
     "bpe_sequence_plan": SQL_bpe_sequence_plan,
+    "recrawl_rates": SQL_recrawl_rates,
+    "recrawl_schedule": SQL_recrawl_schedule,
+    "ann_recall_eval": SQL_ann_recall_eval,
     "search_match_all_sorted": SQL_search_match_all_sorted,
     "url_quality_gate": _sql_url_quality_gate(),
     "anchor_search": SQL_anchor_search,
