@@ -562,15 +562,17 @@ def main() -> None:
     spark.catalog.clearCache()
     n_skew = max(2 * n_urls, 4_000_000)
 
-    def _skew_arm(salt):
+    def _skew_arm(salt, adaptive=False):
         _wait_quiet(gate_budget)
         return max(
-            (frontier_bench(spark, n_skew, salt=salt, hot_hosts=1, hot_frac=0.5)
+            (frontier_bench(spark, n_skew, salt=salt, hot_hosts=1, hot_frac=0.5,
+                            adaptive=adaptive)
              for _ in range(2)),
             key=lambda r: r["urls_per_sec"],
         )
 
     skew_on, skew_off = _skew_arm(8), _skew_arm(1)
+    skew_ad = _skew_arm(8, adaptive=True)
     skew = {
         "n_urls": n_skew,
         "hot_frac": 0.5,
@@ -580,6 +582,9 @@ def main() -> None:
         "unsalted_seconds": skew_off["seconds"],
         "unsalted_urls_per_sec": skew_off["urls_per_sec"],
         "speedup": round(skew_off["seconds"] / skew_on["seconds"], 3),
+        "adaptive_seconds": skew_ad["seconds"],
+        "adaptive_urls_per_sec": skew_ad["urls_per_sec"],
+        "adaptive_speedup": round(skew_off["seconds"] / skew_ad["seconds"], 3),
     }
     spark.stop()
 

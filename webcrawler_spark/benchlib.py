@@ -76,6 +76,7 @@ def frontier_bench(
     salt: int | None = None,
     hot_hosts: int = 3,
     hot_frac: float = 0.3,
+    adaptive: bool = False,
 ) -> dict:
     """Timed: canonicalize -> fingerprint -> anti-join dedup -> priority ->
     politeness schedule -> count. Returns urls/sec.
@@ -97,7 +98,12 @@ def frontier_bench(
     # host — the pre-rank window's straggler tail scales down with salt
     if salt is None:
         salt = int(_os_cfg.environ.get("SPARK_GRAFT_BENCH_SALT", "8"))
-    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=salt)
+    # adaptive: salt only hosts measured above hot_host_threshold this
+    # epoch (cold hosts finalize in the pre-window; the second exchange
+    # carries hot survivors only)
+    cfg = CrawlConfig(
+        epoch_seconds=60, hot_host_salt=salt, adaptive_salt=adaptive
+    )
 
     # seen set: first half of the id space, canonical fps (setup, untimed)
     seen = (

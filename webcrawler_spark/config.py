@@ -43,6 +43,9 @@ class CrawlConfig:
     n_shards: int = 4                 # docker-compose has 4 fetcher shards
     hot_host_salt: int = 8            # sub-partitions for skewed hosts in the top-k window
     hot_host_threshold: int = 100_000 # pending rows per host above which salting engages
+    adaptive_salt: bool = False       # salt ONLY hosts above hot_host_threshold (measured per
+                                      # epoch); cold hosts finalize in the pre-window, so the
+                                      # second exchange carries hot survivors only
 
     # training-data extension: mask PII (email/phone/IPv4) in the indexed
     # content column. content_hash stays computed on the UNMASKED text so

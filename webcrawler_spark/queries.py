@@ -1828,13 +1828,16 @@ FROM h2n JOIN a2n ON h2n.node = a2n.node
 """
 
 
-# Adaptive revisit policy (operators/scheduler.recrawl_schedule): change
-# rate from adjacent-fetch fingerprint diffs -> banded revisit interval.
-# Contract mapping onto the events table: user_id = url id, ts = fetch
-# time (event_id tiebreak), event_type = content fingerprint.
+# Adaptive revisit policy, banded form (operators/scheduler.recrawl_schedule):
+# change rate from adjacent-fetch fingerprint diffs -> banded revisit
+# interval in epochs. The Poisson-rate day-granular variant lives under
+# recrawl_rates/recrawl_schedule (operators/recrawl.py); this one is the
+# epoch-loop-native form the frontier joins on. Contract mapping onto the
+# events table: user_id = url id, ts = fetch time (event_id tiebreak),
+# event_type = content fingerprint.
 
 
-def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_revisit_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import scheduler as S
 
     events = _t(spark, sf_dir, "events")
@@ -1844,7 +1847,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_recrawl_schedule = """
+SQL_revisit_intervals = """
 WITH seq AS (
   SELECT user_id,
          CASE WHEN lag(event_type) OVER w IS NOT NULL
@@ -6139,6 +6142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_sequence_plan": q_bpe_sequence_plan,
     "recrawl_rates": q_recrawl_rates,
     "recrawl_schedule": q_recrawl_schedule,
+    "revisit_intervals": q_revisit_intervals,
     "ann_recall_eval": q_ann_recall_eval,
     "search_match_all_sorted": q_search_match_all_sorted,
     "url_quality_gate": q_url_quality_gate,
@@ -6283,6 +6287,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_sequence_plan": SQL_bpe_sequence_plan,
     "recrawl_rates": SQL_recrawl_rates,
     "recrawl_schedule": SQL_recrawl_schedule,
+    "revisit_intervals": SQL_revisit_intervals,
     "ann_recall_eval": SQL_ann_recall_eval,
     "search_match_all_sorted": SQL_search_match_all_sorted,
     "url_quality_gate": _sql_url_quality_gate(),
