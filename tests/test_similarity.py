@@ -46,6 +46,46 @@ def test_minhash_estimate_close_to_exact(spark):
             assert r["est_jaccard"] == 1.0 and r["jaccard"] == 1.0
 
 
+def test_incremental_probe_equals_batch_cross_pairs(spark):
+    # probing a corpus band index with a new batch must find EXACTLY the
+    # cross-split pairs the one-shot batch job finds on the union — the
+    # index stores enough (bucket slices + full signature) that corpus
+    # text is never touched.
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    batch = docs.filter(F.col("doc_id") == 1)  # near-dup of 0 and 2 arrives
+    index = SIM.minhash_band_index(corpus, "doc_id", "text", n_hashes=64, bands=16)
+    inc = SIM.incremental_near_dups(
+        batch, index, "doc_id", "text", n_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).collect()
+    got = {(r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in inc}
+
+    full = SIM.minhash_near_dups(docs, "doc_id", "text", n_hashes=64, bands=16,
+                                 jaccard_threshold=0.5)
+    want = {
+        (1, r["id_a"] if r["id_b"] == 1 else r["id_b"], r["est_jaccard"])
+        for r in full.collect()
+        if (r["id_a"] == 1) != (r["id_b"] == 1)
+    }
+    assert got == want and len(got) == 2  # doc 1 matches 0 and 2, nothing else
+
+
+def test_incremental_index_append_roundtrip(spark):
+    # appending the accepted batch's own banded rows keeps the index
+    # current: a later identical doc must then hit the appended entry.
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") <= 0)
+    index = SIM.minhash_band_index(corpus, "doc_id", "text")
+    batch1 = docs.filter(F.col("doc_id") == 3)  # unrelated: no hits
+    assert SIM.incremental_near_dups(batch1, index, "doc_id", "text").count() == 0
+    index2 = index.unionByName(SIM.minhash_band_index(batch1, "doc_id", "text"))
+    batch2 = spark.createDataFrame([(9, _docs(spark).filter(
+        F.col("doc_id") == 3).first()["text"])], "doc_id long, text string")
+    hits = SIM.incremental_near_dups(batch2, index2, "doc_id", "text").collect()
+    assert [(r["new_id"], r["corpus_id"], r["est_jaccard"]) for r in hits] == [(9, 3, 1.0)]
+
+
 def test_simhash_locality(spark):
     docs = _docs(spark)
     fps = {r["doc_id"]: r["sh"] for r in docs.select(

@@ -70,6 +70,116 @@ def minhash_signature_udf(n_hashes: int = 64, shingle_k: int = 5, seed: int = 42
     return _sig
 
 
+def _banded_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, sig, band, bucket) banded-LSH rows — the shared core of the
+    batch near-dup join and the persistable incremental index."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature_udf(n_hashes, shingle_k)
+    signed = docs.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+    return signed.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(
+                        F.col("sig"), b * rows_per_band + 1, rows_per_band
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one row per (doc, band) with
+    the raw signature slice as the bucket key plus the full signature —
+    everything a probe needs, so corpus TEXT is never re-read.
+
+    Production shape (the 10^10-doc crawl): write once as a table
+    partitioned by `band` and bucketed on `bucket` (or clustered by
+    xxhash64(bucket)); each new crawl batch computes signatures for ITS
+    docs only and equi-joins (band, bucket) — storage-partition pruning
+    plus the bucket hash keep the probe a fraction-of-corpus read instead
+    of an O(corpus) recompute per batch. Appending the surviving batch's
+    own banded rows (this same function over the accepted docs) keeps the
+    index current. The reference dedupes only by exact content hash per
+    fetch (services/crawler, Redis seen-set); this is the near-dup
+    equivalent of that incremental discipline."""
+    return _banded_signatures(docs, id_col, text_col, n_hashes, bands, shingle_k)
+
+
+def incremental_near_dups(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a persisted corpus band index
+    (from :func:`minhash_band_index` with the same parameters), without
+    recomputing or reading anything corpus-side beyond the index.
+
+    Returns (new_id, corpus_id, est_jaccard) for pairs whose signature-
+    agreement estimate >= jaccard_threshold. Batch-internal duplicates are
+    NOT reported (run :func:`minhash_near_dups` on the batch for those);
+    ids present on both sides are skipped as self-matches.
+    Scale: signatures cost O(batch); the join is bucket-equi on
+    (band, bucket) against a bucketed table — no shuffle of the corpus
+    index when it is bucket-stored, no cross product."""
+    banded_new = _banded_signatures(
+        new_docs, id_col, text_col, n_hashes, bands, shingle_k
+    )
+    cands = (
+        banded_new.alias("n")
+        .join(
+            index.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket"))
+            & (F.col("n.id") != F.col("c.id")),
+        )
+        .select(
+            F.col("n.id").alias("new_id"),
+            F.col("c.id").alias("corpus_id"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("c.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    est = cands.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(n_hashes)),
+    )
+    return est.filter(F.col("est_jaccard") >= jaccard_threshold).select(
+        "new_id", "corpus_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    )
+
+
 def minhash_near_dups(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -89,25 +199,7 @@ def minhash_near_dups(
     it: candidates are then EXACTLY the pairs agreeing on a band (no hash
     collisions), and the 24-byte key growth is noise next to the 512-byte
     signature each banded row already carries through the shuffle."""
-    rows_per_band = n_hashes // bands
-    sig = minhash_signature_udf(n_hashes, shingle_k)
-    signed = docs.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
-
-    banded = signed.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(
-                        F.col("sig"), b * rows_per_band + 1, rows_per_band
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_signatures(docs, id_col, text_col, n_hashes, bands, shingle_k)
 
     left = banded.alias("l")
     right = banded.alias("r")

@@ -2570,6 +2570,48 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental near-dup dedup (similarity.minhash_band_index +
+# incremental_near_dups): the production shape where each NEW crawl batch
+# probes a persisted corpus band index instead of recomputing the corpus.
+# Contract split: docs with doc_id % 5 == 0 are the incoming batch, the
+# rest are the already-indexed corpus.
+
+
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    index = SIM.minhash_band_index(corpus, "doc_id", "text", n_hashes=64, bands=16)
+    return SIM.incremental_near_dups(
+        batch, index, "doc_id", "text", n_hashes=64, bands=16,
+        jaccard_threshold=0.35,
+    )
+
+
+def _sql_incremental_near_dups() -> str:
+    """incremental_near_dups re-derived: the shared signature CTEs, banded
+    rows split batch/corpus on doc_id % 5, and a batch->corpus probe join."""
+    return _minhash_sig_ctes() + """,
+banded AS (
+  SELECT doc_id, sig, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS bucket
+  FROM sigs, range(16) t(bnd)
+),
+pairs AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                  n.sig AS sig_a, c.sig AS sig_b
+  FROM banded n JOIN banded c
+    ON n.bnd = c.bnd AND n.bucket = c.bucket
+   AND n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+)
+SELECT new_id, corpus_id, est_jaccard FROM (
+  SELECT new_id, corpus_id,
+         round(CAST(length(list_filter(range(1, 65), k -> sig_a[k] = sig_b[k]))
+                    AS DOUBLE) / 64.0, 6) AS est_jaccard
+  FROM pairs
+) WHERE est_jaccard >= 0.35
+"""
+
+
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return SIM.simhash_near_dups(docs, "doc_id", "text", max_hamming=16, bands=4)
@@ -2862,18 +2904,15 @@ ORDER BY id_a, id_b
 """
 
 
-def _sql_minhash_near_dups() -> str:
-    """similarity.minhash_near_dups + verify_jaccard re-derived in DuckDB.
+def _minhash_sig_ctes() -> str:
+    """The shared DuckDB re-derivation of similarity.minhash_signature_udf
+    over `documents`: coeffs .. sigs CTE chain (WITH prefix included).
 
-    The whole pipeline is deterministic given the seed-42 permutation
-    coefficients, so it IS SQL: 5-char shingle rolling hash (base 257 —
-    max ~5.6e12, no wraparound), splitmix64 finalize (HUGEINT limb
-    multiplication for the two 64-bit mixes), 64 universal-hash minima per
-    doc ((a*s + b) mod 2^64 with a's 32-bit limbs inlined as literals),
-    16-band raw-slice bucketing (the Spark side joins on the raw slice
-    too — candidates match EXACTLY), signature-agreement estimate, and
-    exact token-set Jaccard verify.
-    """
+    Deterministic given the seed-42 permutation coefficients, so it IS
+    SQL: 5-char shingle rolling hash (base 257 — max ~5.6e12, no
+    wraparound), splitmix64 finalize (HUGEINT limb multiplication for the
+    two 64-bit mixes), 64 universal-hash minima per doc ((a*s + b) mod
+    2^64 with a's 32-bit limbs inlined as literals)."""
     import numpy as np
 
     mask = (1 << 64) - 1
@@ -2928,7 +2967,15 @@ mins AS (
   FROM sh CROSS JOIN coeffs
   GROUP BY doc_id, i
 ),
-sigs AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+sigs AS (SELECT doc_id, list(mv ORDER BY i) AS sig FROM mins GROUP BY doc_id)"""
+
+
+def _sql_minhash_near_dups() -> str:
+    """similarity.minhash_near_dups + verify_jaccard re-derived in DuckDB:
+    the shared signature CTEs plus 16-band raw-slice bucketing (the Spark
+    side joins on the raw slice too — candidates match EXACTLY), the
+    signature-agreement estimate, and exact token-set Jaccard verify."""
+    return _minhash_sig_ctes() + """,
 banded AS (
   SELECT doc_id, sig, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS bucket
   FROM sigs, range(16) t(bnd)
@@ -6149,6 +6196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_search": q_anchor_search,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
+    "incremental_near_dups": q_incremental_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "simhash_fingerprints": q_simhash_fingerprints,
     "doc_fingerprints": q_doc_fingerprints,
@@ -6300,6 +6348,7 @@ ORACLE_SQL: dict[str, str] = {
     "simhash_fingerprints": SQL_simhash_fingerprints,
     "simhash_near_dups": SQL_simhash_near_dups,
     "minhash_near_dups": _sql_minhash_near_dups(),
+    "incremental_near_dups": _sql_incremental_near_dups(),
     "bloom_prefilter_stats": SQL_bloom_prefilter_stats,
     "cuckoo_ttl_stats": SQL_cuckoo_ttl_stats,
     "ann_lsh_topk": _sql_ann_lsh_topk(),
