@@ -551,6 +551,7 @@ def main() -> None:
             detect_traps=True, global_budget=100_000, use_host_rank=True,
             scrub_pii=True, compact_every=2, respect_meta_robots=True,
             politeness_by_registrable=True, build_index=True,
+            recrawl=True, adaptive_salt=True,
         ),
     )
 

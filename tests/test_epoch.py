@@ -343,6 +343,69 @@ def test_surt_clustered_writes_parity_and_file_order(
     assert checked > 0
 
 
+def test_recrawl_revisit_loop(spark, pages_df, seeds_df, robots_df, tmp_path_factory):
+    # opt-in adaptive recrawl: every fetched URL re-enters the deferred
+    # queue at its banded revisit epoch; static pages stretch to the max
+    # interval after their second (unchanged) fetch, and unchanged
+    # re-fetches never re-index.
+    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=2, recrawl=True)
+    root = tmp_path_factory.mktemp("recrawl_loop")
+    cat = Catalog(spark, str(root))
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 2, cfg)
+
+    fetched0 = {
+        r["url_norm"]
+        for r in cat.read_delta_union("frontier", 0)
+        .filter((F.col("status") == "fetched") & (F.col("status_epoch") == 0))
+        .collect()
+    }
+    assert fetched0
+    # epoch 0: single fetch -> optimistic band, revisit next epoch
+    d0 = {
+        r["url_norm"]: r["ready_epoch"]
+        for r in cat.read_snapshot("deferred", 0)
+        .filter(F.col("reason") == "recrawl")
+        .collect()
+    }
+    assert set(d0) == fetched0 and set(d0.values()) == {1}
+
+    # epoch 1: the revisits re-enter the pool and are re-fetched (budget is
+    # ample); the synthetic web is static, so their second fetch observes
+    # no change -> the next revisit stretches to the max interval
+    sched1 = {
+        r["url_norm"]
+        for r in cat.read_delta_union("schedule", 1)
+        .filter(F.col("epoch") == 1)
+        .collect()
+    }
+    assert fetched0 <= sched1
+    d1 = {
+        r["url_norm"]: r["ready_epoch"]
+        for r in cat.read_snapshot("deferred", 1)
+        .filter(F.col("reason") == "recrawl")
+        .collect()
+    }
+    refetched = fetched0 & set(d1)
+    assert refetched
+    assert all(d1[u] == 1 + cfg.recrawl_max_interval for u in refetched)
+
+    state = {
+        r["url_norm"]: (r["n_fetches"], r["n_changes"])
+        for r in cat.read_snapshot("recrawl_state", 1).collect()
+    }
+    assert all(state[u] == (2, 0) for u in refetched)
+
+    # unchanged re-fetches never re-index: one web_content row per URL
+    dup_indexed = (
+        cat.read_delta_union("web_content", 1)
+        .groupBy("url_norm")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_indexed == 0
+
+
 def test_global_budget_caps_schedule(
     spark, pages_df, seeds_df, robots_df, tmp_path_factory, crawl_run
 ):
@@ -484,6 +547,8 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         respect_meta_robots=True,
         politeness_by_registrable=True,
         build_index=True,
+        recrawl=True,
+        adaptive_salt=True,
     )
 
     def run(tag):

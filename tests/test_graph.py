@@ -116,6 +116,42 @@ def test_recrawl_schedule_bands(spark):
     assert out[5]["n_fetches"] == 11 and out[5]["n_changes"] == 1
 
 
+def test_recrawl_state_fold_matches_batch_estimator(spark):
+    # folding the fetch log epoch-by-epoch through the incremental state
+    # merge (what the epoch loop does) must reproduce exactly the batch
+    # window estimator's counts AND banded intervals over the full log.
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import recrawl as RC
+    from webcrawler_spark.operators.scheduler import recrawl_schedule
+
+    log = [
+        ("a", 0, "h0"), ("a", 1, "h1"), ("a", 2, "h2"),  # every-epoch change -> 1
+        ("b", 0, "x"), ("b", 1, "x"), ("b", 2, "x"), ("b", 3, "x"),  # static -> 8
+        ("c", 0, "p"), ("c", 1, "q"), ("c", 2, "q"), ("c", 3, "q"),  # 1/3 -> 2
+        ("d", 5, "z"),  # single fetch -> optimistic 1
+    ]
+    hist = spark.createDataFrame(log, "url_norm string, epoch int, content_hash string")
+
+    state = None
+    for e in range(6):
+        fetches = hist.filter(F.col("epoch") == e).select("url_norm", "content_hash")
+        state = RC.update_recrawl_state(fetches, state).localCheckpoint()
+    inc = {
+        r["url_norm"]: (r["n_fetches"], r["n_changes"], r["interval_epochs"])
+        for r in state.join(RC.intervals_from_state(state), "url_norm").collect()
+    }
+
+    batch = {
+        r["url_norm"]: (r["n_fetches"], r["n_changes"], r["interval_epochs"])
+        for r in recrawl_schedule(
+            hist, id_col="url_norm", order_col="epoch", fingerprint_col="content_hash"
+        ).collect()
+    }
+    assert inc == batch
+    assert inc["a"][2] == 1 and inc["b"][2] == 8 and inc["c"][2] == 2 and inc["d"][2] == 1
+
+
 def _numpy_hits(edges, n_iter):
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     idx = {v: i for i, v in enumerate(nodes)}

@@ -116,6 +116,16 @@ class CrawlConfig:
     # don't know the column ignore it.
     cluster_by_surt: bool = False
 
+    # adaptive recrawl (operators/recrawl.update_recrawl_state +
+    # intervals_from_state): every successfully fetched URL re-enters the
+    # deferred queue with ready_epoch = epoch + interval, where the
+    # interval bands the URL's observed change rate (Cho & Garcia-Molina
+    # 2003 — fast-changing pages revisit every epoch, static ones stretch
+    # to recrawl_max_interval). Off = reference parity: the reference
+    # fetches each URL once forever (frontier/app.py seen set, no expiry).
+    recrawl: bool = False
+    recrawl_max_interval: int = 8
+
     # parser gates (parser/app.py:453,515,534; url_normalizer.py:51)
     min_content_length: int = 100
     min_url_length: int = 10

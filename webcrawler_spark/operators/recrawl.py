@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["change_rates", "revisit_schedule"]
+__all__ = [
+    "change_rates",
+    "revisit_schedule",
+    "update_recrawl_state",
+    "intervals_from_state",
+]
 
 
 def change_rates(
@@ -105,6 +110,75 @@ def change_rates(
             F.when(F.col("span_days") > 0, lam).otherwise(F.lit(0.0)), 6
         ).alias("lambda_day"),
     )
+
+
+def update_recrawl_state(
+    fetches: DataFrame,
+    prev_state: DataFrame | None,
+) -> DataFrame:
+    """Incremental change-tracking state for the epoch loop's recrawl tier.
+
+    ``fetches`` has one row per successfully fetched URL this epoch:
+    (url_norm, content_hash). State rows are
+    (url_norm, n_fetches, n_changes, last_hash); a change is counted when
+    this fetch's hash differs from ``last_hash``. Folding epochs one at a
+    time through this merge yields exactly the adjacent-pair counts the
+    batch estimator (scheduler.recrawl_schedule) computes over the full
+    fetch log — parity is pinned by test — without storing or rescanning
+    that log: the epoch cost is one full-outer join of O(epoch) fetches
+    against the O(distinct URLs) state dim, the same snapshot-merge shape
+    as adaptive host_stats. At 10^10 URLs the state table is stored
+    bucketed by url_norm so the join co-locates without shuffling state.
+    """
+    f = fetches.select(
+        F.col("url_norm"), F.col("content_hash").alias("_new_hash")
+    ).dropDuplicates(["url_norm"])
+    if prev_state is None:
+        return f.select(
+            "url_norm",
+            F.lit(1).cast("bigint").alias("n_fetches"),
+            F.lit(0).cast("bigint").alias("n_changes"),
+            F.col("_new_hash").alias("last_hash"),
+        )
+    merged = prev_state.join(f, "url_norm", "full")
+    fetched_now = F.col("_new_hash").isNotNull()
+    changed = (
+        fetched_now
+        & F.col("last_hash").isNotNull()
+        & (F.col("last_hash") != F.col("_new_hash"))
+    )
+    return merged.select(
+        "url_norm",
+        (
+            F.coalesce(F.col("n_fetches"), F.lit(0))
+            + F.when(fetched_now, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_fetches"),
+        (
+            F.coalesce(F.col("n_changes"), F.lit(0))
+            + F.when(changed, F.lit(1)).otherwise(F.lit(0))
+        ).cast("bigint").alias("n_changes"),
+        F.coalesce(F.col("_new_hash"), F.col("last_hash")).alias("last_hash"),
+    )
+
+
+def intervals_from_state(
+    state: DataFrame,
+    rate_bands: tuple[tuple[float, int], ...] = ((0.5, 1), (0.25, 2), (0.1, 4)),
+    max_interval: int = 8,
+) -> DataFrame:
+    """(url_norm, interval_epochs) from recrawl state — the same change-rate
+    banding as scheduler.recrawl_schedule (change_rate = changes/(fetches-1);
+    single-fetch URLs get the fastest band, optimistic first revisit), as a
+    pure projection over the state dim. No shuffle."""
+    rate = F.when(
+        F.col("n_fetches") > 1,
+        F.col("n_changes").cast("double") / (F.col("n_fetches") - 1).cast("double"),
+    )
+    interval = F.lit(max_interval)
+    for threshold, band in reversed(rate_bands):
+        interval = F.when(rate >= threshold, F.lit(band)).otherwise(interval)
+    interval = F.when(rate.isNull(), F.lit(rate_bands[0][1])).otherwise(interval)
+    return state.select("url_norm", interval.cast("int").alias("interval_epochs"))
 
 
 def revisit_schedule(

@@ -424,6 +424,40 @@ def run_epoch(
     if not_ready is not None:
         deferred_out = deferred_out.unionByName(not_ready.select(*deferred_cols))
 
+    # ---- 8b. adaptive recrawl (opt-in): fold this epoch's fetches into the
+    # per-URL change-tracking state (snapshot-merge, the host_stats shape)
+    # and re-enqueue every fetched URL as a deferred row at its banded
+    # revisit epoch — fast-changing pages come back next epoch, static ones
+    # stretch to recrawl_max_interval. Unchanged re-fetches are naturally
+    # kept out of the index by the content-hash dedup above, so the
+    # recrawl tier costs fetch budget but never bloats web_content.
+    recrawl_state = None
+    if cfg.recrawl:
+        from ..operators import recrawl as RC
+
+        recrawl_state = RC.update_recrawl_state(
+            docs.select("url_norm", "content_hash"),
+            cat.read_snapshot("recrawl_state", prev),
+        )
+        revisits = (
+            docs.select(
+                "url", "url_norm", "url_fp", "host", "priority", "depth",
+                "source_url", "discovered_epoch",
+            )
+            .join(
+                RC.intervals_from_state(
+                    recrawl_state, max_interval=cfg.recrawl_max_interval
+                ),
+                "url_norm",
+            )
+            .withColumn(
+                "ready_epoch", (F.lit(epoch) + F.col("interval_epochs")).cast("int")
+            )
+            .withColumn("reason", F.lit("recrawl"))
+            .withColumn("attempts", F.lit(0))
+        )
+        deferred_out = deferred_out.unionByName(revisits.select(*deferred_cols))
+
     # ---- 9. commit: stage tables, then atomically publish the manifest (S14)
     counts = {}
     to_stage: dict[str, DataFrame] = {}
@@ -475,6 +509,8 @@ def run_epoch(
     to_stage["links"] = links_df
     to_stage["web_content"] = web_delta
     to_stage["host_stats"] = host_stats_new
+    if recrawl_state is not None:
+        to_stage["recrawl_state"] = recrawl_state
     if cfg.build_index:
         # the ES bulk-index analog (S12): this epoch's indexed docs become a
         # postings delta — deltas are disjoint by doc (the seen set fetches

@@ -3641,7 +3641,7 @@ WHERE rk <= host_budget
 """
 
 
-def _crawl_two_epoch_with(epoch_seconds: int) -> str:
+def _crawl_two_epoch_with(epoch_seconds: int, recrawl: bool = False) -> str:
     """Shared WITH-clause body re-deriving the FULL two-epoch crawl loop in
     DuckDB SQL from the RAW synth inputs only (seeds, robots, page
     url+text-digest, and the generator's own a-href plan — the data the html
@@ -3846,12 +3846,22 @@ new1 AS (  -- seen anti-join + priority (depth 1, discovered_priority 5)
     FROM cand1 c
     WHERE c.url_norm NOT IN (SELECT url_norm FROM merged0)
 ),
+recrawl0 AS (  -- CrawlConfig.recrawl: every epoch-0 fetch re-enters at its
+               -- banded revisit epoch; first fetch -> optimistic band 1 ->
+               -- ready at epoch 1, attempts reset (plans/epoch.py step 8b)
+    SELECT url_norm, host, path, priority, depth, discovered_epoch,
+           0 AS attempts
+    FROM ok0
+),
 pend1 AS (
     SELECT url_norm, host, path, priority, depth, discovered_epoch, attempts
     FROM new1
     UNION ALL
     SELECT url_norm, host, path, priority, depth, discovered_epoch, attempts
-    FROM defer0
+    FROM defer0{'''
+    UNION ALL
+    SELECT url_norm, host, path, priority, depth, discovered_epoch, attempts
+    FROM recrawl0''' if recrawl else ''}
 ),
 gate1 AS (  -- a host fetched (or failed) in epoch 0 has host_stats now, and
             -- its crawl_delay was initialized to the 1.0 default — the
@@ -3928,6 +3938,70 @@ SELECT status, CAST(count(*) AS BIGINT) AS n FROM (
     UNION ALL SELECT 'rejected' FROM rejected1
     UNION ALL SELECT 'deferred' FROM defer1
 ) GROUP BY status ORDER BY status
+"""
+    )
+
+
+def q_crawl_recrawl_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recrawl tier INSIDE the loop: two epochs with CrawlConfig.recrawl
+    on — every epoch-0 fetch re-enters the pool at epoch 1 (optimistic
+    first-fetch band) and competes through the politeness window; the
+    committed change-tracking state then shows n_fetches=2 for the URLs
+    that won budget twice. The oracle re-derives the whole two-epoch loop
+    WITH the recrawl re-entries and rebuilds the state from its own
+    fetched sets (the synthetic web is static, so n_changes is provably 0
+    — change counting itself is pinned by the state-fold parity test)."""
+    import tempfile
+
+    from . import synth
+    from .config import CrawlConfig
+    from .operators import recrawl as RC
+    from .plans import epoch as E
+    from .storage.catalog import Catalog
+
+    web = synth.generate_web(seed=42, n_hosts=12, n_pages=90)
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2, recrawl=True)
+    pages = spark.createDataFrame(
+        [(p["url"], p["warc_ts"], p["html"], p["text"], p["lang"]) for p in web["pages"]],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [(s["url"], s["priority"], s["depth"]) for s in web["seeds"]],
+        "url string, priority int, depth int",
+    )
+    robots = spark.createDataFrame(
+        [
+            (r["host"], r["allow_prefixes"], r["disallow_prefixes"], r["crawl_delay"])
+            for r in web["robots"]
+        ],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
+    )
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="contract_recrawl_"))
+    E.run_epochs(spark, cat, pages, seeds, robots, 2, cfg)
+    state = cat.read_snapshot("recrawl_state", 1)
+    return state.join(RC.intervals_from_state(state), "url_norm").select(
+        "url_norm", "n_fetches", "n_changes", "interval_epochs"
+    )
+
+
+def _sql_crawl_recrawl_state() -> str:
+    """State after two epochs with recrawl on = per-URL fetch count over the
+    re-derived ok0/ok1 fetched sets (pend1 includes the recrawl re-entries);
+    static pages -> n_changes 0; banding: 1 fetch -> optimistic band 1,
+    2 unchanged fetches -> rate 0 -> max interval 8."""
+    return (
+        _crawl_two_epoch_with(6, recrawl=True)
+        + """
+SELECT url_norm,
+       CAST(cnt AS BIGINT) AS n_fetches,
+       CAST(0 AS BIGINT) AS n_changes,
+       CAST(CASE WHEN cnt = 1 THEN 1 ELSE 8 END AS INT) AS interval_epochs
+FROM (
+  SELECT url_norm, count(*) AS cnt FROM (
+    SELECT url_norm FROM ok0 UNION ALL SELECT url_norm FROM ok1
+  ) GROUP BY url_norm
+)
 """
     )
 
@@ -6208,6 +6282,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
+    "crawl_recrawl_state": q_crawl_recrawl_state,
     # oracle-backed despite probabilistic/crawl-loop internals: these emit
     # deterministic invariants (no-false-negative counts, the epoch-0
     # schedule over embedded raw seeds)
@@ -6344,6 +6419,7 @@ ORACLE_SQL: dict[str, str] = {
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
     "crawl_frontier_status": _sql_crawl_frontier_status(),
+    "crawl_recrawl_state": _sql_crawl_recrawl_state(),
     "doc_fingerprints": SQL_doc_fingerprints,
     "simhash_fingerprints": SQL_simhash_fingerprints,
     "simhash_near_dups": SQL_simhash_near_dups,
