@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--epoch-seconds", type=int, default=600)
     ap.add_argument("--salt", type=int, default=8, help="hot-host salt factor")
     ap.add_argument("--use-bloom", action="store_true")
+    ap.add_argument("--recrawl", action="store_true",
+                    help="adaptive revisit: fetched URLs re-enter at their "
+                         "change-rate-banded interval")
+    ap.add_argument("--adaptive-salt", action="store_true",
+                    help="salt only hosts measured above the hot threshold")
     ap.add_argument("--verify-extraction", action="store_true",
                     help="assert extract_text(html) == text per fetched row")
     ap.add_argument("--synthetic", type=int, metavar="N_PAGES",
@@ -86,6 +91,8 @@ def main() -> None:
         epoch_seconds=args.epoch_seconds,
         hot_host_salt=args.salt,
         use_bloom=args.use_bloom,
+        recrawl=args.recrawl,
+        adaptive_salt=args.adaptive_salt,
     )
     cat = Catalog(spark, args.catalog)
     counters = E.run_epochs(

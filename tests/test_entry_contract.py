@@ -75,3 +75,28 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_duplicate_definitions_in_queries_module():
+    # a later duplicate top-level def/assign silently replaces the earlier
+    # registry binding (a real round-4 incident: a second q_recrawl_schedule
+    # shadowed the banded-interval entry). Parse, don't import.
+    import ast
+
+    import webcrawler_spark.queries as Q
+
+    tree = ast.parse(open(Q.__file__.rstrip("c")).read())
+    seen: dict = {}
+    dups = []
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            names = [node.name]
+        elif isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        else:
+            continue
+        for n in names:
+            if n in seen and n not in ("QUERIES", "ORACLE_SQL"):
+                dups.append((n, seen[n], node.lineno))
+            seen[n] = node.lineno
+    assert not dups, f"shadowed top-level names in queries.py: {dups}"
