@@ -726,7 +726,8 @@ def main() -> None:
         },
         "skew": {"speedup": skew["speedup"],
                  "salted_urls_per_sec": skew["salted_urls_per_sec"],
-                 "unsalted_urls_per_sec": skew["unsalted_urls_per_sec"]},
+                 "unsalted_urls_per_sec": skew["unsalted_urls_per_sec"],
+                 "adaptive_urls_per_sec": skew["adaptive_urls_per_sec"]},
         "full_result": full_path,
     }
     if "scaling" in result:
