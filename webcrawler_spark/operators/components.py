@@ -16,10 +16,12 @@ a Pregel loop, and the right choice for near-dup graphs, whose components
 (template/boilerplate clusters) are small and dense, so diameter is tiny.
 Per round: one join + one partial-aggregated groupBy = O(|E|) shuffled
 bytes; `localCheckpoint` truncates lineage so the plan does not grow with
-rounds. For adversarially high-diameter graphs the alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) drops rounds to O(log^2 n) at the cost of a
-materialized edge rewrite per round; not needed for this workload.
+rounds. For adversarially high-diameter graphs (URL redirect/mirror chains,
+pathological template drift) `connected_components_star` implements the
+alternating large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14): O(log^2 n) rounds regardless
+of diameter, at the cost of a materialized edge rewrite per round. Same
+output contract; pick via `near_dup_clusters(..., algorithm="star")`.
 """
 
 from __future__ import annotations
@@ -85,12 +87,126 @@ def connected_components(
     )
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Distinct undirected edges in canonical (hi, lo) orientation, no
+    self-loops. `e` has columns (u, v) of any orderable type."""
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. SoCC'14 §3): every node u links each
+    strictly-LARGER neighbor to m = min(N(u) ∪ {u}). Needs the symmetric
+    view so both endpoints act as the center."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    # v > u >= m, so (v, m) is already (hi, lo) and never a self-loop
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: every node u links each neighbor <= u (and itself)
+    to m = min of those neighbors. On the canonical (hi, lo) orientation the
+    lo side IS the <=-neighborhood, so no symmetric expansion is needed."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))  # mn < u by canon
+    nbrs_plus_self = e.select("u", "v").union(
+        e.select("u", F.col("u").alias("v"))
+    )
+    # every emitted (x, mn) has x > mn (mn is the strict minimum), canonical
+    return (
+        nbrs_plus_self.join(mins, "u")
+        .filter(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Same output contract as `connected_components`: (node, cluster_id) with
+    cluster_id = min node id of the component, ids passed through untouched.
+    Converges in O(log^2 n) rounds REGARDLESS of component diameter — the
+    10^10-scale choice when the pair graph may contain long chains (URL
+    redirect/mirror chains), where min-label propagation needs O(diameter)
+    rounds. Each round is two groupBy-min + join passes over the shrinking
+    edge set; `localCheckpoint` truncates lineage per round. Fixpoint is an
+    exact edge-set equality probe (both `exceptAll` directions, each
+    short-circuited by limit(1))."""
+    edges = _canon_edges(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+    nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _labels(final_edges: DataFrame) -> DataFrame:
+        # at the fixpoint every edge is (leaf, root); roots appear only on
+        # the lo side, so the self-label union covers them (and isolated
+        # nodes never occur — every node of `pairs` is in some edge)
+        return (
+            final_edges.select(F.col("u").alias("node"), F.col("v").alias("lbl"))
+            .union(nodes.select("node", F.col("node").alias("lbl")))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("cluster_id"))
+        )
+
+    for _ in range(max_iter):
+        after = _small_star(
+            _large_star(edges).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
+        changed = (
+            after.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(after).limit(1).count()
+        )
+        prev = edges
+        edges = after
+        prev.unpersist()
+        if changed == 0:
+            out = _labels(edges)
+            return out.select("node", "cluster_id")
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds "
+        "(expected O(log^2 n) — check for non-deterministic ids)"
+    )
+
+
 def near_dup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(doc_id, cluster_id) for every doc in a near-dup pair, cluster_id =
-    min doc_id of its transitive closure."""
-    return connected_components(pairs, id_a, id_b).select(
+    min doc_id of its transitive closure. `algorithm`: "propagation"
+    (min-label, O(diameter) rounds — right for small dense template
+    clusters) or "star" (large-star/small-star, O(log^2 n) rounds — right
+    when long chains are possible)."""
+    impl = {
+        "propagation": connected_components,
+        "star": connected_components_star,
+    }[algorithm]
+    return impl(pairs, id_a, id_b).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )
 

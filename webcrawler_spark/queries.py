@@ -741,6 +741,22 @@ SELECT doc_id, cluster_id FROM clusters
 """
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster collapse via the alternating large-star/small-star
+    algorithm (Kiveris et al. SoCC'14) — O(log^2 n) rounds independent of
+    component diameter, the 10^10-scale path when the pair graph can chain.
+    Output contract identical to near_dup_clusters, so it shares the
+    recursive-CTE oracle."""
+    from .operators import components as CC
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = SIM.ngram_jaccard_pairs(docs, "doc_id", "text", "source", threshold=0.05)
+    return CC.near_dup_clusters(pairs, algorithm="star")
+
+
+SQL_near_dup_clusters_star = SQL_near_dup_clusters
+
+
 def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import components as CC
 
@@ -755,6 +771,187 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_dedup_keep_list = _SQL_JACCARD_CLUSTERS_CTE + """
 SELECT doc_id, lang, source, n_chars FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id != cluster_id)
+"""
+
+
+def q_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/CCNet-style cleaning funnel over `documents` as ONE DataFrame
+    job: surviving doc and token counts per stage through
+    quality -> exact-dedup -> near-dedup — the standard LLM-corpus report
+    (docs/tokens kept per stage). Gates are computed corpus-wide and
+    composed cumulatively (stage k keeps docs passing gates 1..k):
+
+      1. quality      — doc_quality >= 15 (the F14 ladder; Gopher is
+                        deliberately NOT the funnel gate here: the synthetic
+                        corpus fails its >=2-distinct-stopwords rule by
+                        construction, see q_gopher_quality)
+      2. exact_dedup  — keep the min-doc_id representative of each CCNet
+                        normalized-text md5 group (Wenzek et al. 2020 key)
+      3. near_dedup   — keep the min-doc_id representative of each MinHash
+                        near-dup cluster (16-band LSH, est Jaccard >= 0.35,
+                        transitive closure via connected components)
+
+    Reference analog: the indexer's quality ladder + two-tier dedup
+    (services/indexer/app.py) run as separate per-doc services; here the
+    whole cascade is one declarative plan. 100 TB shape: gates are
+    column-wise projections, one window over the hash groups, and the
+    already-banded LSH join; the funnel itself adds one explode(x4) + one
+    aggregate. Empty stages still emit (count 0, NULL tokens) via the
+    stage-skeleton left join, matching the oracle's UNION ALL rows."""
+    from pyspark.sql import Window
+
+    from .operators import components as CC
+    from .operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    h = F.md5(T.ccnet_normalize(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        wc.alias("wc"),
+        (F.round(TS.doc_quality(F.col("text")), 4) >= F.lit(15.0)).alias("g1"),
+        h.alias("h"),
+    )
+    base = base.withColumn(
+        "g2", F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    pairs = SIM.minhash_near_dups(
+        docs, "doc_id", "text", jaccard_threshold=0.35
+    ).select("id_a", "id_b")
+    clusters = CC.near_dup_clusters(pairs)
+    flags = base.join(clusters, "doc_id", "left").withColumn(
+        "g3", F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    staged = flags.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stage_idx"),
+                    F.lit("all").alias("stage"),
+                    F.lit(True).alias("keep"),
+                ),
+                F.struct(
+                    F.lit(1).alias("stage_idx"),
+                    F.lit("quality").alias("stage"),
+                    F.col("g1").alias("keep"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage_idx"),
+                    F.lit("exact_dedup").alias("stage"),
+                    (F.col("g1") & F.col("g2")).alias("keep"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage_idx"),
+                    F.lit("near_dedup").alias("stage"),
+                    (F.col("g1") & F.col("g2") & F.col("g3")).alias("keep"),
+                ),
+            )
+        ).alias("s"),
+        "wc",
+    )
+    per_stage = (
+        staged.filter(F.col("s.keep"))
+        .groupBy(F.col("s.stage_idx").alias("stage_idx"), F.col("s.stage").alias("stage"))
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("wc").cast("long").alias("tokens_kept"),
+        )
+    )
+    skeleton = spark.createDataFrame(
+        [(0, "all"), (1, "quality"), (2, "exact_dedup"), (3, "near_dedup")],
+        "stage_idx int, stage string",
+    )
+    return skeleton.join(per_stage, ["stage_idx", "stage"], "left").select(
+        "stage_idx",
+        "stage",
+        F.coalesce("docs_kept", F.lit(0).cast("long")).alias("docs_kept"),
+        "tokens_kept",
+    )
+
+
+def _sql_pipeline_funnel() -> str:
+    from .operators.textstats import (
+        CCNET_ACCENTS_DST,
+        CCNET_ACCENTS_SRC,
+        CCNET_DIGITS_DST,
+        CCNET_DIGITS_SRC,
+    )
+
+    sig = _minhash_sig_ctes().replace("WITH coeffs", "WITH RECURSIVE coeffs", 1)
+    return sig + f""",
+banded AS (
+  SELECT doc_id, sig, bnd, list_slice(sig, bnd * 4 + 1, bnd * 4 + 4) AS bucket
+  FROM sigs, range(16) t(bnd)
+),
+mh_cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.sig AS sig_a, r.sig AS sig_b
+  FROM banded l JOIN banded r
+    ON l.bnd = r.bnd AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+mh_pairs AS (
+  SELECT id_a, id_b FROM mh_cand
+  WHERE round(CAST(length(list_filter(range(1, 65), k -> sig_a[k] = sig_b[k]))
+                   AS DOUBLE) / 64.0, 6) >= 0.35
+),
+dup_edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION ALL SELECT id_b, id_a FROM mh_pairs
+),
+reach(node, lbl) AS (
+  SELECT DISTINCT src, src FROM dup_edges
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN dup_edges e ON e.src = r.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(regexp_replace(
+             translate(translate(lower(text),
+                       '{CCNET_ACCENTS_SRC}', '{CCNET_ACCENTS_DST}'),
+                       '{CCNET_DIGITS_SRC}', '{CCNET_DIGITS_DST}'),
+             '\\s+', ' ', 'g'),
+             '[^a-z0 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+exrep AS (
+  SELECT doc_id, (doc_id = MIN(doc_id) OVER (PARTITION BY h)) AS g2 FROM norm
+),
+quality AS (
+  SELECT doc_id, wc,
+         round(CASE WHEN wc >= 300 THEN 25.0
+                    WHEN wc >= 150 THEN 15.0
+                    WHEN wc >= 50 THEN 10.0
+                    ELSE 0.0 END
+               + least(20.0, (uw * 1.0 / wc) * 25), 4) >= 15.0 AS g1
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS wc,
+           len(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                         x -> x != ''))) AS uw
+    FROM documents
+  )
+),
+flags AS (
+  SELECT q.doc_id, q.wc, q.g1, e.g2,
+         (c.doc_id IS NULL OR c.cluster_id = q.doc_id) AS g3
+  FROM quality q
+  JOIN exrep e USING (doc_id)
+  LEFT JOIN clusters c ON c.doc_id = q.doc_id
+)
+SELECT 0 AS stage_idx, 'all' AS stage, count(*) AS docs_kept,
+       CAST(sum(wc) AS BIGINT) AS tokens_kept FROM flags
+UNION ALL
+SELECT 1, 'quality', count(*), CAST(sum(wc) AS BIGINT) FROM flags WHERE g1
+UNION ALL
+SELECT 2, 'exact_dedup', count(*), CAST(sum(wc) AS BIGINT) FROM flags
+WHERE g1 AND g2
+UNION ALL
+SELECT 3, 'near_dedup', count(*), CAST(sum(wc) AS BIGINT) FROM flags
+WHERE g1 AND g2 AND g3
 """
 
 
@@ -6232,6 +6429,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_rebalance": q_shard_rebalance,
     "host_degree_stats": q_host_degree_stats,
     "near_dup_clusters": q_near_dup_clusters,
+    "near_dup_clusters_star": q_near_dup_clusters_star,
+    "pipeline_funnel": q_pipeline_funnel,
     "dedup_keep_list": q_dedup_keep_list,
     "embedding_near_dups": q_embedding_near_dups,
     "facet_grouping_sets": q_facet_grouping_sets,
@@ -6379,6 +6578,8 @@ ORACLE_SQL: dict[str, str] = {
     "shard_rebalance": SQL_shard_rebalance,
     "host_degree_stats": SQL_host_degree_stats,
     "near_dup_clusters": SQL_near_dup_clusters,
+    "near_dup_clusters_star": SQL_near_dup_clusters_star,
+    "pipeline_funnel": _sql_pipeline_funnel(),
     "dedup_keep_list": SQL_dedup_keep_list,
     "embedding_near_dups": SQL_embedding_near_dups,
     "facet_grouping_sets": SQL_facet_grouping_sets,
