@@ -137,6 +137,7 @@ def crawl_bench(spark, n_pages: int = 20000, n_epochs: int = 4, cfg=None) -> dic
     cat = Catalog(spark, cat_dir)
     pages_prepared = E.prepare_pages(pages).persist()
     pages_prepared.count()
+    s0 = _stat_snap()
     t0 = time.time()
     counters = []
     epoch_secs = []
@@ -151,6 +152,10 @@ def crawl_bench(spark, n_pages: int = 20000, n_epochs: int = 4, cfg=None) -> dic
             )
             epoch_secs.append(round(time.time() - te, 3))
         elapsed = time.time() - t0
+        # whole-box busy-cores over the timed region: adjudicates ambient
+        # co-tenant load from the artifact alone (same field the frontier
+        # and scaling phases record)
+        sys_busy = round(sys_busy_cores_over(s0, _stat_snap(), os.cpu_count() or 1), 2)
     finally:
         import shutil
 
@@ -166,6 +171,7 @@ def crawl_bench(spark, n_pages: int = 20000, n_epochs: int = 4, cfg=None) -> dic
         "links_discovered": links,
         "seconds": round(elapsed, 3),
         "epoch_seconds": epoch_secs,
+        "sys_busy_avg": sys_busy,
         # cumulative rate is discovery-starved in early epochs (few seeds);
         # the last epoch is the steady-state pipeline rate
         "pages_per_sec": round(fetched / elapsed, 1),
@@ -586,6 +592,11 @@ def main() -> None:
         "adaptive_seconds": skew_ad["seconds"],
         "adaptive_urls_per_sec": skew_ad["urls_per_sec"],
         "adaptive_speedup": round(skew_off["seconds"] / skew_ad["seconds"], 3),
+        "sys_busy_avg": {
+            "salted": skew_on["sys_busy_avg"],
+            "unsalted": skew_off["sys_busy_avg"],
+            "adaptive": skew_ad["sys_busy_avg"],
+        },
     }
     spark.stop()
 
