@@ -1286,3 +1286,37 @@ def test_weighted_sample_string_ids(spark):
         key=lambda t: (-t[1], t[0]),
     )[:30]
     assert got == want
+
+
+def test_domain_cap_salted_matches_naive(spark):
+    """domain_cap (salted two-phase per-domain top-k): kept set equals the
+    naive single-window row_number result, rk is the true within-domain
+    rank, and no domain exceeds the cap — including a hot domain holding
+    half the rows (the skew case the salting exists for)."""
+    from pyspark.sql import Window, functions as F
+
+    from webcrawler_spark.operators.corpus import domain_cap
+
+    rows = [(i, "hot" if i % 2 == 0 else f"d{i % 7}", (i * 37) % 101)
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, q int")
+    order = [F.desc("q"), F.asc("doc_id")]
+    got = {
+        (r["doc_id"], r["rk"])
+        for r in domain_cap(docs, "domain", order, cap=6).collect()
+    }
+    w = Window.partitionBy("domain").orderBy(*order)
+    want = {
+        (r["doc_id"], r["rk"])
+        for r in docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 6)
+        .collect()
+    }
+    assert got == want
+    per_dom = {}
+    for (_, rk) in got:
+        assert 1 <= rk <= 6
+    out = domain_cap(docs, "domain", order, cap=6)
+    sizes = {r["domain"]: r["n"] for r in out.groupBy("domain").count()
+             .withColumnRenamed("count", "n").collect()}
+    assert sizes["hot"] == 6 and all(v <= 6 for v in sizes.values())

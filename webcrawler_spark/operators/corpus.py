@@ -598,3 +598,40 @@ def weighted_sample(
         .orderBy(F.desc("sample_key"), F.asc(id_col))
         .limit(n)
     )
+
+
+def domain_cap(
+    docs: DataFrame,
+    key_col: str,
+    order_cols: list[Column],
+    cap: int,
+    tiebreak_col: str = "doc_id",
+    salt_factor: int = 8,
+) -> DataFrame:
+    """Per-domain document cap — the FineWeb/Dolma curation step that stops
+    one prolific host from dominating a training mix: keep at most ``cap``
+    documents per ``key_col`` group under the total order ``order_cols``
+    (callers pass e.g. [quality desc, doc_id asc]; the order MUST be total
+    or the kept set is nondeterministic). Adds ``rk`` (1-based rank within
+    the domain) to the surviving rows.
+
+    Scale shape (10^10 docs, hot domains with 10^8 pages): the same salted
+    two-phase top-k as the frontier scheduler (scheduler.schedule_epoch W1)
+    — phase 1 ranks within (domain, salt) so no single task ever sorts a
+    whole hot domain, phase 2 ranks at most salt_factor x cap survivors per
+    domain. Two hash shuffles, both on the domain key; no global sort.
+    The reference has no corpus tier; this extends its dedup/politeness
+    per-domain discipline (services/url-scheduler/domain_sharding.py) to
+    training-data assembly.
+    """
+    salt = F.pmod(F.xxhash64(F.col(tiebreak_col).cast("string")), F.lit(salt_factor))
+    pre = Window.partitionBy(key_col, "_salt").orderBy(*order_cols)
+    fin = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        docs.withColumn("_salt", salt)
+        .withColumn("_pre_rk", F.row_number().over(pre))
+        .filter(F.col("_pre_rk") <= cap)
+        .withColumn("rk", F.row_number().over(fin))
+        .filter(F.col("rk") <= cap)
+        .drop("_salt", "_pre_rk")
+    )

@@ -6344,6 +6344,41 @@ GROUP BY b.query_id
 """
 
 
+# Per-domain document cap (operators/corpus.domain_cap): the FineWeb/Dolma
+# curation step that stops one prolific domain from dominating the training
+# mix. Synthetic domains fan the 20 sources into 60 groups (~8 docs each, so cap=5 bites) so the cap
+# actually bites; order is total (n_chars desc, doc_id asc) so the kept set
+# is deterministic. Salted two-phase top-k inside (no whole-domain sorts).
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as CP
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "domain",
+        F.concat(F.col("source"), F.lit("-"), (F.col("doc_id") % 3).cast("string")),
+    )
+    kept = CP.domain_cap(
+        docs, "domain", [F.desc("n_chars"), F.asc("doc_id")], cap=5
+    )
+    return kept.select("doc_id", "domain", "rk")
+
+
+SQL_domain_cap_sample = """
+WITH d AS (
+  SELECT doc_id, source || '-' || CAST(doc_id % 3 AS VARCHAR) AS domain, n_chars
+  FROM documents
+),
+r AS (
+  SELECT doc_id, domain,
+         CAST(row_number() OVER (PARTITION BY domain
+                                 ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+  FROM d
+)
+SELECT doc_id, domain, rk FROM r WHERE rk <= 5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -6467,6 +6502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_match_all_sorted": q_search_match_all_sorted,
     "url_quality_gate": q_url_quality_gate,
     "anchor_search": q_anchor_search,
+    "domain_cap_sample": q_domain_cap_sample,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
     "incremental_near_dups": q_incremental_near_dups,
@@ -6616,6 +6652,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_match_all_sorted": SQL_search_match_all_sorted,
     "url_quality_gate": _sql_url_quality_gate(),
     "anchor_search": SQL_anchor_search,
+    "domain_cap_sample": SQL_domain_cap_sample,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
     "crawl_two_epoch_counters": _sql_crawl_two_epoch_counters(),
