@@ -259,3 +259,48 @@ def test_trustrank_no_seeds_in_graph(spark, diamond_edges):
     got = G.trustrank(diamond_edges, seeds, n_iter=2)
     assert got.columns == ["node", "rank"]
     assert got.filter(F.col("rank") != 0.0).count() == 0
+
+
+def _numpy_opic(edges, n_iter):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    cash = np.full(n, 1.0 / n)
+    hist = np.zeros(n)
+    for _ in range(n_iter):
+        nxt = np.zeros(n)
+        dangling = sum(cash[idx[v]] for v in nodes if v not in out)
+        nxt += dangling / n
+        for u, vs in out.items():
+            share = cash[idx[u]] / len(vs)
+            for v in vs:
+                nxt[idx[v]] += share
+        hist = hist + cash
+        cash = nxt
+    est = (hist + cash) / (n_iter + 1)
+    return {v: est[idx[v]] for v in nodes}
+
+
+def test_opic_matches_reference_iteration(spark, diamond_edges):
+    got = {
+        r["node"]: r["opic"]
+        for r in G.opic(diamond_edges, n_iter=4).collect()
+    }
+    want = _numpy_opic([(1, 2), (1, 3), (2, 4), (3, 4), (5, 1)], n_iter=4)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    # the two-in-link sink accumulates the most cash history; total
+    # importance is a probability distribution (cash is conserved)
+    assert got[4] == max(got.values())
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_opic_empty_edges(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = G.opic(empty, n_iter=2)
+    assert out.columns == ["node", "opic"]
+    assert out.count() == 0

@@ -1320,3 +1320,74 @@ def test_domain_cap_salted_matches_naive(spark):
     sizes = {r["domain"]: r["n"] for r in out.groupBy("domain").count()
              .withColumnRenamed("count", "n").collect()}
     assert sizes["hot"] == 6 and all(v <= 6 for v in sizes.values())
+
+
+def test_focused_frontier_matches_python_nb(spark):
+    """focused_frontier (Chakrabarti-style anchor-steered frontier): the
+    per-target NB log-odds over the union-bag of inbound anchor grams must
+    match an exact pure-Python replay of the same hashed-gram NB math
+    (poly-roll bucket hash, add-one smoothing, doc prior)."""
+    import math
+    import re
+
+    from webcrawler_spark.operators.links import focused_frontier
+
+    pos = ["spark shuffle broadcast join plan", "catalyst codegen spark plan",
+           "broadcast join shuffle partition"]
+    neg = ["casino poker lottery jackpot spins", "jackpot casino bonus spins",
+           "lottery spins poker bonus"]
+    labeled = spark.createDataFrame(
+        [(t, True) for t in pos] + [(t, False) for t in neg],
+        "text string, label boolean",
+    )
+    links = spark.createDataFrame(
+        [
+            (1, "spark broadcast join"),
+            (1, "catalyst plan shuffle"),
+            (2, "casino jackpot spins"),
+            (2, "poker lottery bonus"),
+            (3, "spark casino"),
+        ],
+        "target_url long, anchor_text string",
+    )
+    got = {
+        r["target"]: (r["score"], r["keep"])
+        for r in focused_frontier(links, labeled, n_buckets=64).collect()
+    }
+
+    def grams(text):
+        t = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        return t + [" ".join(t[i:i + 2]) for i in range(len(t) - 1)]
+
+    def bucket(g):
+        h = 0
+        for ch in g:
+            h = (h * 131 + ord(ch)) % 1000000007
+        return h % 64
+
+    pos_n, neg_n = [0] * 64, [0] * 64
+    for t in pos:
+        for g in grams(t):
+            pos_n[bucket(g)] += 1
+    for t in neg:
+        for g in grams(t):
+            neg_n[bucket(g)] += 1
+    pt, nt = sum(pos_n), sum(neg_n)
+    w = [
+        math.log((pos_n[b] + 1) / (pt + 64)) - math.log((neg_n[b] + 1) / (nt + 64))
+        for b in range(64)
+    ]
+    prior = math.log((len(pos) + 1) / (len(neg) + 1))
+    anchors = {1: ["spark broadcast join", "catalyst plan shuffle"],
+               2: ["casino jackpot spins", "poker lottery bonus"],
+               3: ["spark casino"]}
+    want = {}
+    for tgt, texts in anchors.items():
+        s = sum(w[bucket(g)] for t in texts for g in grams(t)) + prior
+        want[tgt] = (round(s, 6), s > 0)
+    assert set(got) == set(want)
+    for tgt in want:
+        assert got[tgt][0] == pytest.approx(want[tgt][0], abs=1e-9), tgt
+        assert got[tgt][1] == want[tgt][1], tgt
+    # the steering property: on-topic target kept, spam target rejected
+    assert got[1][1] is True and got[2][1] is False

@@ -192,3 +192,52 @@ def anchor_search(
         .orderBy(F.desc("score"), F.desc("n_terms"), F.asc("target"))
         .limit(k)
     )
+
+
+def focused_frontier(
+    links: DataFrame,
+    labeled: DataFrame,
+    target_col: str = "target_url",
+    anchor_col: str = "anchor_text",
+    label_col: str = "label",
+    labeled_text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Focused crawling (Chakrabarti, van den Berg & Dom 1999): rank
+    UNCRAWLED frontier targets by the topical relevance of their inbound
+    anchor text, judged by a classifier trained on already-fetched labeled
+    pages. The reference stores per-link anchor_text in web_links
+    (services/parser extracts it) but schedules by depth+host only; this is
+    the published upgrade that steers the frontier toward a topic before
+    spending fetch budget.
+
+    Delegates to :func:`~webcrawler_spark.operators.corpus.nb_classifier_score`
+    with the link target as the doc id: a target's feature bag is the union
+    (with multiplicity) of hashed word uni+bigrams over ALL its inbound
+    anchors, so every citation of a page votes on its topic — the Brin &
+    Page anchor-propagation idea applied to scheduling. Returns
+    (target, score, keep): score = NB log-odds + prior (6 dp), keep =
+    score > 0 (the crawl gate). Targets whose anchors have zero tokens drop
+    out (no evidence either way).
+
+    Shape at 100 TB: the labeled set reduces to a <= n_buckets-row
+    broadcast weight dim + 1-row prior; the frontier side is one anchor
+    explode + map-side-partial hash agg keyed on the target — same plan as
+    the quality classifier, no self-joins, no collects.
+    """
+    from .corpus import nb_classifier_score
+
+    anchors = links.select(
+        F.col(target_col).alias("target"), F.col(anchor_col).alias("anchor")
+    )
+    lab = labeled.select(
+        F.col(label_col), F.col(labeled_text_col).alias("anchor")
+    )
+    return nb_classifier_score(
+        anchors,
+        lab,
+        label_col=label_col,
+        n_buckets=n_buckets,
+        id_col="target",
+        text_col="anchor",
+    )

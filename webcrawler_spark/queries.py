@@ -1955,6 +1955,75 @@ SELECT node, round(rank * 1000.0, 6) AS trust_permille FROM r3
 """
 
 
+# OPIC (graph.opic, Abiteboul et al. WWW 2003): the crawl-ordering
+# importance score computed online — cash/history rounds over the same
+# customer->supplier bipartite graph, 3 synchronous rounds unrolled in the
+# oracle. All suppliers are dangling, so the virtual-page uniform
+# redistribution carries real mass every round.
+
+
+def q_opic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    out = G.opic(edges, n_iter=3)
+    return out.select("node", F.round(F.col("opic") * 1000.0, 6).alias("opic_permille"))
+
+
+SQL_opic = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+s0 AS (SELECT node, 1.0/(SELECT n FROM p) AS cash, 0.0 AS hist FROM nodes),
+d0 AS (SELECT coalesce(sum(cash), 0) AS dm FROM s0 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+s1 AS (
+  SELECT s0.node,
+         coalesce(c.inflow, 0) + (SELECT dm FROM d0)/(SELECT n FROM p) AS cash,
+         s0.hist + s0.cash AS hist
+  FROM s0 LEFT JOIN (
+    SELECT dst AS node, sum(s.cash/deg.outdeg) AS inflow
+    FROM edges JOIN s0 s ON edges.src = s.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d1 AS (SELECT coalesce(sum(cash), 0) AS dm FROM s1 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+s2 AS (
+  SELECT s1.node,
+         coalesce(c.inflow, 0) + (SELECT dm FROM d1)/(SELECT n FROM p) AS cash,
+         s1.hist + s1.cash AS hist
+  FROM s1 LEFT JOIN (
+    SELECT dst AS node, sum(s.cash/deg.outdeg) AS inflow
+    FROM edges JOIN s1 s ON edges.src = s.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d2 AS (SELECT coalesce(sum(cash), 0) AS dm FROM s2 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+s3 AS (
+  SELECT s2.node,
+         coalesce(c.inflow, 0) + (SELECT dm FROM d2)/(SELECT n FROM p) AS cash,
+         s2.hist + s2.cash AS hist
+  FROM s2 LEFT JOIN (
+    SELECT dst AS node, sum(s.cash/deg.outdeg) AS inflow
+    FROM edges JOIN s2 s ON edges.src = s.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+)
+SELECT node, round((hist + cash)/4.0 * 1000.0, 6) AS opic_permille FROM s3
+"""
+
+
 # HITS hubs & authorities (operators/graph.hits): 2 iterations unrolled in
 # the DuckDB oracle over the same customer->supplier bipartite graph as
 # `pagerank`; L2-normalized per half-step, scores scaled x1000 and rounded.
@@ -5912,6 +5981,112 @@ FROM (
 """
 
 
+# Focused-crawl frontier (links.focused_frontier, Chakrabarti et al. 1999):
+# NB log-odds over inbound-anchor grams per uncrawled target. Training =
+# src0 (pos) vs src1 (neg) full texts; frontier = synthetic links where the
+# other sources' docs each cite target doc_id % 97 with their first 80
+# chars as anchor text — every target accumulates ~25 inbound anchors, so
+# the per-target union-bag (the Brin & Page anchor-propagation step) is
+# actually exercised. Oracle replays the full NB chain (hash buckets,
+# add-one smoothing, prior) on the anchor substrings.
+
+
+def q_focused_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.links import focused_frontier
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.filter(F.col("source").isin("src0", "src1")).withColumn(
+        "label", F.col("source") == "src0"
+    )
+    links = docs.filter(~F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") % 97).cast("long").alias("target_url"),
+        F.substring(F.col("text"), 1, 80).alias("anchor_text"),
+    )
+    return focused_frontier(links, labeled, n_buckets=64).withColumnRenamed(
+        "target", "target_id"
+    )
+
+
+SQL_focused_frontier = """
+WITH lab_tok AS (
+  SELECT source = 'src0' AS y,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w != '') AS t
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+lab_grams AS (
+  SELECT y, unnest(list_concat(
+    t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END)) AS gram
+  FROM lab_tok
+),
+lab AS (
+  SELECT y,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(gram) + 1),
+                          i -> CAST(unicode(gram[i]) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % 1000000007) % 64 AS bucket
+  FROM lab_grams
+),
+counts AS (
+  SELECT b.bucket,
+         CAST(COALESCE(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS BIGINT) AS pos_n,
+         CAST(COALESCE(sum(CASE WHEN NOT y THEN 1 ELSE 0 END), 0) AS BIGINT) AS neg_n
+  FROM range(0, 64) AS b(bucket) LEFT JOIN lab ON lab.bucket = b.bucket
+  GROUP BY b.bucket
+),
+dim AS (
+  SELECT bucket,
+         ln(CAST(pos_n + 1 AS DOUBLE) / (sum(pos_n) OVER () + 64))
+       - ln(CAST(neg_n + 1 AS DOUBLE) / (sum(neg_n) OVER () + 64)) AS weight
+  FROM counts
+),
+prior AS (
+  SELECT ln(CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+          / (sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) + 1)) AS prior
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+anchors AS (
+  SELECT CAST(doc_id % 97 AS BIGINT) AS target_id,
+         substr(text, 1, 80) AS anchor
+  FROM documents WHERE source NOT IN ('src0', 'src1')
+),
+a_tok AS (
+  SELECT target_id,
+         list_filter(string_split_regex(lower(anchor), '[^a-z0-9]+'),
+                     w -> w != '') AS t
+  FROM anchors
+),
+a_grams AS (
+  SELECT target_id, unnest(list_concat(
+    t,
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)),
+                             i -> array_to_string(t[i:i+1], ' '))
+         ELSE [] END)) AS gram
+  FROM a_tok
+),
+a_bucketed AS (
+  SELECT target_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(gram) + 1),
+                          i -> CAST(unicode(gram[i]) AS BIGINT))),
+           (a, b) -> (a * 131 + b) % 1000000007) % 64 AS bucket
+  FROM a_grams
+),
+scored AS (
+  SELECT target_id, sum(weight) AS w
+  FROM a_bucketed JOIN dim USING (bucket)
+  GROUP BY target_id
+)
+SELECT target_id, round(w + prior, 6) AS score, (w + prior) > 0 AS keep
+FROM scored, prior
+"""
+
+
 def q_url_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style URL filter (columns.url_block_score /
     url_quality_gate): hard host blocklist + fractional soft-word scores
@@ -6433,6 +6608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resolve_redirects": q_resolve_redirects,
     "pagerank": q_pagerank,
     "trustrank": q_trustrank,
+    "opic": q_opic,
     "surt_prefix_scan": q_surt_prefix_scan,
     "registrable_domains": q_registrable_domains,
     "mirror_hosts": q_mirror_hosts,
@@ -6502,6 +6678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_match_all_sorted": q_search_match_all_sorted,
     "url_quality_gate": q_url_quality_gate,
     "anchor_search": q_anchor_search,
+    "focused_frontier": q_focused_frontier,
     "domain_cap_sample": q_domain_cap_sample,
     # rows-only (no SQL-expressible oracle)
     "minhash_near_dups": q_minhash_near_dups,
@@ -6583,6 +6760,7 @@ ORACLE_SQL: dict[str, str] = {
     "resolve_redirects": SQL_resolve_redirects,
     "pagerank": SQL_pagerank,
     "trustrank": SQL_trustrank,
+    "opic": SQL_opic,
     "surt_prefix_scan": SQL_surt_prefix_scan,
     "registrable_domains": SQL_registrable_domains,
     "mirror_hosts": SQL_mirror_hosts,
@@ -6652,6 +6830,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_match_all_sorted": SQL_search_match_all_sorted,
     "url_quality_gate": _sql_url_quality_gate(),
     "anchor_search": SQL_anchor_search,
+    "focused_frontier": SQL_focused_frontier,
     "domain_cap_sample": SQL_domain_cap_sample,
     "robots_parse": SQL_robots_parse,
     "crawl_epoch0_schedule": _sql_crawl_epoch0_schedule(),
