@@ -332,3 +332,36 @@ def test_ccnet_normalize_nfd_multiscript_parity(spark):
     assert got[4][0] == "cafe vs cafe"
     # Polish ż/ź fold only on the NFD path (translate table lacks them)
     assert "zazo" in got[1][0] and "zazo" not in got[1][1]
+
+
+def test_host_templates_site_scoped(spark):
+    """host_templates flags a line by its WITHIN-host page fraction: the
+    shared footer is a template on host a (3/3 pages) but not on host b
+    (1/3), single-page hosts are excluded by min_pages, and a repeated
+    occurrence inside one doc counts that doc once."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.lines import host_templates
+
+    rows = [
+        ("a", 1, "unique alpha\ncopyright footer"),
+        ("a", 2, "unique beta\ncopyright footer\ncopyright footer"),
+        ("a", 3, "unique gamma\ncopyright footer"),
+        ("b", 4, "copyright footer\nother text"),
+        ("b", 5, "more text"),
+        ("b", 6, "still more"),
+        ("c", 7, "copyright footer"),  # 1-page host: min_pages excludes
+    ]
+    docs = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    got = {
+        (r["host"], r["line"]): (r["n_docs"], r["n_pages"], r["frac"])
+        for r in host_templates(docs, min_frac=0.5, min_pages=2).collect()
+    }
+    assert got == {("a", "copyright footer"): (3, 3, 1.0)}
+    # lowering the fraction gate admits b's 1/3 occurrence too
+    got2 = {
+        (r["host"], r["line"])
+        for r in host_templates(docs, min_frac=0.3, min_pages=2).collect()
+    }
+    assert ("b", "copyright footer") in got2 and ("a", "copyright footer") in got2
+    assert not any(h == "c" for h, _ in got2)

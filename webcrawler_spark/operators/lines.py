@@ -346,3 +346,65 @@ def gopher_repetition(
         ),
         frac(dupg_chars, chars).alias("dup_ngram_char_frac"),
     )
+
+
+def host_templates(
+    docs: DataFrame,
+    host_col: str = "host",
+    min_frac: float = 0.5,
+    min_pages: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "lines",
+    width: int = CHUNK_WIDTH,
+) -> DataFrame:
+    """Per-SITE template discovery: lines appearing in >= ``min_frac`` of a
+    single host's pages (hosts with >= ``min_pages`` pages). The site-scoped
+    complement of :func:`dedup_lines`'s global doc-frequency gate — nav
+    bars, footers, and cookie banners repeat within one site but can be
+    globally rare, so a global threshold misses them while a host-local
+    fraction nails them (the CCNet/RefinedWeb per-domain boilerplate
+    observation; the reference extracts text per page, parser/app.py, and
+    never sees cross-page structure at all).
+
+    Returns (host, line, n_docs, n_pages, frac) for flagged lines; join
+    back with a left-anti on (host, line) to strip them.
+
+    Shape at 100 TB: one explode + two hash aggs keyed on (host, line) and
+    host — within a giant host the (host, line) key still spreads across
+    reducers by line, and the per-host page-count dim is one row per host
+    (broadcastable). No global state, no windows, no collects.
+    """
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.explode(segment(F.col(text_col), mode, width)).alias("line"),
+    ).dropDuplicates(["host", "line", id_col])
+    per_line = lines.groupBy("host", "line").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    pages = (
+        docs.select(F.col(host_col).alias("host"), F.col(id_col))
+        .dropDuplicates()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    return (
+        per_line.join(pages, "host")
+        .filter(
+            (F.col("n_pages") >= min_pages)
+            & (
+                F.col("n_docs").cast("double") / F.col("n_pages").cast("double")
+                >= F.lit(min_frac)
+            )
+        )
+        .select(
+            "host",
+            "line",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_pages").cast("bigint").alias("n_pages"),
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_pages").cast("double"), 6
+            ).alias("frac"),
+        )
+    )

@@ -1348,6 +1348,67 @@ LEFT JOIN (
 """
 
 
+# Host-template discovery (lines.host_templates): per-SITE boilerplate —
+# lines in >= min_frac of ONE host's pages, the site-scoped complement of
+# the global doc-freq gate. Each host's docs get a deterministic 8-word
+# nav/footer prefix (word-aligned with the 8-word chunking, so it is one
+# identical chunk on every page of that host and shifts the rest of the
+# text by exactly one chunk), giving the detector a guaranteed frac-1.0
+# template per host on top of the corpus's natural near-duplicate chunks.
+
+
+def q_host_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"),
+        "doc_id",
+        F.concat(
+            F.lit("home about contact privacy terms copyright site "),
+            F.col("source"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return L.host_templates(docs, min_frac=0.08, min_pages=2, mode="chunks")
+
+
+SQL_host_templates = """
+WITH docs2 AS (
+  SELECT source AS host, doc_id,
+         'home about contact privacy terms copyright site ' || source || ' '
+           || text AS text
+  FROM documents
+),
+lines AS (
+  SELECT DISTINCT host, doc_id, line FROM (
+    SELECT host, doc_id, chunks[i] AS line
+    FROM (
+      SELECT host, doc_id,
+             list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+                            i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS chunks
+      FROM (SELECT host, doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+            FROM docs2)
+    ), unnest(range(1, len(chunks)+1)) AS u(i)
+  )
+),
+per_line AS (
+  SELECT host, line, CAST(count(*) AS BIGINT) AS n_docs
+  FROM lines GROUP BY host, line
+),
+pages AS (
+  SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_pages
+  FROM docs2 GROUP BY host
+)
+SELECT host, line, n_docs, n_pages,
+       round(CAST(n_docs AS DOUBLE) / CAST(n_pages AS DOUBLE), 6) AS frac
+FROM per_line JOIN pages USING (host)
+WHERE n_pages >= 2
+  AND CAST(n_docs AS DOUBLE) / CAST(n_pages AS DOUBLE) >= 0.08
+"""
+
+
 def q_boilerplate_char_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import lines as L
 
@@ -6598,6 +6659,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_classifier": q_quality_classifier,
     "line_dup_stats": q_line_dup_stats,
     "line_dedup_rebuild": q_line_dedup_rebuild,
+    "host_templates": q_host_templates,
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
     "wet_roundtrip": q_wet_roundtrip,
@@ -6750,6 +6812,7 @@ ORACLE_SQL: dict[str, str] = {
     "quality_classifier": SQL_quality_classifier,
     "line_dup_stats": SQL_line_dup_stats,
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
+    "host_templates": SQL_host_templates,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
     "wet_roundtrip": SQL_wet_roundtrip,
