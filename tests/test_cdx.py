@@ -1,0 +1,73 @@
+"""CDXJ index sink (sources/cdx.py): sorted shards + cluster.idx lookup."""
+
+import json
+import os
+
+from webcrawler_spark.sources import cdx as CDX
+
+
+def _pages(spark, n=40):
+    rows = [
+        (
+            f"https://host{i % 7}.example.com/page/{i}",
+            f"body of page {i} " * (1 + i % 3),
+            str(20260101000000 + i),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "url string, content string, fetch_ts string")
+
+
+def test_cdx_records_projection(spark):
+    import hashlib
+
+    recs = CDX.cdx_records(_pages(spark, 5), content_col="content", ts_col="fetch_ts")
+    got = {r["url"]: r for r in recs.collect()}
+    assert len(got) == 5
+    r = got["https://host1.example.com/page/1"]
+    body = "body of page 1 " * 2
+    assert r["surt"] == "com,example,host1)/page/1"
+    assert r["digest"] == hashlib.sha256(body.encode()).hexdigest()
+    assert r["length"] == len(body.encode())
+    assert r["mime"] == "text/html" and r["status"] == 200
+    assert r["ts"] == "20260101000001"
+
+
+def test_export_cdx_sorted_shards_and_lookup(spark, tmp_path):
+    out = str(tmp_path / "cdx")
+    recs = CDX.cdx_records(_pages(spark), content_col="content", ts_col="fetch_ts")
+    idx_path = CDX.export_cdx(recs, out, n_shards=4)
+    assert os.path.basename(idx_path) == "cluster.idx"
+
+    idx_lines = [l.rstrip("\n").split("\t") for l in open(idx_path)]
+    assert 1 <= len(idx_lines) <= 4
+    # cluster.idx itself is in key order
+    assert [l[0] for l in idx_lines] == sorted(l[0] for l in idx_lines)
+
+    all_lines = []
+    for first_key, fname, n in idx_lines:
+        shard = [l.rstrip("\n") for l in open(os.path.join(out, fname))]
+        assert len(shard) == int(n)
+        # each shard internally sorted; its first key matches cluster.idx
+        assert shard == sorted(shard)
+        assert shard[0].startswith(first_key)
+        all_lines.extend(shard)
+    # concatenation in cluster.idx order IS the globally sorted index,
+    # covering every input record exactly once
+    assert all_lines == sorted(all_lines)
+    assert len(all_lines) == 40
+    # records are valid CDXJ: "<surt> <ts> <json>"
+    key, ts, payload = all_lines[0].split(" ", 2)
+    meta = json.loads(payload)
+    assert set(meta) == {"digest", "length", "mime", "status", "url"}
+
+    # two-level lookup: every record's surt resolves to the shard that
+    # actually holds it
+    shard_of = {}
+    for first_key, fname, _ in idx_lines:
+        for line in open(os.path.join(out, fname)):
+            shard_of[line.split(" ", 1)[0]] = fname
+    for surt, fname in shard_of.items():
+        assert CDX.lookup_shard(idx_path, surt) == fname
+    # a key before the global minimum has no shard
+    assert CDX.lookup_shard(idx_path, "aaa") is None

@@ -4512,6 +4512,88 @@ WHERE surt LIKE 'com,example,host7%'
 """
 
 
+# CDX index records (sources/cdx.cdx_records): the cc-index projection —
+# SURT key + 14-digit timestamp + SHA-256 digest + mime/status/length —
+# over the same synthetic URL table as surt_prefix_scan (priority+date+key
+# as the page body). The sorted-shard SINK (export_cdx + cluster.idx two-level
+# lookup) is exercised by tests/test_cdx.py; this entry pins the record
+# projection's values.
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import cdx as CDX
+
+    orders = _t(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("www."))
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.concat(F.lit("sub"), (F.col("o_orderkey") % 5).cast("string"), F.lit(".")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("Host"),
+        (F.col("o_custkey") % 20).cast("string"),
+        F.lit(".example.com"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/item/"),
+        F.col("o_orderkey").cast("string"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("?ref=abc")).otherwise(F.lit("")),
+    )
+    pages = orders.select(
+        url.alias("url"),
+        F.concat_ws(
+            " ",
+            F.col("o_orderpriority"),
+            F.col("o_orderdate").cast("string"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("content"),
+        (F.lit(20260101000000) + F.col("o_orderkey") % 60)
+        .cast("string")
+        .alias("fetch_ts"),
+    )
+    return CDX.cdx_records(pages, content_col="content", ts_col="fetch_ts")
+
+
+SQL_cdx_index = """
+WITH u AS (
+  SELECT o_orderkey,
+         o_orderpriority || ' ' || CAST(o_orderdate AS VARCHAR) || ' '
+           || CAST(o_orderkey AS VARCHAR) AS content,
+         'https://' ||
+         CASE WHEN o_orderkey % 3 = 0 THEN 'www.'
+              WHEN o_orderkey % 3 = 1 THEN 'sub' || CAST(o_orderkey % 5 AS VARCHAR) || '.'
+              ELSE '' END ||
+         'Host' || CAST(o_custkey % 20 AS VARCHAR) || '.example.com' ||
+         CASE WHEN o_orderkey % 7 = 0 THEN ':8080' ELSE '' END ||
+         '/item/' || CAST(o_orderkey AS VARCHAR) ||
+         CASE WHEN o_orderkey % 4 = 0 THEN '?ref=abc' ELSE '' END AS url,
+         CAST(20260101000000 + o_orderkey % 60 AS VARCHAR) AS ts
+  FROM orders
+)
+SELECT array_to_string(
+         list_reverse(string_split(
+           regexp_replace(
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)),
+             '^www\\.', '')
+         , '.')), ',')
+       || ')' ||
+       CASE WHEN regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+            THEN '/'
+            ELSE regexp_extract(url,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) END AS surt,
+       ts,
+       url,
+       sha256(content) AS digest,
+       'text/html' AS mime,
+       CAST(200 AS INT) AS status,
+       CAST(strlen(content) AS INT) AS length
+FROM u
+"""
+
+
 # Mirror-host detection (operators/mirrors.py): host pairs sharing many
 # content fingerprints -> drop whole mirrored hosts from the crawl budget.
 # Contract mapping: documents.source = host, md5 of the 60-char text prefix
@@ -6672,6 +6754,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trustrank": q_trustrank,
     "opic": q_opic,
     "surt_prefix_scan": q_surt_prefix_scan,
+    "cdx_index": q_cdx_index,
     "registrable_domains": q_registrable_domains,
     "mirror_hosts": q_mirror_hosts,
     "dup_ngram_spans": q_dup_ngram_spans,
@@ -6825,6 +6908,7 @@ ORACLE_SQL: dict[str, str] = {
     "trustrank": SQL_trustrank,
     "opic": SQL_opic,
     "surt_prefix_scan": SQL_surt_prefix_scan,
+    "cdx_index": SQL_cdx_index,
     "registrable_domains": SQL_registrable_domains,
     "mirror_hosts": SQL_mirror_hosts,
     "dup_ngram_spans": SQL_dup_ngram_spans,
