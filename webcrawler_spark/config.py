@@ -90,6 +90,11 @@ class CrawlConfig:
     use_host_rank: bool = False
     host_rank_weight: float = 100.0
     host_rank_iters: int = 3
+    # which structural score ranks hosts for the boost: "pagerank"
+    # (default, damped + dangling-redistributed) or "opic" (Abiteboul et
+    # al. 2003 cash/history — the score designed to be maintained online
+    # while crawling; same per-round join+agg cost, no damping parameter).
+    host_rank_algo: str = "pagerank"
 
     # strip tracking query params (columns.strip_tracking_params: utm_*,
     # fbclid, gclid, ...) from url_norm at ingest, re-fingerprinting — URLs
