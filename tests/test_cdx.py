@@ -71,3 +71,44 @@ def test_export_cdx_sorted_shards_and_lookup(spark, tmp_path):
         assert CDX.lookup_shard(idx_path, surt) == fname
     # a key before the global minimum has no shard
     assert CDX.lookup_shard(idx_path, "aaa") is None
+
+
+def test_warc_to_cdx_roundtrip(spark, tmp_path):
+    """Full artifact loop: docs -> WET archives (export_wet) -> read back
+    (pages_from_warc) -> CDX index records. The index digest/length must
+    describe the round-tripped text exactly, and every archived URL gets
+    exactly one index record."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.sources import warc as W
+
+    docs = spark.createDataFrame(
+        [
+            (f"https://site{i % 3}.example.org/doc/{i}", f"wet text body {i} é")
+            for i in range(12)
+        ],
+        "url string, text string",
+    )
+    wet_dir = str(tmp_path / "wet")
+    W.export_wet(docs, wet_dir, n_files=2)
+    pages = W.pages_from_warc(spark, wet_dir + "/*.warc.gz")
+    recs = CDX.cdx_records(
+        pages.withColumn(
+            "fetch_ts", F.date_format("warc_ts", "yyyyMMddHHmmss")
+        ),
+        content_col="text",
+        ts_col="fetch_ts",
+        mime_col=None,
+    ).collect()
+    assert len(recs) == 12
+    by_url = {r["url"]: r for r in recs}
+    for i in range(12):
+        url = f"https://site{i % 3}.example.org/doc/{i}"
+        body = f"wet text body {i} é"
+        r = by_url[url]
+        assert r["digest"] == hashlib.sha256(body.encode()).hexdigest()
+        assert r["length"] == len(body.encode())
+        assert r["ts"] == "20260101000000"
+        assert r["surt"].startswith("org,example,site")
