@@ -85,3 +85,36 @@ def test_no_python_udf(spark, fetched):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_changefreq_and_recrawl_hints(spark):
+    """changefreq parses case-insensitively, rejects off-protocol tokens,
+    and recrawl_hints maps the seven tokens to the published intervals
+    ('never' and absent -> null = fall back to observed-change recrawl)."""
+    from webcrawler_spark.sources.sitemap import parse_urlset, recrawl_hints
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://a/1</loc><changefreq>Daily</changefreq></url>"
+        "<url><loc>https://a/2</loc><changefreq>hourly</changefreq></url>"
+        "<url><loc>https://a/3</loc><changefreq>never</changefreq></url>"
+        "<url><loc>https://a/4</loc><changefreq>sometimes</changefreq></url>"
+        "<url><loc>https://a/5</loc></url>"
+        "<url><loc>https://a/6</loc><changefreq>always</changefreq></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("https://a/sitemap.xml", xml)], "sitemap_url string, xml string"
+    )
+    got = {
+        r["loc"]: (r["changefreq"], r["interval_hours"])
+        for r in recrawl_hints(parse_urlset(df)).collect()
+    }
+    assert got == {
+        "https://a/1": ("daily", 24.0),
+        "https://a/2": ("hourly", 1.0),
+        "https://a/3": ("never", None),
+        "https://a/4": (None, None),
+        "https://a/5": (None, None),
+        "https://a/6": ("always", 0.0),
+    }

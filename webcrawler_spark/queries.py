@@ -5157,6 +5157,125 @@ GROUP BY sitemap_url ORDER BY sitemap_url
 """
 
 
+# Sitemap recrawl hints (sources/sitemap.recrawl_hints): changefreq ->
+# revisit-interval-hours per the sitemaps.org semantics — the declared
+# prior the frontier fuses with the observed-change-rate posterior
+# (scheduler.recrawl_schedule). Entries cycle all seven protocol tokens
+# plus a case variant (Daily), an invalid token (-> null), and an absent
+# element (-> null); lastmod/priority ride along where present.
+
+
+def q_sitemap_recrawl_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources import sitemap as SM
+
+    orders = _t(spark, sf_dir, "orders")
+    host = (F.col("o_custkey") % 10).cast("string")
+    freq_el = F.element_at(
+        F.array(
+            F.lit("<changefreq>always</changefreq>"),
+            F.lit("<changefreq>hourly</changefreq>"),
+            F.lit("<changefreq>Daily</changefreq>"),
+            F.lit("<changefreq>weekly</changefreq>"),
+            F.lit("<changefreq>monthly</changefreq>"),
+            F.lit("<changefreq>yearly</changefreq>"),
+            F.lit("<changefreq>never</changefreq>"),
+            F.lit("<changefreq>sometimes</changefreq>"),
+            F.lit(""),
+        ),
+        (F.col("o_orderkey") % 9 + 1).cast("int"),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>https://host"), host, F.lit(".example.com/item/"),
+        F.col("o_orderkey").cast("string"), F.lit("</loc>"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.lit("<lastmod>2026-01-15</lastmod>")
+        ).otherwise(F.lit("")),
+        freq_el,
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.concat(F.lit("<priority>0."), (F.col("o_orderkey") % 10).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    leaves = (
+        orders.select(host.alias("h"), F.col("o_orderkey").alias("k"), entry.alias("e"))
+        .groupBy("h")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("e")))),
+                    lambda s: s["e"],
+                ),
+                "",
+            ).alias("body")
+        )
+        .select(
+            F.concat(F.lit("https://host"), F.col("h"),
+                     F.lit(".example.com/sitemap.xml")).alias("sitemap_url"),
+            F.concat(F.lit('<?xml version="1.0"?><urlset>'), F.col("body"),
+                     F.lit("</urlset>")).alias("xml"),
+        )
+    )
+    return SM.recrawl_hints(SM.parse_urlset(leaves))
+
+
+SQL_sitemap_recrawl_hints = """
+WITH leaves AS (
+  SELECT '<?xml version="1.0"?><urlset>' ||
+         string_agg(
+           '<url><loc>https://host' || CAST(o_custkey % 10 AS VARCHAR) ||
+           '.example.com/item/' || CAST(o_orderkey AS VARCHAR) || '</loc>' ||
+           CASE WHEN o_orderkey % 4 = 0 THEN '<lastmod>2026-01-15</lastmod>'
+                ELSE '' END ||
+           (['<changefreq>always</changefreq>',
+             '<changefreq>hourly</changefreq>',
+             '<changefreq>Daily</changefreq>',
+             '<changefreq>weekly</changefreq>',
+             '<changefreq>monthly</changefreq>',
+             '<changefreq>yearly</changefreq>',
+             '<changefreq>never</changefreq>',
+             '<changefreq>sometimes</changefreq>',
+             ''])[CAST(o_orderkey % 9 AS INT) + 1] ||
+           CASE WHEN o_orderkey % 3 = 0
+                THEN '<priority>0.' || CAST(o_orderkey % 10 AS VARCHAR) || '</priority>'
+                ELSE '' END || '</url>',
+           '' ORDER BY o_orderkey) ||
+         '</urlset>' AS xml
+  FROM orders GROUP BY o_custkey % 10
+),
+entries AS (
+  SELECT unnest(regexp_extract_all(xml, '(?s)<url\\s*>(.*?)</url\\s*>', 1)) AS e
+  FROM leaves
+),
+parsed AS (
+  SELECT regexp_extract(e, '(?s)<loc\\s*>\\s*(.*?)\\s*</loc\\s*>', 1) AS loc,
+         CASE WHEN regexp_extract(e, '(?s)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1) != ''
+              THEN regexp_extract(e, '(?s)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>', 1)
+         END AS lastmod,
+         CASE WHEN lower(regexp_extract(e, '(?s)<changefreq\\s*>\\s*(.*?)\\s*</changefreq\\s*>', 1))
+                   IN ('always','hourly','daily','weekly','monthly','yearly','never')
+              THEN lower(regexp_extract(e, '(?s)<changefreq\\s*>\\s*(.*?)\\s*</changefreq\\s*>', 1))
+         END AS changefreq,
+         coalesce(CASE WHEN regexp_extract(e, '(?s)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1) != ''
+                       THEN CAST(regexp_extract(e, '(?s)<priority\\s*>\\s*(.*?)\\s*</priority\\s*>', 1) AS DOUBLE)
+                  END, 0.5) AS priority
+  FROM entries
+)
+SELECT loc, changefreq,
+       CAST(CASE changefreq
+            WHEN 'always' THEN 0.0
+            WHEN 'hourly' THEN 1.0
+            WHEN 'daily' THEN 24.0
+            WHEN 'weekly' THEN 168.0
+            WHEN 'monthly' THEN 720.0
+            WHEN 'yearly' THEN 8760.0
+       END AS DOUBLE) AS interval_hours,
+       priority, lastmod
+FROM parsed WHERE loc != ''
+"""
+
+
 def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.robots import robots_table, sitemap_seeds
 
@@ -6760,6 +6879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
     "sitemap_urlset": q_sitemap_urlset,
+    "sitemap_recrawl_hints": q_sitemap_recrawl_hints,
     "meta_robots_gate": q_meta_robots_gate,
     "site_politeness": q_site_politeness,
     "weighted_sample": q_weighted_sample,
@@ -6914,6 +7034,7 @@ ORACLE_SQL: dict[str, str] = {
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
     "sitemap_urlset": SQL_sitemap_urlset,
+    "sitemap_recrawl_hints": SQL_sitemap_recrawl_hints,
     "meta_robots_gate": SQL_meta_robots_gate,
     "site_politeness": SQL_site_politeness,
     "weighted_sample": SQL_weighted_sample,

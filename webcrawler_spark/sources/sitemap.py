@@ -33,28 +33,65 @@ _SM_ELEM = r"(?s)<sitemap\s*>(.*?)</sitemap\s*>"
 _LOC = r"(?s)<loc\s*>\s*(.*?)\s*</loc\s*>"
 _LASTMOD = r"(?s)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>"
 _PRIORITY = r"(?s)<priority\s*>\s*(.*?)\s*</priority\s*>"
+_CHANGEFREQ = r"(?s)<changefreq\s*>\s*(.*?)\s*</changefreq\s*>"
+
+# sitemaps.org protocol changefreq tokens -> revisit interval in hours.
+# "always" = re-fetch every visit (0h floor); "never" = archival, no
+# scheduled revisit (null interval — content-change-driven recrawl,
+# scheduler.recrawl_schedule, still applies).
+CHANGEFREQ_HOURS: dict[str, float] = {
+    "always": 0.0,
+    "hourly": 1.0,
+    "daily": 24.0,
+    "weekly": 168.0,
+    "monthly": 720.0,
+    "yearly": 8760.0,
+}
 
 
 def parse_urlset(df: DataFrame, xml_col: str = "xml", parent_col: str = "sitemap_url") -> DataFrame:
     """Explode a (sitemap_url, xml) table of `<urlset>` leaves into
-    (sitemap_url, loc, lastmod, priority) — priority defaults to 0.5 per
-    the protocol when the element is absent; empty/missing loc rows are
-    dropped (a loc-less `<url>` is invalid per spec)."""
+    (sitemap_url, loc, lastmod, changefreq, priority) — priority defaults
+    to 0.5 per the protocol when the element is absent, changefreq is the
+    lowercased token when present and one of the protocol's seven values
+    (else null); empty/missing loc rows are dropped (a loc-less `<url>` is
+    invalid per spec)."""
     entries = F.regexp_extract_all(F.col(xml_col), F.lit(_URL_ELEM), F.lit(1))
     e = df.select(F.col(parent_col), F.explode(entries).alias("_e"))
     loc = F.regexp_extract(F.col("_e"), _LOC, 1)
     lastmod = F.regexp_extract(F.col("_e"), _LASTMOD, 1)
     prio = F.regexp_extract(F.col("_e"), _PRIORITY, 1)
+    freq = F.lower(F.regexp_extract(F.col("_e"), _CHANGEFREQ, 1))
     return (
         e.select(
             parent_col,
             loc.alias("loc"),
             F.when(lastmod != "", lastmod).alias("lastmod"),
+            F.when(
+                freq.isin(*CHANGEFREQ_HOURS, "never"), freq
+            ).alias("changefreq"),
             F.coalesce(
                 F.when(prio != "", prio).cast("double"), F.lit(0.5)
             ).alias("priority"),
         )
         .filter(F.col("loc") != "")
+    )
+
+
+def recrawl_hints(urlset: DataFrame) -> DataFrame:
+    """Map a parsed urlset into recrawl scheduling hints: interval_hours
+    per the protocol's changefreq semantics (see :data:`CHANGEFREQ_HOURS`;
+    "never" and absent changefreq yield null — those URLs fall back to the
+    observed-change-rate policy, `operators/scheduler.recrawl_schedule`,
+    which this table FUSES with: the sitemap hint is the site's declared
+    prior, the Cho & Garcia-Molina banding is the measured posterior).
+    Returns (loc, changefreq, interval_hours, priority, lastmod) — a pure
+    codegen projection over the parse."""
+    hours = F.lit(None).cast("double")
+    for token, h in CHANGEFREQ_HOURS.items():
+        hours = F.when(F.col("changefreq") == token, F.lit(h)).otherwise(hours)
+    return urlset.select(
+        "loc", "changefreq", hours.alias("interval_hours"), "priority", "lastmod"
     )
 
 
