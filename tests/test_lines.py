@@ -365,3 +365,30 @@ def test_host_templates_site_scoped(spark):
     }
     assert ("b", "copyright footer") in got2 and ("a", "copyright footer") in got2
     assert not any(h == "c" for h, _ in got2)
+
+
+def test_strip_host_templates_rebuild(spark):
+    """strip removes the host's template lines only: host a loses its
+    footer everywhere, host b keeps the identical line (not a template
+    there); an all-template doc survives with empty text_clean."""
+    from webcrawler_spark.operators.lines import strip_host_templates
+
+    rows = [
+        ("a", 1, "unique alpha\ncopyright footer"),
+        ("a", 2, "copyright footer\nunique beta"),
+        ("a", 3, "copyright footer"),  # all-template doc
+        ("b", 4, "copyright footer\nother text"),
+        ("b", 5, "more text"),
+    ]
+    docs = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines_kept"], r["n_lines_total"])
+        for r in strip_host_templates(docs, min_frac=0.9).collect()
+    }
+    assert got == {
+        1: ("unique alpha", 1, 2),
+        2: ("unique beta", 1, 2),
+        3: ("", 0, 1),
+        4: ("copyright footer\nother text", 2, 2),
+        5: ("more text", 1, 1),
+    }

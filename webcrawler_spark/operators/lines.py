@@ -408,3 +408,55 @@ def host_templates(
             ).alias("frac"),
         )
     )
+
+
+def strip_host_templates(
+    docs: DataFrame,
+    host_col: str = "host",
+    min_frac: float = 0.5,
+    min_pages: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "lines",
+    width: int = CHUNK_WIDTH,
+) -> DataFrame:
+    """The acting half of :func:`host_templates`: remove every flagged
+    template line from its host's docs and rebuild the text (same rebuild
+    contract as :func:`dedup_lines` — (id, text_clean, n_lines_kept,
+    n_lines_total), all-template docs survive with text_clean = '').
+    The strip is host-scoped: the same line on another host, where it is
+    NOT a template, stays.
+
+    Shape: host_templates' two hash aggs + one left-anti join keyed on
+    (host, line) + the per-doc rebuild agg. Nothing global.
+    """
+    flagged = host_templates(
+        docs, host_col, min_frac, min_pages, id_col, text_col, mode, width
+    ).select("host", "line")
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col),
+        F.posexplode(segment(F.col(text_col), mode, width)).alias("pos", "line"),
+    )
+    kept = lines.join(flagged, ["host", "line"], "left_anti")
+    sep = "\n" if mode == "lines" else " "
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).cast("int").alias("n_lines_kept"),
+            F.col("n_lines_total").cast("int"),
+        )
+    )

@@ -1409,6 +1409,73 @@ WHERE n_pages >= 2
 """
 
 
+def q_host_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acting half of host_templates: strip each host's template lines
+    (the injected nav prefix + natural per-host near-dups at frac>=0.08)
+    and rebuild, dedup_lines-contract output."""
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("source").alias("host"),
+        "doc_id",
+        F.concat(
+            F.lit("home about contact privacy terms copyright site "),
+            F.col("source"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return L.strip_host_templates(docs, min_frac=0.08, min_pages=2, mode="chunks")
+
+
+SQL_host_template_strip = """
+WITH docs2 AS (
+  SELECT source AS host, doc_id,
+         'home about contact privacy terms copyright site ' || source || ' '
+           || text AS text
+  FROM documents
+),
+lines AS (
+  SELECT host, doc_id, i - 1 AS pos, chunks[i] AS line
+  FROM (
+    SELECT host, doc_id,
+           list_transform(range(0, CAST(ceil(len(t) / 8.0) AS INT)),
+                          i -> array_to_string(t[i*8+1:i*8+8], ' ')) AS chunks
+    FROM (SELECT host, doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+          FROM docs2)
+  ), unnest(range(1, len(chunks)+1)) AS u(i)
+),
+per_line AS (
+  SELECT host, line, count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY host, line
+),
+pages AS (SELECT host, count(DISTINCT doc_id) AS n_pages FROM docs2 GROUP BY host),
+flagged AS (
+  SELECT host, line
+  FROM per_line JOIN pages USING (host)
+  WHERE n_pages >= 2
+    AND CAST(n_docs AS DOUBLE) / CAST(n_pages AS DOUBLE) >= 0.08
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN flagged f ON l.host = f.host AND l.line = f.line
+  WHERE f.line IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_clean,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines_total FROM lines GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.text_clean, '') AS text_clean,
+       CAST(coalesce(r.n_kept, 0) AS INT) AS n_lines_kept,
+       CAST(t.n_lines_total AS INT) AS n_lines_total
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_boilerplate_char_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import lines as L
 
@@ -6861,6 +6928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dup_stats": q_line_dup_stats,
     "line_dedup_rebuild": q_line_dedup_rebuild,
     "host_templates": q_host_templates,
+    "host_template_strip": q_host_template_strip,
     "boilerplate_char_frac": q_boilerplate_char_frac,
     "c4_line_filter": q_c4_line_filter,
     "wet_roundtrip": q_wet_roundtrip,
@@ -7016,6 +7084,7 @@ ORACLE_SQL: dict[str, str] = {
     "line_dup_stats": SQL_line_dup_stats,
     "line_dedup_rebuild": SQL_line_dedup_rebuild,
     "host_templates": SQL_host_templates,
+    "host_template_strip": SQL_host_template_strip,
     "boilerplate_char_frac": SQL_boilerplate_char_frac,
     "c4_line_filter": SQL_c4_line_filter,
     "wet_roundtrip": SQL_wet_roundtrip,
