@@ -281,6 +281,37 @@ FROM documents
 """
 
 
+# ES percentiles aggregation (the DSL's `percentiles` agg the reference's
+# ES backend serves; our analytics tier's latency-SLO view): exact
+# linear-interpolated p50/p95/p99 of event value per event_type — Spark's
+# exact `percentile` and DuckDB's `quantile_cont` share the interpolation
+# (the same parity the CCNet tertile split relies on). At 10^10 rows/group
+# the exact agg materializes each group's values: swap in
+# `approx_percentile(value, p, accuracy)` (t-digest-style, mergeable) —
+# same plan shape, bounded state; the exact form here is what the oracle
+# can replay.
+
+
+def q_event_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_event_percentiles = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+"""
+
+
 # A3/A4: per-host stats + adaptive crawl-delay ladder
 # (politeness_manager.py:272-315) over events (error events = failures)
 
@@ -6896,6 +6927,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "facet_lang": q_facet_lang,
     "quality_range_facets": q_quality_range_facets,
     "analytics_overview": q_analytics_overview,
+    "event_percentiles": q_event_percentiles,
     "host_stats_adaptive": q_host_stats_adaptive,
     "keywords_global": q_keywords_global,
     "keywords_per_doc": q_keywords_per_doc,
@@ -7052,6 +7084,7 @@ ORACLE_SQL: dict[str, str] = {
     "facet_lang": SQL_facet_lang,
     "quality_range_facets": SQL_quality_range_facets,
     "analytics_overview": SQL_analytics_overview,
+    "event_percentiles": SQL_event_percentiles,
     "host_stats_adaptive": SQL_host_stats_adaptive,
     "keywords_global": SQL_keywords_global,
     "keywords_per_doc": SQL_keywords_per_doc,
