@@ -665,3 +665,43 @@ def test_build_index_maintains_postings(spark, pages_df, seeds_df, robots_df, tm
     dl = PO.doc_lengths(web, "text", "doc_id")
     hits = PO.postings_bm25(acc, dl, ["analysis", "engine"], k=5).collect()
     assert len(hits) > 0
+
+
+def test_recrawl_sitemap_hints_first_revisit(
+    spark, pages_df, seeds_df, robots_df, tmp_path_factory
+):
+    """sitemap_hints wiring: a URL whose sitemap declares a slow changefreq
+    gets its FIRST revisit at the declared interval (hours -> epochs via
+    cfg.epoch_seconds) instead of the optimistic next-epoch band; un-hinted
+    URLs keep the optimistic band."""
+    cfg = CrawlConfig(epoch_seconds=3600, hot_host_salt=2, recrawl=True)
+    root = tmp_path_factory.mktemp("recrawl_hints")
+    cat = Catalog(spark, str(root))
+
+    # hint every URL of one synthetic host as weekly (168h); with 1h epochs
+    # that is ceil(168) = 168, clamped to recrawl_max_interval = 8
+    from webcrawler_spark.operators.dedup import canonicalize
+
+    all_urls = canonicalize(
+        pages_df.select(F.col("url"), F.lit(None).cast("string").alias("source_url"),
+                        F.lit(0).alias("depth"), F.lit(5).alias("source_priority"))
+    ).select("url_norm", "host")
+    hinted_host = all_urls.select("host").orderBy("host").first()["host"]
+    hints = (
+        all_urls.filter(F.col("host") == hinted_host)
+        .select("url_norm", F.lit(168.0).alias("interval_hours"))
+    )
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 1, cfg,
+                 sitemap_hints=hints)
+
+    d0 = {
+        (r["url_norm"], r["host"]): r["ready_epoch"]
+        for r in cat.read_snapshot("deferred", 0)
+        .filter(F.col("reason") == "recrawl")
+        .collect()
+    }
+    assert d0
+    hinted = {k: v for k, v in d0.items() if k[1] == hinted_host}
+    plain = {k: v for k, v in d0.items() if k[1] != hinted_host}
+    assert hinted and set(hinted.values()) == {cfg.recrawl_max_interval}
+    assert plain and set(plain.values()) == {1}

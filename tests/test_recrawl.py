@@ -106,3 +106,53 @@ def test_change_rates_single_shuffle_plan(spark):
     # the lag window and the per-url agg share one url hash exchange
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_intervals_hints_prior_vs_posterior(spark):
+    """Sitemap-hint fusion: a declared interval replaces the optimistic
+    fastest band ONLY for single-fetch URLs; once change data exists the
+    measured banding wins; hints clamp to [1, max_interval]; un-hinted
+    first visits keep the fastest band."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators import recrawl as RC
+
+    state = spark.createDataFrame(
+        [
+            ("u_first_hinted", 1, 0, "h1"),
+            ("u_first_plain", 1, 0, "h2"),
+            ("u_first_big_hint", 1, 0, "h3"),
+            ("u_first_zero_hint", 1, 0, "h4"),
+            ("u_hot_hinted", 3, 2, "h5"),   # rate 1.0 -> band 1, hint ignored
+            ("u_cold_hinted", 5, 0, "h6"),  # rate 0.0 -> max, hint ignored
+        ],
+        "url_norm string, n_fetches int, n_changes int, last_hash string",
+    )
+    hints = spark.createDataFrame(
+        [
+            ("u_first_hinted", 4),
+            ("u_first_big_hint", 99),   # clamps to max_interval=8
+            ("u_first_zero_hint", 0),   # clamps to 1
+            ("u_hot_hinted", 8),
+            ("u_cold_hinted", 2),
+        ],
+        "url_norm string, hint_epochs int",
+    )
+    got = {
+        r["url_norm"]: r["interval_epochs"]
+        for r in RC.intervals_from_state(state, hints=hints).collect()
+    }
+    assert got == {
+        "u_first_hinted": 4,
+        "u_first_plain": 1,
+        "u_first_big_hint": 8,
+        "u_first_zero_hint": 1,
+        "u_hot_hinted": 1,
+        "u_cold_hinted": 8,
+    }
+    # without hints: identical to prior behavior
+    base = {
+        r["url_norm"]: r["interval_epochs"]
+        for r in RC.intervals_from_state(state).collect()
+    }
+    assert base["u_first_hinted"] == 1 and base["u_hot_hinted"] == 1

@@ -165,11 +165,21 @@ def intervals_from_state(
     state: DataFrame,
     rate_bands: tuple[tuple[float, int], ...] = ((0.5, 1), (0.25, 2), (0.1, 4)),
     max_interval: int = 8,
+    hints: DataFrame | None = None,
 ) -> DataFrame:
     """(url_norm, interval_epochs) from recrawl state — the same change-rate
     banding as scheduler.recrawl_schedule (change_rate = changes/(fetches-1);
     single-fetch URLs get the fastest band, optimistic first revisit), as a
-    pure projection over the state dim. No shuffle."""
+    pure projection over the state dim. No shuffle.
+
+    ``hints`` (optional): (url_norm, hint_epochs) — the site's DECLARED
+    revisit prior, e.g. sitemap changefreq mapped through
+    `sources/sitemap.recrawl_hints` and the epoch length. Prior-vs-posterior
+    fusion: a hint replaces the optimistic fastest band only while the URL
+    has a single fetch (no observed change data); once n_fetches > 1 the
+    MEASURED banding wins unconditionally — sites misdeclare changefreq,
+    observations don't. Hints are clamped to [1, max_interval]; one
+    left join on url_norm (broadcast when the hint dim is small)."""
     rate = F.when(
         F.col("n_fetches") > 1,
         F.col("n_changes").cast("double") / (F.col("n_fetches") - 1).cast("double"),
@@ -177,7 +187,21 @@ def intervals_from_state(
     interval = F.lit(max_interval)
     for threshold, band in reversed(rate_bands):
         interval = F.when(rate >= threshold, F.lit(band)).otherwise(interval)
-    interval = F.when(rate.isNull(), F.lit(rate_bands[0][1])).otherwise(interval)
+    first_visit = F.lit(rate_bands[0][1])
+    if hints is not None:
+        state = state.join(
+            hints.select(
+                "url_norm",
+                F.least(
+                    F.greatest(F.col("hint_epochs").cast("int"), F.lit(1)),
+                    F.lit(max_interval),
+                ).alias("_hint"),
+            ),
+            "url_norm",
+            "left",
+        )
+        first_visit = F.coalesce(F.col("_hint"), first_visit)
+    interval = F.when(rate.isNull(), first_visit).otherwise(interval)
     return state.select("url_norm", interval.cast("int").alias("interval_epochs"))
 
 

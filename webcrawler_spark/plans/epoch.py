@@ -179,8 +179,16 @@ def run_epoch(
     cfg: CrawlConfig = DEFAULT_CONFIG,
     seeds: DataFrame | None = None,
     verify_extraction: bool = False,
+    sitemap_hints: DataFrame | None = None,
 ) -> dict:
-    """Run one crawl epoch and commit its snapshot. Returns the counters."""
+    """Run one crawl epoch and commit its snapshot. Returns the counters.
+
+    ``sitemap_hints``: optional (url_norm, interval_hours) dim from
+    `sources/sitemap.recrawl_hints` — with cfg.recrawl on, a URL's FIRST
+    revisit uses the declared changefreq interval (converted to epochs by
+    cfg.epoch_seconds) instead of the optimistic fastest band; measured
+    change rates take over from the second fetch. No-op without
+    cfg.recrawl; None = exact prior behavior."""
     prev = epoch - 1
     seen_prev = cat.read_delta_union("seen", prev)
     deferred_prev = cat.read_snapshot("deferred", prev)
@@ -447,6 +455,18 @@ def run_epoch(
             docs.select("url_norm", "content_hash"),
             cat.read_snapshot("recrawl_state", prev),
         )
+        hints_dim = None
+        if sitemap_hints is not None:
+            # declared changefreq hours -> whole epochs (ceil: "hourly" on a
+            # 30-min epoch still means revisit next hour, not next epoch)
+            hints_dim = sitemap_hints.filter(
+                F.col("interval_hours").isNotNull()
+            ).select(
+                "url_norm",
+                F.ceil(
+                    F.col("interval_hours") * 3600.0 / float(cfg.epoch_seconds)
+                ).cast("int").alias("hint_epochs"),
+            )
         revisits = (
             docs.select(
                 "url", "url_norm", "url_fp", "host", "priority", "depth",
@@ -454,7 +474,9 @@ def run_epoch(
             )
             .join(
                 RC.intervals_from_state(
-                    recrawl_state, max_interval=cfg.recrawl_max_interval
+                    recrawl_state,
+                    max_interval=cfg.recrawl_max_interval,
+                    hints=hints_dim,
                 ),
                 "url_norm",
             )
@@ -589,6 +611,7 @@ def run_epochs(
     cfg: CrawlConfig = DEFAULT_CONFIG,
     start_epoch: int | None = None,
     verify_extraction: bool = False,
+    sitemap_hints: DataFrame | None = None,
 ) -> list[dict]:
     """Run epochs [start..start+n). ``start_epoch=None`` resumes after the
     last committed epoch (S14: the manifest IS the offset)."""
@@ -607,6 +630,7 @@ def run_epochs(
                 cfg,
                 seeds=seeds if epoch == 0 else None,
                 verify_extraction=verify_extraction,
+                sitemap_hints=sitemap_hints,
             )
         )
         # periodic delta compaction (Iceberg rewrite_data_files cadence):
