@@ -112,3 +112,25 @@ def test_warc_to_cdx_roundtrip(spark, tmp_path):
         assert r["length"] == len(body.encode())
         assert r["ts"] == "20260101000000"
         assert r["surt"].startswith("org,example,site")
+
+
+def test_cdx_lookup_two_level(spark, tmp_path):
+    """cdx_lookup finds every indexed record by SURT (all timestamps, in
+    order) and returns [] for absent keys — the full two-level query."""
+    out = str(tmp_path / "cdx2")
+    pages = _pages(spark, 30)
+    # duplicate one URL at a second timestamp (a recrawl capture)
+    extra = spark.createDataFrame(
+        [("https://host1.example.com/page/1", "changed body", "20260102000000")],
+        "url string, content string, fetch_ts string",
+    )
+    recs = CDX.cdx_records(
+        pages.unionByName(extra), content_col="content", ts_col="fetch_ts"
+    )
+    CDX.export_cdx(recs, out, n_shards=3)
+    hits = CDX.cdx_lookup(out, "com,example,host1)/page/1")
+    assert [h["ts"] for h in hits] == ["20260101000001", "20260102000000"]
+    assert hits[0]["url"] == "https://host1.example.com/page/1"
+    assert hits[1]["digest"] != hits[0]["digest"]
+    assert CDX.cdx_lookup(out, "com,example,host9)/nope") == []
+    assert CDX.cdx_lookup(out, "aaa") == []

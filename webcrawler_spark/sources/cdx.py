@@ -88,8 +88,11 @@ def export_cdx(records: DataFrame, out_dir: str, n_shards: int = 4) -> str:
     skipped; cluster.idx lists only written files.
     """
     os.makedirs(out_dir, exist_ok=True)
+    # range-partition on surt ALONE (sort within still by (surt, ts)): equal
+    # keys land in one partition, so one URL's captures can never straddle a
+    # shard boundary — the surt-only binary search in cdx_lookup stays exact
     sharded = (
-        records.repartitionByRange(n_shards, "surt", "ts")
+        records.repartitionByRange(n_shards, "surt")
         .sortWithinPartitions("surt", "ts")
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -141,3 +144,31 @@ def lookup_shard(cluster_idx_path: str, surt: str) -> str | None:
             files.append(fname)
     i = bisect_right(firsts, surt) - 1
     return files[i] if i >= 0 else None
+
+
+def cdx_lookup(out_dir: str, surt: str) -> list[dict]:
+    """Complete two-level CDX query: cluster.idx binary search to the one
+    shard, then binary search inside that shard's sorted lines — the
+    archive-lookup path (an ES get-by-url without a cluster). Returns the
+    parsed JSON payloads (ts added) of every record whose SURT key equals
+    `surt`, in timestamp order; [] when absent. Driver/client-side: reads
+    exactly one shard file.
+    """
+    idx_path = os.path.join(out_dir, "cluster.idx")
+    shard = lookup_shard(idx_path, surt)
+    if shard is None:
+        return []
+    with open(os.path.join(out_dir, shard)) as f:
+        lines = f.read().splitlines()
+    keys = [line.split(" ", 1)[0] for line in lines]
+    from bisect import bisect_left
+
+    i = bisect_left(keys, surt)
+    out = []
+    while i < len(lines) and keys[i] == surt:
+        key, ts, payload = lines[i].split(" ", 2)
+        rec = json.loads(payload)
+        rec["ts"] = ts
+        out.append(rec)
+        i += 1
+    return out
