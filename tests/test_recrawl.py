@@ -131,6 +131,8 @@ def test_intervals_hints_prior_vs_posterior(spark):
     hints = spark.createDataFrame(
         [
             ("u_first_hinted", 4),
+            ("u_first_hinted", 6),  # same loc in a second sitemap: min wins,
+                                    # and the dup must NOT fan out the join
             ("u_first_big_hint", 99),   # clamps to max_interval=8
             ("u_first_zero_hint", 0),   # clamps to 1
             ("u_hot_hinted", 8),
@@ -138,10 +140,9 @@ def test_intervals_hints_prior_vs_posterior(spark):
         ],
         "url_norm string, hint_epochs int",
     )
-    got = {
-        r["url_norm"]: r["interval_epochs"]
-        for r in RC.intervals_from_state(state, hints=hints).collect()
-    }
+    rows = RC.intervals_from_state(state, hints=hints).collect()
+    assert len(rows) == 6  # duplicate hint did not fan out the state join
+    got = {r["url_norm"]: r["interval_epochs"] for r in rows}
     assert got == {
         "u_first_hinted": 4,
         "u_first_plain": 1,

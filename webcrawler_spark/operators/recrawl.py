@@ -189,17 +189,22 @@ def intervals_from_state(
         interval = F.when(rate >= threshold, F.lit(band)).otherwise(interval)
     first_visit = F.lit(rate_bands[0][1])
     if hints is not None:
-        state = state.join(
+        # one row per URL even when several sitemaps declare it (the same
+        # loc in two files is legal): keep the FASTEST declared interval —
+        # a duplicate-keyed dim would fan out the state join and duplicate
+        # every downstream revisit row
+        h = (
             hints.select(
                 "url_norm",
                 F.least(
                     F.greatest(F.col("hint_epochs").cast("int"), F.lit(1)),
                     F.lit(max_interval),
                 ).alias("_hint"),
-            ),
-            "url_norm",
-            "left",
+            )
+            .groupBy("url_norm")
+            .agg(F.min("_hint").alias("_hint"))
         )
+        state = state.join(h, "url_norm", "left")
         first_visit = F.coalesce(F.col("_hint"), first_visit)
     interval = F.when(rate.isNull(), first_visit).otherwise(interval)
     return state.select("url_norm", interval.cast("int").alias("interval_epochs"))
