@@ -6914,6 +6914,100 @@ SELECT doc_id, domain, rk FROM r WHERE rk <= 5
 """
 
 
+# DUST rule mining (operators/dust.py — Bar-Yossef et al. WWW'07): learn
+# per-host content-irrelevant query params from (url, content_hash) evidence.
+# Synthesized crawl: page content depends on (host, item, page) only; `sess`
+# and `ref` vary freely — the miner must mark sess/ref irrelevant wherever
+# support exists and page relevant (its alias groups are hash-dirty).
+
+
+def q_dust_param_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dust import mine_irrelevant_params
+
+    orders = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.lit("h"), (F.col("o_orderkey") % 3).cast("string"), F.lit(".example.com")
+    )
+    item = (F.col("o_orderkey") % 97).cast("string")
+    page = (F.expr("o_orderkey div 97") % 3).cast("string")
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/item/"),
+        item,
+        F.lit("?page="),
+        page,
+        F.lit("&sess=s"),
+        (F.col("o_custkey") % 11).cast("string"),
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.concat(F.lit("&ref=r"), (F.col("o_custkey") % 4).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    content = F.md5(F.concat(host, F.lit("/item/"), item, F.lit("|page="), page))
+    pages = orders.select(url.alias("url"), content.alias("content_hash")).distinct()
+    return mine_irrelevant_params(pages, min_groups=3)
+
+
+SQL_dust_param_rules = """
+WITH p0 AS (
+  SELECT 'h' || CAST(o_orderkey % 3 AS VARCHAR) || '.example.com' AS host,
+         CAST(o_orderkey % 97 AS VARCHAR) AS item,
+         CAST((o_orderkey // 97) % 3 AS VARCHAR) AS page,
+         CAST(o_custkey % 11 AS VARCHAR) AS sess,
+         CASE WHEN o_orderkey % 2 = 0
+              THEN '&ref=r' || CAST(o_custkey % 4 AS VARCHAR) ELSE '' END AS ref
+  FROM orders
+),
+pages AS (
+  SELECT DISTINCT
+    'https://' || host || '/item/' || item || '?page=' || page ||
+      '&sess=s' || sess || ref AS url,
+    md5(host || '/item/' || item || '|page=' || page) AS content_hash
+  FROM p0
+),
+u AS (
+  SELECT url, content_hash,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         string_split(url, '?')[1] AS base,
+         list_filter(string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                     p -> p != '') AS params
+  FROM pages
+),
+ex AS (
+  SELECT url, content_hash, host, base, params, unnest(params) AS p FROM u
+),
+ex2 AS (
+  SELECT url, content_hash, host,
+         string_split(p, '=')[1] AS param,
+         regexp_extract(p, '^[^=]*=(.*)$', 1) AS value,
+         base || '?' ||
+           array_to_string(list_sort(list_filter(params,
+             q -> string_split(q, '=')[1] != string_split(p, '=')[1])), '&')
+           AS group_key
+  FROM ex
+),
+grp AS (
+  SELECT host, param, group_key,
+         count(DISTINCT value) AS n_values,
+         count(DISTINCT content_hash) AS n_hashes,
+         count(DISTINCT url) AS n_urls
+  FROM ex2 GROUP BY host, param, group_key
+)
+SELECT host, param,
+       CAST(count(*) AS BIGINT) AS groups_multi,
+       CAST(sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clean_groups,
+       CAST(sum(CASE WHEN n_hashes = 1 THEN n_urls - 1 ELSE 0 END) AS BIGINT)
+         AS dup_urls_avoidable,
+       (count(*) >= 3 AND
+        CAST(sum(CASE WHEN n_hashes = 1 THEN 1 ELSE 0 END) AS BIGINT) = count(*))
+         AS irrelevant
+FROM grp WHERE n_values >= 2
+GROUP BY host, param
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7056,6 +7150,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "semantic_dedup": q_semantic_dedup,
+    "dust_param_rules": q_dust_param_rules,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7220,4 +7315,5 @@ ORACLE_SQL: dict[str, str] = {
     "fuzzy_url_dedupe": SQL_fuzzy_url_dedupe,
     "ann_ivf_topk": SQL_ann_ivf_topk,
     "semantic_dedup": SQL_semantic_dedup,
+    "dust_param_rules": SQL_dust_param_rules,
 }
