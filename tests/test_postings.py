@@ -128,3 +128,49 @@ def test_positional_phrase_matches_scan_path(spark, docs):
         F.min("pos").alias("lo"), F.max("pos").alias("hi"), F.count(F.lit(1)).alias("n")
     )
     assert agg.filter((F.col("lo") != 1) | (F.col("hi") != F.col("n"))).count() == 0
+
+
+def test_champion_topk_candidates_bounded_and_exactly_scored(docs, index):
+    """Champion candidates come only from the r-deep per-term lists; every
+    returned score equals the exact BM25 score for that doc (global df/dl),
+    and with r >= max df the tiered path degenerates to exact BM25."""
+    post, dl = index
+    champs = PO.champion_lists(post.filter(F.col("word").isin(*QT)), r=3)
+    cand = {r["doc_id"] for r in champs.select("doc_id").distinct().collect()}
+    assert 0 < len(cand) <= 3 * len(QT)
+
+    tiered = PO.champion_topk(post, dl, QT, r=3, k=50).collect()
+    exact = {r["doc_id"]: r["score"] for r in PO.postings_bm25(post, dl, QT, k=10_000).collect()}
+    for row in tiered:
+        assert row["doc_id"] in cand
+        assert row["score"] == exact[row["doc_id"]]
+
+    # r larger than any df -> candidate set = all matching docs -> exact top-k
+    wide = PO.champion_topk(post, dl, QT, r=10_000, k=20).collect()
+    exact_topk = PO.postings_bm25(post, dl, QT, k=20).collect()
+    assert [(r["doc_id"], r["score"]) for r in wide] == [
+        (r["doc_id"], r["score"]) for r in exact_topk
+    ]
+
+
+def test_champion_lists_rank_order(spark):
+    post = spark.createDataFrame(
+        [("t", 1, 5), ("t", 2, 9), ("t", 3, 9), ("t", 4, 1)],
+        "word string, doc_id long, tf long",
+    )
+    kept = PO.champion_lists(post, r=2).collect()
+    assert sorted((r["doc_id"]) for r in kept) == [2, 3]  # tf desc, doc_id asc
+
+
+def test_varbyte_stats_integer_exact(spark):
+    # gaps: doc 0 -> first gap 1 (1 byte); 127 -> gap 127 (1B); 130 -> gap 3
+    # (1B); 20000 -> gap 19870 (3B, >= 16384)
+    post = spark.createDataFrame(
+        [("t", 0, 1), ("t", 127, 1), ("t", 130, 1), ("t", 20_000, 1)],
+        "word string, doc_id long, tf long",
+    )
+    row = PO.postings_varbyte_stats(post).collect()[0]
+    assert row["df"] == 4
+    assert row["varbyte_bytes"] == 1 + 1 + 1 + 3
+    assert row["raw_bytes"] == 32
+    assert row["ratio"] == round(32 / 6, 4)

@@ -125,6 +125,112 @@ def postings_bm25(
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def champion_lists(postings: DataFrame, r: int = 8) -> DataFrame:
+    """Tiered index (champion lists, IIR §7.1.3): per term, keep only the r
+    highest-impact postings (tf DESC, doc_id ASC tie-break).
+
+    The scale rationale: exact BM25 on a common term scans that term's FULL
+    postings list — at 10^10 docs, "the" is billions of rows per query.  The
+    champion table is ≤ r rows per term, materialized once at index-build
+    time next to the postings (same bucketing), so the candidate-generation
+    read is r×|query| rows regardless of corpus size.  One window over the
+    postings' own (word) partitioning — no extra shuffle beyond the build."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        postings.withColumn("champ_rank", F.row_number().over(w))
+        .filter(F.col("champ_rank") <= r)
+        .drop("champ_rank")
+    )
+
+
+def champion_topk(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_tokens: list[str],
+    r: int = 8,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k answered from champion lists: candidates are the union of
+    the query terms' champion lists (≤ r×|query| docs, broadcast); scoring
+    is EXACT BM25 (global df, true tf/dl) restricted to those candidates.
+    Deterministic contract — same champions in, same top-k out — so the
+    DuckDB oracle replays it exactly; recall vs exact BM25 is a quality
+    knob (r), not a correctness one."""
+    stats = doclens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qpost = postings.filter(F.col("word").isin(*query_tokens)).select(
+        "word", "doc_id", "tf"
+    )
+    dfreq = qpost.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    cand = champion_lists(qpost, r).select("doc_id").distinct()
+    scored = (
+        qpost.join(F.broadcast(cand), "doc_id", "left_semi")
+        .join(F.broadcast(dfreq), "word")
+        .join(doclens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def postings_varbyte_stats(postings: DataFrame, top_n: int = 50) -> DataFrame:
+    """Index-size accounting: per-term delta-gap + varbyte cost of the
+    postings list vs raw 8-byte ids — the compaction/storage planner's
+    input (decides which segments are worth re-sorting by doc_id before
+    flush; gap-encoded sorted runs are ~5-8× smaller on clustered ids).
+
+    Varbyte: 7 payload bits per byte → 1 byte for gap<2^7, 2 for <2^14,
+    3 for <2^21, else 4 (integer-exact CASE, no float log — portable across
+    engines).  First posting stores the id itself (+1: ids are 0-based).
+    Requires an integral doc-id column (map string urls to a dense id
+    first, as the catalog's crawl_id does).  One window over the postings'
+    (word) partitioning + one hash-agg."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("did")
+    g = (
+        postings.select("word", F.col("doc_id").cast("bigint").alias("did"))
+        .withColumn("prev", F.lag("did").over(w))
+        .withColumn(
+            "gap",
+            F.when(F.col("prev").isNull(), F.col("did") + 1).otherwise(
+                F.col("did") - F.col("prev")
+            ),
+        )
+    )
+    vb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .otherwise(4)
+    )
+    out = (
+        g.withColumn("vb", vb)
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("vb").cast("bigint").alias("varbyte_bytes"),
+        )
+        .withColumn("raw_bytes", (F.col("df") * 8).cast("bigint"))
+        .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("varbyte_bytes"), 4))
+    )
+    return out.orderBy(F.desc("df"), F.asc("word")).limit(top_n)
+
+
 def merge_postings(base: DataFrame, delta: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Index maintenance across crawl epochs (the ES segment-merge /
     re-index analog): the delta's documents REPLACE their base postings

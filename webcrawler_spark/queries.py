@@ -7008,6 +7008,149 @@ GROUP BY host, param
 """
 
 
+# Tiered index (postings.champion_lists/champion_topk): candidates from the
+# r-deep champion lists, EXACT BM25 on candidates only — the bounded-read
+# query path for common terms at 10^10 docs.
+
+
+def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    post = PO.build_postings(docs, "text", "doc_id")
+    dl = PO.doc_lengths(docs, "text", "doc_id")
+    return PO.champion_topk(post, dl, _QUERY_TOKENS, r=8, k=20).select(
+        "doc_id", "score"
+    )
+
+
+SQL_champion_topk = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                    w -> w != '')) AS word
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+        WHERE word IN ({_QT_SQL}) GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(*) AS df FROM qtf GROUP BY word),
+cand AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY word ORDER BY tf DESC, doc_id ASC) AS rk
+    FROM qtf
+  ) WHERE rk <= 8
+)
+SELECT doc_id, score FROM (
+  SELECT qtf.doc_id AS doc_id,
+         round(sum( ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+                    * (tf * 2.2)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) ), 4) AS score
+  FROM qtf JOIN cand USING (doc_id)
+           JOIN dfreq USING (word)
+           JOIN dl ON qtf.doc_id = dl.doc_id
+           CROSS JOIN stats
+  GROUP BY qtf.doc_id
+) ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+# Postings varbyte accounting (postings.postings_varbyte_stats): d-gap +
+# integer-exact varbyte byte classes per term — the segment-flush planner's
+# size model.
+
+
+def q_postings_varbyte_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    post = PO.build_postings(docs, "text", "doc_id")
+    return PO.postings_varbyte_stats(post, top_n=50).select(
+        "word", "df", "varbyte_bytes", "raw_bytes", "ratio"
+    )
+
+
+SQL_postings_varbyte_size = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                    w -> w != '')) AS word
+  FROM documents
+),
+post AS (SELECT word, doc_id FROM toks GROUP BY word, doc_id),
+g AS (
+  SELECT word,
+         COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id),
+                  doc_id + 1) AS gap
+  FROM post
+),
+vb AS (
+  SELECT word,
+         CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3 ELSE 4 END AS vb
+  FROM g
+)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(vb) AS BIGINT) AS varbyte_bytes,
+       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       round(count(*) * 8.0 / sum(vb), 4) AS ratio
+FROM vb GROUP BY word
+ORDER BY df DESC, word ASC LIMIT 50
+"""
+
+
+# Segment merge (postings.merge_postings): re-crawled docs REPLACE their old
+# postings, unseen docs append — dictionary of the merged index must equal a
+# fresh build over the effective corpus (odd docs + refreshed %10 evens +
+# untouched evens).
+
+
+def q_postings_segment_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    base = PO.build_postings(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    refreshed = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" recrawl delta refresh"))
+    )
+    delta_docs = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .unionByName(refreshed.select("doc_id", "text"))
+    )
+    delta = PO.build_postings(delta_docs, "text", "doc_id")
+    merged = PO.merge_postings(base, delta)
+    return (
+        PO.term_dictionary(merged)
+        .orderBy(F.desc("df"), F.asc("word"))
+        .limit(20)
+        .select("word", "df", "cf", "max_tf")
+    )
+
+
+SQL_postings_segment_merge = f"""
+WITH eff AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text || ' recrawl delta refresh'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                    w -> w != '')) AS word
+  FROM eff
+),
+post AS (SELECT word, doc_id, count(*) AS tf FROM toks GROUP BY word, doc_id)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       CAST(max(tf) AS BIGINT) AS max_tf
+FROM post GROUP BY word
+ORDER BY df DESC, word ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7151,6 +7294,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "semantic_dedup": q_semantic_dedup,
     "dust_param_rules": q_dust_param_rules,
+    "champion_topk": q_champion_topk,
+    "postings_varbyte_size": q_postings_varbyte_size,
+    "postings_segment_merge": q_postings_segment_merge,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7316,4 +7462,7 @@ ORACLE_SQL: dict[str, str] = {
     "ann_ivf_topk": SQL_ann_ivf_topk,
     "semantic_dedup": SQL_semantic_dedup,
     "dust_param_rules": SQL_dust_param_rules,
+    "champion_topk": SQL_champion_topk,
+    "postings_varbyte_size": SQL_postings_varbyte_size,
+    "postings_segment_merge": SQL_postings_segment_merge,
 }
