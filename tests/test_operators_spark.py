@@ -1391,3 +1391,28 @@ def test_focused_frontier_matches_python_nb(spark):
         assert got[tgt][1] == want[tgt][1], tgt
     # the steering property: on-topic target kept, spam target rejected
     assert got[1][1] is True and got[2][1] is False
+
+
+def test_script_mix_counts_and_dominance(spark):
+    from webcrawler_spark.operators.textstats import script_mix
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),  # pure latin
+            (2, "привет мир это тест и ещё слова plus ok"),  # cyrillic-heavy
+            (3, "你好世界汉字漢字中文 ab"),  # cjk-heavy
+            (4, "12345 67890 13"),  # digits only
+            (5, "abc где"),  # 3 latin vs 3 cyrillic -> precedence: latin
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in script_mix(docs).collect()}
+    assert out[1]["n_latin"] == 10 and out[1]["main_script"] == "latin"
+    assert out[2]["main_script"] == "cyrillic" and out[2]["n_latin"] == 6
+    assert out[3]["main_script"] == "cjk" and out[3]["n_cjk"] == 10
+    assert out[4]["main_script"] == "digit" and out[4]["n_digit"] == 12
+    assert out[5]["n_latin"] == out[5]["n_cyrillic"] == 3
+    assert out[5]["main_script"] == "latin"  # tie -> earlier in precedence
+
+    plan = script_mix(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan

@@ -515,3 +515,38 @@ def test_ann_recall_full_probe_is_exact(spark):
     assert all(r["recall"] == 1.0 and r["n_hits"] == 10 for r in full)
     part = SIM.ann_recall(emb, qs, n_centroids=16, nprobe=2, k=10).collect()
     assert all(0.0 <= r["recall"] <= 1.0 for r in part)
+
+
+def test_ngram_containment_catches_one_sided_copy(spark):
+    """A short doc fully quoted inside a long one: Jaccard stays low but
+    containment hits 1.0, and the drop hint names the contained side."""
+    from webcrawler_spark.operators.similarity import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"filler{i} pad{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote, "s"), (2, filler + " " + quote + " " + filler, "s")],
+        "doc_id long, text string, source string",
+    )
+    (row,) = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert row["id_a"] == 1 and row["id_b"] == 2
+    assert row["cont_a_in_b"] == 1.0  # every quote bigram appears in doc 2
+    assert row["cont_b_in_a"] < 0.1
+    assert row["drop_id"] == 1  # drop the contained quote, keep the container
+    # resemblance alone would have missed it
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_ngram_containment_tie_drops_larger_id(spark):
+    from webcrawler_spark.operators.similarity import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma", "s"), (9, "alpha beta gamma", "s")],
+        "doc_id long, text string, source string",
+    )
+    (row,) = ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert row["cont_a_in_b"] == row["cont_b_in_a"] == 1.0
+    assert row["drop_id"] == 9

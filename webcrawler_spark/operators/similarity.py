@@ -285,6 +285,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "source",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric shingle containment within blocking groups (Broder 1997's
+    second resemblance measure): c(A→B) = |S(A)∩S(B)| / |S(A)|.
+
+    Jaccard misses one-sided copies — a short doc fully quoted inside a long
+    one scores near 0 on resemblance but 1.0 on containment.  That is the
+    signature of boilerplate-wrapped syndication and quote farms, which a
+    training-data pipeline wants to drop on the CONTAINED side while keeping
+    the container.  Same bounded block-equi self-join shape as
+    `ngram_jaccard_pairs` (block on a cheap key; at scale the block is an
+    LSH band bucket), all JVM-side array ops.  Returns one row per unordered
+    pair with both directions plus the deduping hint (`drop_id` = the
+    contained, i.e. higher-containment-lower-size, side) where
+    max(c_ab, c_ba) >= threshold.
+    """
+    g = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        word_ngrams(F.col(text_col), 2).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+    c_ab = F.round(inter / F.size(F.col("a.grams")), 6)
+    c_ba = F.round(inter / F.size(F.col("b.grams")), 6)
+    out = pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        c_ab.alias("cont_a_in_b"),
+        c_ba.alias("cont_b_in_a"),
+    ).filter(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+    return out.withColumn(
+        "drop_id",
+        F.when(F.col("cont_a_in_b") > F.col("cont_b_in_a"), F.col("id_a"))
+        .when(F.col("cont_b_in_a") > F.col("cont_a_in_b"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b")),
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -387,3 +387,49 @@ def lang_margin(text: Column) -> Column:
     ]
     arr = F.sort_array(F.array(*scores), asc=False)
     return (arr[0] - arr[1]).cast("int")
+
+
+# --------------------------------------------------------------------------
+# Unicode script mix: per-doc character counts by script block. Language-id
+# (lang_id_multi) answers "which language"; this answers "which WRITING
+# SYSTEMS and how much of each" — the multilingual-corpus routing signal
+# (script-mixed spam, transliteration detection, per-script tokenizer
+# routing). Pure codegen: one regexp_replace length-count per script, no
+# explode, no Python. At 100 TB this is a projection fused into whatever
+# scan already reads the text column.
+
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "a-zA-Z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("cjk", "一-鿿぀-ヿ"),
+    ("digit", "0-9"),
+]
+
+
+def script_counts(text: Column, ranges: list[tuple[str, str]] | None = None) -> list[Column]:
+    """One bigint count column per script block (aliased n_<script>)."""
+    out = []
+    for name, rng in ranges or SCRIPT_RANGES:
+        cnt = F.length(F.regexp_replace(text, f"[^{rng}]", ""))
+        out.append(cnt.cast("bigint").alias(f"n_{name}"))
+    return out
+
+
+def main_script(ranges: list[tuple[str, str]] | None = None) -> Column:
+    """Dominant script over the n_<script> columns; ties resolve to the
+    earlier entry in SCRIPT_RANGES (fixed precedence — deterministic and
+    SQL-replayable, unlike an argmax over a map)."""
+    names = [n for n, _ in (ranges or SCRIPT_RANGES)]
+    expr = F.lit(names[-1])
+    for i in range(len(names) - 2, -1, -1):
+        me = F.col(f"n_{names[i]}")
+        later = [F.col(f"n_{n}") for n in names[i + 1 :]]
+        expr = F.when(me >= F.greatest(*later) if len(later) > 1 else me >= later[0], F.lit(names[i])).otherwise(expr)
+    return expr
+
+
+def script_mix(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_<script>..., main_script) — per-doc script histogram."""
+    base = docs.select(F.col(id_col), *script_counts(F.col(text_col)))
+    return base.withColumn("main_script", main_script())

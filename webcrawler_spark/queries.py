@@ -7151,6 +7151,94 @@ ORDER BY df DESC, word ASC LIMIT 20
 """
 
 
+# Asymmetric shingle containment (similarity.ngram_containment_pairs):
+# Broder's second measure — catches one-sided copies (quotes, boilerplate
+# wraps) that Jaccard misses; drop hint = the contained side.
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SIM.ngram_containment_pairs(
+        docs, "doc_id", "text", "source", threshold=0.15
+    )
+
+
+SQL_ngram_containment = """
+WITH g AS (
+  SELECT doc_id, source, grams FROM (
+    SELECT doc_id, source,
+           list_distinct(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                         x -> x[1] || ' ' || x[2])) AS grams
+    FROM (SELECT doc_id, source,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             w -> w != '') AS t
+          FROM documents)
+  ) WHERE len(grams) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0 / len(a.grams), 6)
+           AS cont_a_in_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0 / len(b.grams), 6)
+           AS cont_b_in_a
+  FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, cont_a_in_b, cont_b_in_a,
+       CASE WHEN cont_a_in_b > cont_b_in_a THEN id_a
+            WHEN cont_b_in_a > cont_a_in_b THEN id_b
+            ELSE greatest(id_a, id_b) END AS drop_id
+FROM pairs
+WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.15
+"""
+
+
+# Unicode script mix (textstats.script_mix): per-doc writing-system
+# histogram + dominant script — multilingual corpus routing. Multi-script
+# text injected deterministically (testdata is Latin-only).
+
+
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" привет мир дом"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" 你好世界 カタカナ"))
+        .when(F.col("doc_id") % 4 == 3, F.lit(" αβγ δείγμα"))
+        .otherwise(F.lit(""))
+    )
+    injected = docs.select(
+        "doc_id", F.concat(F.col("text"), suffix).alias("text")
+    )
+    return TS.script_mix(injected)
+
+
+SQL_script_mix = """
+WITH inj AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 1 THEN ' привет мир дом'
+                      WHEN doc_id % 4 = 2 THEN ' 你好世界 カタカナ'
+                      WHEN doc_id % 4 = 3 THEN ' αβγ δείγμα'
+                      ELSE '' END AS text
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_latin,
+         CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+         CAST(length(regexp_replace(text, '[^Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+         CAST(length(regexp_replace(text, '[^一-鿿぀-ヿ]', '', 'g')) AS BIGINT) AS n_cjk,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM inj
+)
+SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit,
+       CASE WHEN n_latin >= greatest(n_cyrillic, n_greek, n_cjk, n_digit) THEN 'latin'
+            WHEN n_cyrillic >= greatest(n_greek, n_cjk, n_digit) THEN 'cyrillic'
+            WHEN n_greek >= greatest(n_cjk, n_digit) THEN 'greek'
+            WHEN n_cjk >= n_digit THEN 'cjk'
+            ELSE 'digit' END AS main_script
+FROM cnt
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7297,6 +7385,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "champion_topk": q_champion_topk,
     "postings_varbyte_size": q_postings_varbyte_size,
     "postings_segment_merge": q_postings_segment_merge,
+    "ngram_containment": q_ngram_containment,
+    "script_mix": q_script_mix,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7465,4 +7555,6 @@ ORACLE_SQL: dict[str, str] = {
     "champion_topk": SQL_champion_topk,
     "postings_varbyte_size": SQL_postings_varbyte_size,
     "postings_segment_merge": SQL_postings_segment_merge,
+    "ngram_containment": SQL_ngram_containment,
+    "script_mix": SQL_script_mix,
 }
