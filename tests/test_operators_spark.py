@@ -1416,3 +1416,72 @@ def test_script_mix_counts_and_dominance(spark):
 
     plan = script_mix(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_soft404_template_detection(spark):
+    from webcrawler_spark.operators.traps import soft404_signals
+
+    rows = []
+    for i in range(20):
+        rows.append(("a.com", f"https://a.com/miss/{i}", "ERR-A", 30))
+    for i in range(10):
+        rows.append(("a.com", f"https://a.com/page/{i}", f"real-{i}", 900))
+    # b.com: repeated body but TOO LONG to be an error template
+    for i in range(20):
+        rows.append(("b.com", f"https://b.com/x/{i}", "LONGTMPL", 5000))
+    pages = spark.createDataFrame(
+        rows, "host string, url string, content_hash string, n_chars long"
+    )
+    out = {r["host"]: r for r in soft404_signals(pages, min_count=5).collect()}
+    assert out["a.com"]["template_hash"] == "ERR-A"
+    assert out["a.com"]["n_soft404"] == 20
+    assert out["a.com"]["n_pages"] == 30
+    assert abs(out["a.com"]["soft404_rate"] - 20 / 30) < 1e-6
+    assert "b.com" not in out  # avg_chars gate
+
+
+def test_politeness_makespan_bounds_and_stragglers(spark):
+    from webcrawler_spark.operators.scheduler import politeness_makespan
+
+    rows = [("hot", 2)] * 100 + [("cold1", 1)] * 10 + [("cold2", 1)] * 10
+    f = spark.createDataFrame(rows, "host string, delay_s long")
+    out = {r["host"]: r for r in politeness_makespan(f, slots=4).collect()}
+    # hot: 100 urls x 2s = 200s serial; total = 220s; 220/4 = 55 < 200
+    assert out["hot"]["serial_s"] == 200.0
+    assert out["hot"]["makespan_lb_s"] == 200.0  # serial chain dominates slots
+    assert out["hot"]["straggler"] is True
+    assert out["cold1"]["straggler"] is False
+    # with plenty of slots removed, balance bound takes over
+    out2 = {r["host"]: r for r in politeness_makespan(f, slots=1).collect()}
+    assert out2["hot"]["makespan_lb_s"] == 220.0  # total/1 > any serial chain
+
+
+def test_revisit_savings_classes(spark):
+    from webcrawler_spark.operators.recrawl import revisit_savings
+
+    prev = spark.createDataFrame(
+        [("u1", "h1"), ("u2", "h2")], "url string, content_hash string"
+    )
+    cur = spark.createDataFrame(
+        [("u1", "h1", 100), ("u2", "CHANGED", 200), ("u3", "h3", 50)],
+        "url string, content_hash string, n_bytes long",
+    )
+    out = {r["status"]: r for r in revisit_savings(prev, cur).collect()}
+    assert out["unchanged"]["bytes_stored"] == 0
+    assert out["unchanged"]["bytes_saved"] == 100
+    assert out["changed"]["bytes_stored"] == 200 and out["changed"]["bytes_saved"] == 0
+    assert out["new"]["n_pages"] == 1 and out["new"]["bytes_stored"] == 50
+
+
+def test_anchor_diversity_flags_farm_only(spark):
+    from webcrawler_spark.operators.links import anchor_diversity
+
+    rows = [("farm", f"s{i % 5}", "buy now") for i in range(30)]
+    rows += [("organic", f"s{i % 5}", f"phrase {i}") for i in range(30)]
+    rows += [("tiny", "s0", "x")] * 3  # below min_inlinks
+    e = spark.createDataFrame(rows, "dst string, src_host string, anchor string")
+    out = {r["dst"]: r for r in anchor_diversity(e, min_inlinks=20).collect()}
+    assert out["farm"]["farm_suspect"] is True and out["farm"]["n_anchors"] == 1
+    assert out["organic"]["farm_suspect"] is False
+    assert out["organic"]["diversity"] == 1.0
+    assert out["tiny"]["farm_suspect"] is False

@@ -241,3 +241,40 @@ def focused_frontier(
         id_col="target",
         text_col="anchor",
     )
+
+
+def anchor_diversity(
+    edges: DataFrame,
+    dst_col: str = "dst",
+    src_host_col: str = "src_host",
+    anchor_col: str = "anchor",
+    min_inlinks: int = 20,
+    max_diversity: float = 0.1,
+) -> DataFrame:
+    """Inlink anchor-text diversity — the classic link-farm signal.
+
+    Organic inlinks phrase their anchors independently; a farm stamps one
+    template anchor across thousands of pages.  Per target: inlink count,
+    distinct source hosts, distinct anchor strings, diversity =
+    anchors/inlinks; `farm_suspect` = heavily linked (>= min_inlinks) with
+    near-zero diversity (<= max_diversity).  Feeds the same demotion path
+    as TrustRank (operators/graph.py) but needs no iteration — one hash-agg
+    over the anchor edge table the epoch loop already extracts
+    (links.anchor_text_index's input).
+    """
+    return (
+        edges.groupBy(F.col(dst_col).alias("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("n_inlinks"),
+            F.countDistinct(src_host_col).alias("n_src_hosts"),
+            F.countDistinct(anchor_col).alias("n_anchors"),
+        )
+        .withColumn(
+            "diversity", F.round(F.col("n_anchors") / F.col("n_inlinks"), 6)
+        )
+        .withColumn(
+            "farm_suspect",
+            (F.col("n_inlinks") >= min_inlinks)
+            & (F.col("diversity") <= max_diversity),
+        )
+    )

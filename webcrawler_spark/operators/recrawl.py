@@ -241,3 +241,52 @@ def revisit_schedule(
         .otherwise(F.lit("weekly"))
         .alias("tier"),
     )
+
+
+def revisit_savings(
+    prev: DataFrame,
+    cur: DataFrame,
+    id_col: str = "url",
+    hash_col: str = "content_hash",
+    size_col: str = "n_bytes",
+) -> DataFrame:
+    """WARC revisit-record accounting across two crawl epochs.
+
+    Common Crawl / IA WARCs store a `revisit` record (a digest pointer, no
+    body) when a refetched page's payload digest is unchanged — the storage
+    half of the recrawl tier (`change_rates` decides WHEN to refetch; this
+    measures what the refetch was worth).  Classify the current epoch's
+    pages against the previous epoch by digest: `new` (never seen),
+    `unchanged` (digest equal → revisit record, body bytes saved),
+    `changed` (digest differs → full record).  One equi join on the id +
+    one tiny agg; at 10^10 ids both sides hash-partition on the id, the
+    natural storage layout of the epoch tables.
+
+    Output: (status, n_pages, bytes_full, bytes_stored, bytes_saved) where
+    bytes_stored counts a revisit record as 0 body bytes.
+    """
+    p = prev.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("prev_hash")
+    )
+    c = cur.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("cur_hash"),
+        F.col(size_col).cast("bigint").alias("n_bytes"),
+    )
+    j = c.join(p, "id", "left").withColumn(
+        "status",
+        F.when(F.col("prev_hash").isNull(), "new")
+        .when(F.col("prev_hash") == F.col("cur_hash"), "unchanged")
+        .otherwise("changed"),
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_full"),
+            F.sum(F.when(F.col("status") == "unchanged", 0).otherwise(F.col("n_bytes")))
+            .cast("bigint")
+            .alias("bytes_stored"),
+        )
+        .withColumn("bytes_saved", (F.col("bytes_full") - F.col("bytes_stored")).cast("bigint"))
+    )

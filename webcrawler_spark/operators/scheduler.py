@@ -452,3 +452,48 @@ def shard_rebalance_plan(
         .join(F.broadcast(under), "slot")
         .select("host", "load", "from_shard", F.col("shard").alias("to_shard"))
     )
+
+
+def politeness_makespan(
+    frontier: DataFrame,
+    slots: int,
+    host_col: str = "host",
+    delay_col: str = "delay_s",
+) -> DataFrame:
+    """Epoch capacity forecast under per-host politeness.
+
+    Politeness serializes each host's fetches (one request per delay_s), so
+    an epoch's wall-clock has two lower bounds: the longest single-host
+    serial chain (n_urls × delay — parallelism cannot help), and the total
+    fetch-seconds divided by the executor slots.  makespan_lb_s = max of the
+    two; a host is a `straggler` when its serial chain exceeds the balanced
+    share (total/slots) — the hosts the scheduler should either defer part
+    of (budget split across epochs) or accept as the critical path.
+
+    This is the planning query a 1000-executor crawl runs BEFORE launching
+    an epoch: if one host carries 10^7 URLs at 1 s delay, no cluster size
+    fixes the 115-day chain — the budget drain must cap it.  One hash-agg
+    to per-host rows + a broadcast 1-row stats join; never touches a URL
+    twice.
+
+    `frontier` must carry host_col and delay_col (constant per host).
+    """
+    per_host = frontier.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.max(delay_col).alias("delay_s"),
+    )
+    per_host = per_host.withColumn(
+        "serial_s", (F.col("n_urls") * F.col("delay_s")).cast("double")
+    )
+    stats = per_host.agg(
+        F.sum("serial_s").alias("total_s"), F.max("serial_s").alias("max_serial_s")
+    )
+    return (
+        per_host.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "makespan_lb_s",
+            F.round(F.greatest(F.col("max_serial_s"), F.col("total_s") / slots), 6),
+        )
+        .withColumn("straggler", F.col("serial_s") > F.col("total_s") / slots)
+        .select("host", "n_urls", "delay_s", "serial_s", "makespan_lb_s", "straggler")
+    )

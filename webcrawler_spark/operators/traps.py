@@ -95,3 +95,60 @@ def trap_signals(
             | (F.col("top_template_share") > template_share_threshold)
         ),
     )
+
+
+def soft404_signals(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    len_col: str = "n_chars",
+    min_count: int = 5,
+    max_chars: int = 512,
+) -> DataFrame:
+    """Per-host soft-404 template detection.
+
+    Real crawls hit hosts that answer missing paths with HTTP 200 and a
+    site-branded "not found" page (the reference's fetcher only trusts the
+    status code — services/crawler downloads them as content).  The template
+    signature: ONE short body served verbatim from MANY distinct paths of
+    the same host.  Per (host, content_hash) count distinct urls; the host's
+    template is its most-repeated short body (count >= min_count, avg length
+    <= max_chars; ties -> lexicographically smallest hash).  Pages matching
+    the template are the soft-404s the dedup/index tiers should drop and
+    the frontier should stop expanding.
+
+    Output: (host, template_hash, n_soft404, n_pages, soft404_rate).
+    Shape at 10^10: one hash-agg on (host, hash) + one per-host window over
+    that agg's own partitioning — the window input is already collapsed to
+    distinct bodies per host, orders of magnitude smaller than the pages.
+    """
+    from pyspark.sql import Window
+
+    per_hash = pages.groupBy(
+        F.col(host_col).alias("host"), F.col(hash_col).alias("chash")
+    ).agg(
+        F.countDistinct(url_col).alias("n_urls"),
+        F.avg(len_col).alias("avg_chars"),
+    )
+    host_tot = per_hash.groupBy("host").agg(F.sum("n_urls").alias("n_pages"))
+    cand = per_hash.filter(
+        (F.col("n_urls") >= min_count) & (F.col("avg_chars") <= max_chars)
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n_urls"), F.asc("chash"))
+    tmpl = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "host",
+            F.col("chash").alias("template_hash"),
+            F.col("n_urls").cast("bigint").alias("n_soft404"),
+        )
+    )
+    return tmpl.join(host_tot, "host").select(
+        "host",
+        "template_hash",
+        "n_soft404",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.round(F.col("n_soft404") / F.col("n_pages"), 6).alias("soft404_rate"),
+    )

@@ -7239,6 +7239,199 @@ FROM cnt
 """
 
 
+# Soft-404 template detection (traps.soft404_signals): one short body served
+# from many distinct paths of a host = the HTTP-200 "not found" template.
+# Synthesized crawl: every 7th URL returns the host's error body.
+
+
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.traps import soft404_signals
+
+    orders = _t(spark, sf_dir, "orders")
+    host = F.concat(
+        F.lit("h"), (F.col("o_custkey") % 40).cast("string"), F.lit(".ex.com")
+    )
+    content = F.when(
+        F.col("o_orderkey") % 7 == 0, F.concat(F.lit("not found on "), host)
+    ).otherwise(F.concat(F.lit("page body "), F.col("o_orderkey").cast("string")))
+    pages = orders.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("o_orderkey").cast("string")
+        ).alias("url"),
+        F.md5(content).alias("content_hash"),
+        F.length(content).cast("bigint").alias("n_chars"),
+    )
+    return soft404_signals(pages, min_count=5, max_chars=512)
+
+
+SQL_soft404_detect = """
+WITH h AS (
+  SELECT o_orderkey,
+         'h' || CAST(o_custkey % 40 AS VARCHAR) || '.ex.com' AS host
+  FROM orders
+),
+p AS (
+  SELECT host,
+         'https://' || host || '/p/' || CAST(o_orderkey AS VARCHAR) AS url,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'not found on ' || host
+              ELSE 'page body ' || CAST(o_orderkey AS VARCHAR) END AS content
+  FROM h
+),
+pages AS (
+  SELECT host, url, md5(content) AS content_hash, length(content) AS n_chars
+  FROM p
+),
+per_hash AS (
+  SELECT host, content_hash AS chash,
+         count(DISTINCT url) AS n_urls, avg(n_chars) AS avg_chars
+  FROM pages GROUP BY host, content_hash
+),
+tot AS (
+  SELECT host, CAST(sum(n_urls) AS BIGINT) AS n_pages FROM per_hash GROUP BY host
+),
+tmpl AS (
+  SELECT host, chash AS template_hash, CAST(n_urls AS BIGINT) AS n_soft404
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY host
+                                 ORDER BY n_urls DESC, chash ASC) AS rk
+    FROM per_hash WHERE n_urls >= 5 AND avg_chars <= 512
+  ) WHERE rk = 1
+)
+SELECT t.host AS host, template_hash, n_soft404, n_pages,
+       round(n_soft404 * 1.0 / n_pages, 6) AS soft404_rate
+FROM tmpl t JOIN tot USING (host)
+"""
+
+
+# Politeness makespan forecast (scheduler.politeness_makespan): the
+# pre-epoch capacity-planning query — serial-chain vs slot-balance lower
+# bounds + straggler hosts.
+
+
+def q_politeness_makespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scheduler import politeness_makespan
+
+    orders = _t(spark, sf_dir, "orders")
+    frontier = orders.select(
+        F.concat(F.lit("h"), (F.col("o_custkey") % 50).cast("string")).alias("host"),
+        (F.lit(1) + (F.col("o_custkey") % 50) % 5).alias("delay_s"),
+    )
+    return politeness_makespan(frontier, slots=64)
+
+
+SQL_politeness_makespan = """
+WITH f AS (
+  SELECT 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+         1 + (o_custkey % 50) % 5 AS delay_s
+  FROM orders
+),
+per AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls, max(delay_s) AS delay_s
+  FROM f GROUP BY host
+),
+per2 AS (
+  SELECT host, n_urls, delay_s, CAST(n_urls * delay_s AS DOUBLE) AS serial_s
+  FROM per
+),
+st AS (SELECT sum(serial_s) AS total_s, max(serial_s) AS max_serial_s FROM per2)
+SELECT host, n_urls, delay_s, serial_s,
+       round(greatest(max_serial_s, total_s / 64), 6) AS makespan_lb_s,
+       serial_s > total_s / 64 AS straggler
+FROM per2 CROSS JOIN st
+"""
+
+
+# WARC revisit-record accounting (recrawl.revisit_savings): digest-unchanged
+# refetches store a pointer, not a body. Spark classifies via the epoch
+# join; the oracle re-derives the classes analytically from the mutation
+# rule — independent paths, same table.
+
+
+def q_revisit_digest_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recrawl import revisit_savings
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    cur_content = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" changed"))
+    ).otherwise(F.col("text"))
+    prev = docs.filter(F.col("doc_id") % 17 != 0).select(
+        url.alias("url"), F.md5(F.col("text")).alias("content_hash")
+    )
+    cur = docs.select(
+        url.alias("url"),
+        F.md5(cur_content).alias("content_hash"),
+        F.length(cur_content).cast("bigint").alias("n_bytes"),
+    )
+    return revisit_savings(prev, cur)
+
+
+SQL_revisit_digest_savings = """
+WITH cur AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' changed' ELSE text END AS content
+  FROM documents
+),
+cls AS (
+  SELECT CASE WHEN doc_id % 17 = 0 THEN 'new'
+              WHEN doc_id % 5 = 0 THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         CAST(length(content) AS BIGINT) AS n_bytes
+  FROM cur
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_bytes) AS BIGINT) AS bytes_full,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 0 ELSE n_bytes END) AS BIGINT)
+         AS bytes_stored,
+       CAST(sum(n_bytes)
+            - sum(CASE WHEN status = 'unchanged' THEN 0 ELSE n_bytes END) AS BIGINT)
+         AS bytes_saved
+FROM cls GROUP BY status
+"""
+
+
+# Anchor-text diversity (links.anchor_diversity): link-farm signal — many
+# inlinks, one template anchor. Farm targets (partkey%10==0) get a constant
+# anchor; organic targets draw from 50 phrasings.
+
+
+def q_anchor_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.links import anchor_diversity
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("d"), (F.col("l_partkey") % 200).cast("string")).alias("dst"),
+        F.concat(F.lit("s"), (F.col("l_suppkey") % 97).cast("string")).alias(
+            "src_host"
+        ),
+        F.when(F.col("l_partkey") % 10 == 0, F.lit("cheap pills"))
+        .otherwise(F.concat(F.lit("info "), (F.col("l_orderkey") % 50).cast("string")))
+        .alias("anchor"),
+    )
+    return anchor_diversity(edges, min_inlinks=20, max_diversity=0.1)
+
+
+SQL_anchor_spam = """
+WITH e AS (
+  SELECT 'd' || CAST(l_partkey % 200 AS VARCHAR) AS dst,
+         's' || CAST(l_suppkey % 97 AS VARCHAR) AS src_host,
+         CASE WHEN l_partkey % 10 = 0 THEN 'cheap pills'
+              ELSE 'info ' || CAST(l_orderkey % 50 AS VARCHAR) END AS anchor
+  FROM lineitem
+)
+SELECT dst,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchors,
+       round(count(DISTINCT anchor) * 1.0 / count(*), 6) AS diversity,
+       (count(*) >= 20 AND
+        round(count(DISTINCT anchor) * 1.0 / count(*), 6) <= 0.1) AS farm_suspect
+FROM e GROUP BY dst
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7387,6 +7580,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "postings_segment_merge": q_postings_segment_merge,
     "ngram_containment": q_ngram_containment,
     "script_mix": q_script_mix,
+    "soft404_detect": q_soft404_detect,
+    "politeness_makespan": q_politeness_makespan,
+    "revisit_digest_savings": q_revisit_digest_savings,
+    "anchor_spam": q_anchor_spam,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7557,4 +7754,8 @@ ORACLE_SQL: dict[str, str] = {
     "postings_segment_merge": SQL_postings_segment_merge,
     "ngram_containment": SQL_ngram_containment,
     "script_mix": SQL_script_mix,
+    "soft404_detect": SQL_soft404_detect,
+    "politeness_makespan": SQL_politeness_makespan,
+    "revisit_digest_savings": SQL_revisit_digest_savings,
+    "anchor_spam": SQL_anchor_spam,
 }
