@@ -43,6 +43,9 @@ def main() -> None:
                          "change-rate-banded interval")
     ap.add_argument("--adaptive-salt", action="store_true",
                     help="salt only hosts measured above the hot threshold")
+    ap.add_argument("--mine-dust", action="store_true",
+                    help="learn content-irrelevant URL params from fetch "
+                         "evidence and strip them from later candidates")
     ap.add_argument("--verify-extraction", action="store_true",
                     help="assert extract_text(html) == text per fetched row")
     ap.add_argument("--synthetic", type=int, metavar="N_PAGES",
@@ -93,6 +96,7 @@ def main() -> None:
         use_bloom=args.use_bloom,
         recrawl=args.recrawl,
         adaptive_salt=args.adaptive_salt,
+        mine_dust=args.mine_dust,
     )
     cat = Catalog(spark, args.catalog)
     counters = E.run_epochs(

@@ -83,3 +83,98 @@ def test_plan_has_no_python_and_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan  # two hash-aggs, zero joins
+
+
+# ---------------------------------------------------------------------------
+# in-loop wiring (CrawlConfig.mine_dust): rules learned from fetched evidence
+# strip later aliases BEFORE the fetch
+
+
+def _dust_web_dfs(spark, tmp_path_factory):
+    from webcrawler_spark import synth
+
+    web = synth.generate_web(seed=42, n_hosts=6, n_pages=60, dust_sessions=2)
+    d = tmp_path_factory.mktemp("dustweb")
+    synth.write_parquet(web, str(d))
+    return (
+        spark.read.parquet(f"{d}/pages.parquet"),
+        spark.read.parquet(f"{d}/seeds.parquet"),
+        spark.read.parquet(f"{d}/robots.parquet"),
+    )
+
+
+def test_mine_dust_skips_late_aliases_without_losing_content(
+    spark, tmp_path_factory
+):
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.plans import epoch as E
+    from webcrawler_spark.storage.catalog import Catalog
+
+    pages_df, seeds_df, robots_df = _dust_web_dfs(spark, tmp_path_factory)
+    n_epochs = 4
+
+    def run(tag, mine):
+        # generous politeness budget so both crawls converge; the savings
+        # metric is SCHEDULED fetch attempts (pages_fetched counts the
+        # content-deduped web_content delta, which alias fetches never
+        # enter by definition — they are duplicate bodies)
+        cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=2, mine_dust=mine,
+                          dust_min_groups=2)
+        root = tmp_path_factory.mktemp(tag)
+        cat = Catalog(spark, str(root))
+        counters = E.run_epochs(
+            spark, cat, pages_df, seeds_df, robots_df, n_epochs, cfg
+        )
+        web = cat.read_delta_union("web_content", n_epochs - 1)
+        hashes = {r["content_hash"] for r in web.select("content_hash").collect()}
+        sched = cat.read_delta_union("schedule", n_epochs - 1)
+        sched_urls = [r["url_norm"] for r in sched.select("url_norm").collect()]
+        return counters, hashes, sched_urls
+
+    c_off, h_off, s_off = run("dust_off", mine=False)
+    c_on, h_on, s_on = run("dust_on", mine=True)
+
+    # rules were learned (the ?affid evidence exists from epoch 1 on)
+    assert any(c.get("dust_rule_hosts", 0) > 0 for c in c_on)
+    # mining saves scheduled fetch attempts, all of them alias URLs
+    assert len(s_on) < len(s_off)
+    avoided = set(s_off) - set(s_on)
+    assert avoided and all("affid" in u for u in avoided)
+    # alias attempts specifically shrink
+    assert (
+        sum("affid" in u for u in s_on) < sum("affid" in u for u in s_off)
+    )
+    # no DISTINCT content was lost — only duplicate bodies were skipped
+    assert h_off == h_on
+
+
+def test_strip_params_by_rules_column(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.functions import columns as C
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.com/x?sid=1&page=2", ["sid"]),
+            ("https://a.com/x?sid=1", ["sid"]),
+            ("https://a.com/x?page=2", ["sid"]),
+            ("https://a.com/x", ["sid"]),
+            ("https://a.com/x?sid=1", []),
+            ("https://a.com/x?sid=1", None),
+        ],
+        "url string, rules array<string>",
+    )
+    out = [
+        r["out"]
+        for r in df.select(
+            C.strip_params_by_rules(F.col("url"), F.col("rules")).alias("out")
+        ).collect()
+    ]
+    assert out == [
+        "https://a.com/x?page=2",
+        "https://a.com/x",
+        "https://a.com/x?page=2",
+        "https://a.com/x",
+        "https://a.com/x?sid=1",
+        "https://a.com/x?sid=1",
+    ]

@@ -103,6 +103,16 @@ class CrawlConfig:
     # queries verbatim).
     strip_tracking: bool = False
 
+    # DUST rule mining (operators/dust.py, Bar-Yossef et al. WWW'07): after
+    # each epoch, mine content-irrelevant query params per host from the
+    # accumulated web_content (url_norm, content_hash) evidence and strip
+    # them from the NEXT epochs' candidate URLs (columns.strip_params_by_
+    # rules) — learned aliases (session ids, affiliate tags) collapse to one
+    # url_norm before the seen anti-join, so the fetch never happens. Off by
+    # default (byte-parity: no url_norm rewrite).
+    mine_dust: bool = False
+    dust_min_groups: int = 3
+
     # crawl-trap defense (operators/traps.trap_signals) applied to the
     # pending pool each epoch: URLs of hosts whose URL-space shape trips
     # the trap heuristics (deep paths / repeated segments / one dominant

@@ -233,6 +233,34 @@ def strip_tracking_params(url: Column) -> Column:
     )
 
 
+def strip_params_by_rules(url: Column, rule_params: Column) -> Column:
+    """Remove query params whose NAME is in ``rule_params`` (array<string>).
+
+    The acting half of DUST mining (operators/dust.py): the mined per-host
+    irrelevant-param sets are broadcast-joined onto candidates and stripped
+    here, so learned aliases collapse to one url_norm BEFORE the seen
+    anti-join — the fetch never happens.  NULL/empty rules (host with no
+    learned rules) return the url byte-identical; matching is exact on the
+    param name (the miner's groups are case-sensitive, unlike the
+    lowercased tracking blocklist).  Pure codegen, same shape as
+    :func:`strip_tracking_params`.
+    """
+    base = F.substring_index(url, "?", 1)
+    query = F.regexp_extract(url, r"\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~F.array_contains(rule_params, F.substring_index(p, "=", 1)),
+    )
+    stripped = (
+        F.when(F.instr(url, "?") == 0, url)
+        .when(F.size(kept) == 0, base)
+        .otherwise(F.concat(base, F.lit("?"), F.array_join(kept, "&")))
+    )
+    return F.when(
+        rule_params.isNull() | (F.size(rule_params) == 0), url
+    ).otherwise(stripped)
+
+
 def surt_host(url: Column) -> Column:
     """Lowercased registrable host of an absolute URL, `www.` stripped, no port.
 

@@ -110,3 +110,24 @@ def mine_irrelevant_params(
             & (F.col("clean_groups") == F.col("groups_multi")),
         )
     )
+
+
+def dust_rules_dim(
+    pages: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "content_hash",
+    min_groups: int = 3,
+) -> DataFrame:
+    """(host, dust_params) broadcast dim for the canonicalizer: per host,
+    the sorted array of params mined `irrelevant`.  This is the table the
+    epoch loop (CrawlConfig.mine_dust) re-derives from the accumulated
+    web_content after each epoch and joins onto the next epoch's candidates
+    via `functions.columns.strip_params_by_rules`.  |hosts with rules| rows
+    — broadcast-sized by construction (one row per host that serves
+    aliases)."""
+    rules = mine_irrelevant_params(pages, url_col, hash_col, min_groups)
+    return (
+        rules.filter(F.col("irrelevant"))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("param")).alias("dust_params"))
+    )

@@ -71,6 +71,7 @@ def ingest_candidates(
     epoch: int,
     cfg: CrawlConfig,
     bloom: DataFrame | None = None,
+    dust_rules: DataFrame | None = None,
 ) -> DataFrame:
     """Entry point A (SURVEY §3.1): normalize -> batch-dedup -> seen anti-join
     -> priority. Returns new frontier rows."""
@@ -82,6 +83,21 @@ def ingest_candidates(
         canon = canon.withColumn(
             "url_norm", C.strip_tracking_params(F.col("url_norm"))
         ).withColumn("url_fp", C.url_fp(F.col("url_norm")))
+    if dust_rules is not None:
+        # learned alias params (cfg.mine_dust): broadcast the mined per-host
+        # (host, dust_params) dim, strip matching params from url_norm and
+        # re-fingerprint — a learned alias collapses onto its canonical row
+        # in the within-batch merge / seen anti-join and is never fetched.
+        # Hosts without rules join NULL and pass through byte-identical.
+        canon = (
+            canon.join(F.broadcast(dust_rules), "host", "left")
+            .withColumn(
+                "url_norm",
+                C.strip_params_by_rules(F.col("url_norm"), F.col("dust_params")),
+            )
+            .drop("dust_params")
+            .withColumn("url_fp", C.url_fp(F.col("url_norm")))
+        )
     merged = D.merge_candidates(canon)
     if bloom is not None and cfg.seen_filter == "cuckoo":
         from ..operators import cuckoo as CK
@@ -180,8 +196,15 @@ def run_epoch(
     seeds: DataFrame | None = None,
     verify_extraction: bool = False,
     sitemap_hints: DataFrame | None = None,
+    dust_rules: DataFrame | None = None,
 ) -> dict:
     """Run one crawl epoch and commit its snapshot. Returns the counters.
+
+    ``dust_rules``: optional (host, dust_params) dim from
+    `operators/dust.dust_rules_dim` — learned content-irrelevant query
+    params stripped from this epoch's candidates at ingest (see
+    CrawlConfig.mine_dust; run_epochs re-mines it per epoch). None = exact
+    prior behavior.
 
     ``sitemap_hints``: optional (url_norm, interval_hours) dim from
     `sources/sitemap.recrawl_hints` — with cfg.recrawl on, a URL's FIRST
@@ -223,7 +246,8 @@ def run_epoch(
     # ingest (canonicalize UDF + anti-join); exchanges are not reused across
     # plan branches
     new_frontier_rows = ingest_candidates(
-        spark, candidates, seen_prev, epoch, cfg, bloom=bloom_prev
+        spark, candidates, seen_prev, epoch, cfg, bloom=bloom_prev,
+        dust_rules=dust_rules,
     ).persist()
 
     # ---- 2. pending = new rows ∪ ready deferred
@@ -539,6 +563,12 @@ def run_epoch(
     to_stage["links"] = links_df
     to_stage["web_content"] = web_delta
     to_stage["host_stats"] = host_stats_new
+    if cfg.mine_dust:
+        # DUST evidence: EVERY fetched (url_norm, content_hash) — including
+        # the duplicate-content aliases the web_content dedup drops, which
+        # are exactly the rows the miner learns from. Two-column projection
+        # of this epoch's docs, no extra computation.
+        to_stage["fetch_digests"] = docs.select("url_norm", "content_hash")
     if recrawl_state is not None:
         to_stage["recrawl_state"] = recrawl_state
     if cfg.build_index:
@@ -601,6 +631,24 @@ def run_epoch(
     return counters
 
 
+def _mine_dust_rules(cat: Catalog, through_epoch: int, cfg: CrawlConfig):
+    """(host, dust_params) dim from the fetch_digests evidence committed
+    through ``through_epoch``; None when no fetches exist yet.  The evidence
+    table (staged by run_epoch when cfg.mine_dust) holds EVERY fetched
+    (url_norm, content_hash) — web_content would not do: its content-hash
+    dedup drops the duplicate-body alias rows the miner needs."""
+    from ..operators.dust import dust_rules_dim
+
+    digests = cat.read_delta_union("fetch_digests", through_epoch)
+    if digests is None:
+        return None
+    return dust_rules_dim(
+        digests,
+        url_col="url_norm",
+        min_groups=cfg.dust_min_groups,
+    )
+
+
 def run_epochs(
     spark: SparkSession,
     cat: Catalog,
@@ -619,6 +667,10 @@ def run_epochs(
     last = cat.last_committed_epoch()
     start = start_epoch if start_epoch is not None else (0 if last is None else last + 1)
     out = []
+    dust_rules = None
+    if cfg.mine_dust and start > 0:
+        # resume path: re-derive the rules the previous run would have held
+        dust_rules = _mine_dust_rules(cat, start - 1, cfg)
     for epoch in range(start, start + n_epochs):
         out.append(
             run_epoch(
@@ -631,8 +683,17 @@ def run_epochs(
                 seeds=seeds if epoch == 0 else None,
                 verify_extraction=verify_extraction,
                 sitemap_hints=sitemap_hints,
+                dust_rules=dust_rules,
             )
         )
+        if cfg.mine_dust:
+            # re-mine from ALL accumulated evidence (web_content deltas);
+            # at 10^10 this job is two hash-aggs over (url_norm, content_
+            # hash) projections — run it on the same cadence as compaction
+            # if per-epoch is too hot. Rules engage next epoch.
+            dust_rules = _mine_dust_rules(cat, epoch, cfg)
+            if dust_rules is not None:
+                out[-1]["dust_rule_hosts"] = dust_rules.count()
         # periodic delta compaction (Iceberg rewrite_data_files cadence):
         # the seen/links unions otherwise read one directory per prior epoch;
         # the frontier (merge table) additionally re-resolves superseded

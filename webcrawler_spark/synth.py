@@ -194,9 +194,19 @@ def generate_web(
     n_pages: int = 400,
     internal_degree: int = 4,
     external_degree: int = 2,
+    dust_sessions: int = 0,
 ) -> dict:
     """Build the synthetic web. Returns dict with keys pages, seeds, robots
-    (lists of dict rows)."""
+    (lists of dict rows).
+
+    ``dust_sessions`` (opt-in, default 0 = byte-identical to before): every
+    3rd host additionally serves its first pages under session-id aliases
+    (`?affid=k`, same body).  The EARLY aliases (sid 1..n) are linked from the
+    host's root page — fetched one epoch after the root, they are the
+    evidence DUST mining learns from; the LATE aliases (sid n+1..2n) are
+    linked from every other page of the host — with CrawlConfig.mine_dust
+    on, the learned rule strips them to the (already-seen) canonical URL
+    before they are ever fetched."""
     rng = random.Random(seed)
     hosts = make_hosts(rng, n_hosts)
     counts = _zipf_page_counts(rng, n_hosts, n_pages)
@@ -211,6 +221,20 @@ def generate_web(
         ]
     all_urls = [u for urls in host_urls.values() for u in urls]
 
+    dust_early: dict[str, list[str]] = {}
+    dust_late: dict[str, list[str]] = {}
+    if dust_sessions:
+        for host in hosts[::3]:
+            targets = host_urls[host][:3]
+            dust_early[host] = [
+                f"{t}?affid={k}" for t in targets for k in range(1, dust_sessions + 1)
+            ]
+            dust_late[host] = [
+                f"{t}?affid={k}"
+                for t in targets
+                for k in range(dust_sessions + 1, 2 * dust_sessions + 1)
+            ]
+
     pages = []
     idx = 0
     for host in hosts:
@@ -219,6 +243,10 @@ def generate_web(
             others = [x for x in urls if x != u]
             rng.shuffle(others)
             internal = others[: min(internal_degree, len(others))]
+            if u == urls[0] and host in dust_early:
+                internal = internal + dust_early[host]
+            elif u != urls[0] and host in dust_late:
+                internal = internal + dust_late[host]
             external = []
             for _ in range(external_degree):
                 t = all_urls[rng.randrange(len(all_urls))]
@@ -241,6 +269,19 @@ def generate_web(
                 }
             )
             idx += 1
+
+    if dust_sessions:
+        # alias page rows: same body (html/text/lang/link plan) as the
+        # canonical page, served under the ?sid URL — the content evidence
+        # the miner needs. No rng consumed (byte-parity when 0).
+        by_url = {p["url"]: p for p in pages}
+        for host in hosts[::3]:
+            for a in dust_early.get(host, []) + dust_late.get(host, []):
+                canon = by_url[a.split("?", 1)[0]]
+                pages.append(
+                    {**canon, "url": a, "warc_ts": BASE_TS + timedelta(seconds=idx * 7)}
+                )
+                idx += 1
 
     # seeds: roots of a subset of hosts + dup/trap variants that must dedupe
     seed_hosts = hosts[: max(3, n_hosts // 3)]
