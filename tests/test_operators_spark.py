@@ -1485,3 +1485,46 @@ def test_anchor_diversity_flags_farm_only(spark):
     assert out["organic"]["farm_suspect"] is False
     assert out["organic"]["diversity"] == 1.0
     assert out["tiny"]["farm_suspect"] is False
+
+
+def test_politeness_audit_gap_math(spark):
+    from webcrawler_spark.operators.scheduler import politeness_audit
+
+    rows = [
+        ("a", 0, 2_000_000), ("a", 2_000_000, 2_000_000), ("a", 3_500_000, 2_000_000),
+        ("b", 0, 1_000_000), ("b", 5_000_000, 1_000_000),
+        ("c", 42, 1_000_000),  # single fetch: no gap, compliant
+    ]
+    log = spark.createDataFrame(rows, "host string, ts_us long, delay_us long")
+    out = {r["host"]: r for r in politeness_audit(log).collect()}
+    assert out["a"]["violations"] == 1 and out["a"]["min_gap_us"] == 1_500_000
+    assert out["a"]["compliant"] is False
+    assert out["b"]["violations"] == 0 and out["b"]["compliant"] is True
+    assert out["c"]["min_gap_us"] is None and out["c"]["compliant"] is True
+
+
+def test_reciprocity_counts(spark):
+    from webcrawler_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")],
+        "src string, dst string",
+    )
+    (row,) = reciprocity(edges).collect()
+    # distinct non-loop edges: ab, ba, ac -> reciprocal: ab, ba
+    assert row["n_edges"] == 3 and row["n_reciprocal"] == 2
+    assert row["reciprocity"] == round(2 / 3, 6)
+
+
+def test_host_lang_entropy_extremes(spark):
+    import math
+
+    from webcrawler_spark.operators.textstats import host_lang_entropy
+
+    docs = spark.createDataFrame(
+        [("h1", "en")] * 8 + [("h2", "en")] * 4 + [("h2", "de")] * 4,
+        "source string, lang string",
+    )
+    out = {r["host"]: r for r in host_lang_entropy(docs).collect()}
+    assert out["h1"]["lang_entropy"] == 0.0 and out["h1"]["n_langs"] == 1
+    assert out["h2"]["lang_entropy"] == round(math.log(2), 6)

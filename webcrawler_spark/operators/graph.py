@@ -362,3 +362,26 @@ def hits(
         if checkpoint:
             auth = auth.localCheckpoint(eager=True)
     return hubs.join(auth, "node").select("node", "hub", "authority")
+
+
+def reciprocity(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Host-graph reciprocity: fraction of directed edges whose reverse
+    also exists — the link-exchange signal (organic host graphs are ~10-30%
+    reciprocal; paid link rings approach 100%).  Distinct-edge self-join on
+    the reversed key, both sides partitioned by the same (src, dst) hash —
+    one shuffle each, no fan-out (distinct edges join at most once).
+    Returns one row: (n_edges, n_reciprocal, reciprocity)."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    rec = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(rec.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .withColumn(
+            "reciprocity", F.round(F.col("n_reciprocal") / F.col("n_edges"), 6)
+        )
+    )

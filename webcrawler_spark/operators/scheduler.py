@@ -497,3 +497,42 @@ def politeness_makespan(
         .withColumn("straggler", F.col("serial_s") > F.col("total_s") / slots)
         .select("host", "n_urls", "delay_s", "serial_s", "makespan_lb_s", "straggler")
     )
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    ts_col: str = "ts_us",
+    delay_col: str = "delay_us",
+) -> DataFrame:
+    """Post-hoc politeness compliance over an executed fetch log.
+
+    The scheduler PLANS politeness (delay buckets, per-host serialization);
+    this audits what actually ran — the query an operator fires when a
+    webmaster complains or after a scheduler change.  Per host: fetch
+    count, the minimum inter-fetch gap, how many gaps violated the host's
+    delay, and the compliant verdict.  Integer-microsecond arithmetic (no
+    float time math).  One window over the log's own (host) partitioning +
+    one hash-agg; the log is already host-partitioned on disk in any sane
+    layout, so the window is shuffle-free there.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(ts_col)
+    g = fetch_log.withColumn("prev_ts", F.lag(ts_col).over(w)).withColumn(
+        "gap_us", F.col(ts_col) - F.col("prev_ts")
+    )
+    return (
+        g.groupBy(F.col(host_col).alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.max(delay_col).alias("delay_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.sum(
+                F.when(F.col("gap_us") < F.col(delay_col), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("violations"),
+        )
+        .withColumn("compliant", F.col("violations") == 0)
+    )

@@ -433,3 +433,26 @@ def script_mix(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     """(id, n_<script>..., main_script) — per-doc script histogram."""
     base = docs.select(F.col(id_col), *script_counts(F.col(text_col)))
     return base.withColumn("main_script", main_script())
+
+
+def host_lang_entropy(
+    docs: DataFrame, host_col: str = "source", lang_col: str = "lang"
+) -> DataFrame:
+    """Shannon entropy of the language mix per host — the routing signal
+    for per-language pipelines (a host at entropy 0 is single-language; a
+    high-entropy host needs per-doc lang-id, not a host-level default).
+    Two stacked hash-aggs on the host key; nats, rounded 6dp."""
+    per = docs.groupBy(F.col(host_col).alias("host"), F.col(lang_col).alias("lng")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per.groupBy("host").agg(F.sum("n").alias("n_docs"))
+    return (
+        per.join(tot, "host")
+        .withColumn("p", F.col("n") / F.col("n_docs"))
+        .groupBy("host")
+        .agg(
+            F.max("n_docs").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"),
+        )
+    )

@@ -7432,6 +7432,103 @@ FROM e GROUP BY dst
 """
 
 
+# Politeness compliance audit (scheduler.politeness_audit): integer-µs
+# inter-fetch gaps vs each host's delay over an executed fetch log.
+
+
+def q_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.scheduler import politeness_audit
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string")).alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        (((F.col("user_id") % 40) % 3 + 1) * 1_000_000)
+        .cast("bigint")
+        .alias("delay_us"),
+    )
+    return politeness_audit(log)
+
+
+SQL_politeness_audit = """
+WITH log AS (
+  SELECT 'h' || CAST(user_id % 40 AS VARCHAR) AS host,
+         epoch_us(ts) AS ts_us,
+         CAST(((user_id % 40) % 3 + 1) * 1000000 AS BIGINT) AS delay_us
+  FROM events
+),
+g AS (
+  SELECT host, delay_us,
+         ts_us - lag(ts_us) OVER (PARTITION BY host ORDER BY ts_us) AS gap_us
+  FROM log
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_fetches,
+       max(delay_us) AS delay_us,
+       min(gap_us) AS min_gap_us,
+       CAST(sum(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       CAST(sum(CASE WHEN gap_us < delay_us THEN 1 ELSE 0 END) AS BIGINT) = 0
+         AS compliant
+FROM g GROUP BY host
+"""
+
+
+# Host-graph reciprocity (graph.reciprocity): link-exchange signal.
+
+
+def q_hostgraph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import reciprocity
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 10)
+    edges = li.select(
+        F.concat(F.lit("h"), (F.col("l_suppkey") % 211).cast("string")).alias("src"),
+        F.concat(F.lit("h"), (F.col("l_partkey") % 211).cast("string")).alias("dst"),
+    )
+    return reciprocity(edges)
+
+
+SQL_hostgraph_reciprocity = """
+WITH e AS (
+  SELECT DISTINCT 'h' || CAST(l_suppkey % 211 AS VARCHAR) AS src,
+                  'h' || CAST(l_partkey % 211 AS VARCHAR) AS dst
+  FROM lineitem WHERE l_quantity <= 10
+    AND 'h' || CAST(l_suppkey % 211 AS VARCHAR)
+        != 'h' || CAST(l_partkey % 211 AS VARCHAR)
+),
+r AS (
+  SELECT count(*) AS n_reciprocal
+  FROM e a WHERE EXISTS (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src)
+)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(n_reciprocal AS BIGINT) AS n_reciprocal,
+       round(n_reciprocal * 1.0 / (SELECT count(*) FROM e), 6) AS reciprocity
+FROM r
+"""
+
+
+# Per-host language entropy (textstats.host_lang_entropy): routing signal
+# for per-language pipeline splits.
+
+
+def q_host_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.host_lang_entropy(docs, host_col="source", lang_col="lang")
+
+
+SQL_host_lang_entropy = """
+WITH per AS (
+  SELECT source AS host, lang, count(*) AS n FROM documents GROUP BY source, lang
+),
+tot AS (SELECT host, CAST(sum(n) AS BIGINT) AS n_docs FROM per GROUP BY host)
+SELECT host, max(n_docs) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       round(-sum((n * 1.0 / n_docs) * ln(n * 1.0 / n_docs)), 6) AS lang_entropy
+FROM per JOIN tot USING (host)
+GROUP BY host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7584,6 +7681,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_makespan": q_politeness_makespan,
     "revisit_digest_savings": q_revisit_digest_savings,
     "anchor_spam": q_anchor_spam,
+    "politeness_audit": q_politeness_audit,
+    "hostgraph_reciprocity": q_hostgraph_reciprocity,
+    "host_lang_entropy": q_host_lang_entropy,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7758,4 +7858,7 @@ ORACLE_SQL: dict[str, str] = {
     "politeness_makespan": SQL_politeness_makespan,
     "revisit_digest_savings": SQL_revisit_digest_savings,
     "anchor_spam": SQL_anchor_spam,
+    "politeness_audit": SQL_politeness_audit,
+    "hostgraph_reciprocity": SQL_hostgraph_reciprocity,
+    "host_lang_entropy": SQL_host_lang_entropy,
 }
