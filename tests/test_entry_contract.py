@@ -36,7 +36,14 @@ def _norm_cell(v):
 
 def _normalize(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+    normed = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    # None-safe total order: Python can't compare None with str/float, and
+    # nullable columns (e.g. sitemap lastmod/changefreq) hit exactly that.
+    # Any deterministic key works — both sides hold identical multisets when
+    # the entry is correct; repr() disambiguates types on the off chance.
+    return sorted(
+        normed, key=lambda row: tuple((v is None, repr(v)) for v in row)
+    )
 
 
 ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
