@@ -174,3 +174,31 @@ def test_varbyte_stats_integer_exact(spark):
     assert row["varbyte_bytes"] == 1 + 1 + 1 + 3
     assert row["raw_bytes"] == 32
     assert row["ratio"] == round(32 / 6, 4)
+
+
+def test_phrase_slop_move_semantics(spark):
+    """Lucene two-term slop: in-order adjacent = 0, one gap = 1, reversed
+    adjacent = 2; slop=0 equals the exact phrase path."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta x"),        # adjacent in order -> 0 moves
+            (2, "alpha x beta"),        # one word between -> 1 move
+            (3, "beta alpha x"),        # reversed adjacent -> 2 moves
+            (4, "alpha x x x x beta"),  # too far for slop 3
+            (5, "alpha beta alpha beta"),  # two in-order pairs + cross pairs
+        ],
+        "doc_id long, text string",
+    )
+    pos = PO.build_positional_postings(docs, "text", "doc_id")
+    got = {r["doc_id"]: r for r in PO.postings_phrase_slop(pos, "alpha", "beta", slop=3).collect()}
+    assert got[1]["min_moves"] == 0
+    assert got[2]["min_moves"] == 1
+    assert got[3]["min_moves"] == 2
+    assert 4 not in got
+    # doc 5 pairs within slop3: (1,2)=0, (1,4)=2, (3,4)=0, (3,2)=2 -> 4 pairs
+    assert got[5]["slop_freq"] == 4 and got[5]["min_moves"] == 0
+
+    # slop=0 == exact phrase, doc-for-doc
+    exact = {r["doc_id"] for r in PO.postings_phrase(pos, ["alpha", "beta"], k=100).collect()}
+    slop0 = {r["doc_id"] for r in PO.postings_phrase_slop(pos, "alpha", "beta", slop=0, k=100).collect()}
+    assert exact == slop0

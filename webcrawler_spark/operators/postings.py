@@ -231,6 +231,46 @@ def postings_varbyte_stats(postings: DataFrame, top_n: int = 50) -> DataFrame:
     return out.orderBy(F.desc("df"), F.asc("word")).limit(top_n)
 
 
+def postings_phrase_slop(
+    positional: DataFrame,
+    term_a: str,
+    term_b: str,
+    slop: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Two-term sloppy phrase from the positional index — ES
+    `match_phrase` with `slop` (Q1 family).  A position pair matches when
+    |pos_b − pos_a − 1| ≤ slop, which for two terms is exactly Lucene's
+    move-count semantics: adjacent in order = 0 moves, one word between
+    = 1, adjacent reversed = 2.  Returns (doc_id, slop_freq, min_moves)
+    ranked by slop_freq DESC, doc_id ASC.
+
+    Plan shape: each term's postings slice is a pruned read (term + bucket
+    predicate on the persisted table); the pair join is per-doc on doc_id
+    with the position band as the join residual — fan-out bounded by
+    tf_a × tf_b inside one doc, never cross-doc.  Exact phrase (slop=0)
+    stays on `postings_phrase`, which generalizes to n terms."""
+    pa = positional.filter(F.col("word") == term_a).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    pb = positional.filter(F.col("word") == term_b).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    moves = F.abs(F.col("pos_b") - F.col("pos_a") - 1)
+    pairs = pa.join(pb, "doc_id").withColumn("moves", moves).filter(
+        F.col("moves") <= slop
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("slop_freq"),
+            F.min("moves").cast("bigint").alias("min_moves"),
+        )
+        .orderBy(F.desc("slop_freq"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def merge_postings(base: DataFrame, delta: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Index maintenance across crawl epochs (the ES segment-merge /
     re-index analog): the delta's documents REPLACE their base postings

@@ -7529,6 +7529,73 @@ GROUP BY host
 """
 
 
+# Sloppy phrase (postings.postings_phrase_slop): ES match_phrase slop over
+# the positional index — Lucene two-term move-count semantics.
+
+
+def q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import postings as PO
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = PO.build_positional_postings(docs, "text", "doc_id")
+    return PO.postings_phrase_slop(pos, "batch", "window", slop=3, k=20)
+
+
+SQL_phrase_slop = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS word,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t
+),
+pa AS (SELECT doc_id, pos AS pos_a FROM pos WHERE word = 'batch'),
+pb AS (SELECT doc_id, pos AS pos_b FROM pos WHERE word = 'window'),
+pairs AS (
+  SELECT pa.doc_id AS doc_id, abs(pos_b - pos_a - 1) AS moves
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+  WHERE abs(pos_b - pos_a - 1) <= 3
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS slop_freq,
+       CAST(min(moves) AS BIGINT) AS min_moves
+FROM pairs GROUP BY doc_id
+ORDER BY slop_freq DESC, doc_id ASC LIMIT 20
+"""
+
+
+# Frontier priority aging (Mercator-style starvation defense): effective
+# priority grows with epochs waited, so low-priority rows eventually drain.
+
+
+def q_aged_priority_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    waited = F.lit(5) - (F.col("o_orderkey") % 5)
+    eff = F.round(F.col("o_totalprice") + 20.0 * waited, 4)
+    return (
+        orders.select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 5).cast("bigint").alias("discovered_epoch"),
+            eff.alias("eff_priority"),
+        )
+        .orderBy(F.desc("eff_priority"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_aged_priority_drain = """
+SELECT o_orderkey,
+       CAST(o_orderkey % 5 AS BIGINT) AS discovered_epoch,
+       round(o_totalprice + 20.0 * (5 - (o_orderkey % 5)), 4) AS eff_priority
+FROM orders
+ORDER BY eff_priority DESC, o_orderkey ASC LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7684,6 +7751,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_audit": q_politeness_audit,
     "hostgraph_reciprocity": q_hostgraph_reciprocity,
     "host_lang_entropy": q_host_lang_entropy,
+    "phrase_slop": q_phrase_slop,
+    "aged_priority_drain": q_aged_priority_drain,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7861,4 +7930,6 @@ ORACLE_SQL: dict[str, str] = {
     "politeness_audit": SQL_politeness_audit,
     "hostgraph_reciprocity": SQL_hostgraph_reciprocity,
     "host_lang_entropy": SQL_host_lang_entropy,
+    "phrase_slop": SQL_phrase_slop,
+    "aged_priority_drain": SQL_aged_priority_drain,
 }
