@@ -1528,3 +1528,20 @@ def test_host_lang_entropy_extremes(spark):
     out = {r["host"]: r for r in host_lang_entropy(docs).collect()}
     assert out["h1"]["lang_entropy"] == 0.0 and out["h1"]["n_langs"] == 1
     assert out["h2"]["lang_entropy"] == round(math.log(2), 6)
+
+
+def test_term_pmi_prefers_exclusive_pairs(spark):
+    from webcrawler_spark.operators.textstats import term_pmi
+
+    # "san francisco" always co-occur exclusively; "the cat"/"the dog" share
+    # "the" -> lower PMI despite equal pair counts
+    rows = [("san francisco",)] * 6 + [("the cat",)] * 6 + [("the dog",)] * 6
+    docs = spark.createDataFrame(rows, "text string")
+    out = term_pmi(docs, min_count=5, k=10).collect()
+    assert out[0]["bigram"] == "san francisco"
+    assert out[0]["pmi"] > out[1]["pmi"]
+    got = {r["bigram"]: r for r in out}
+    assert got["the cat"]["n_ab"] == 6
+    # plan: no Python, no cartesian
+    plan = term_pmi(docs, min_count=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

@@ -456,3 +456,61 @@ def host_lang_entropy(
             F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"),
         )
     )
+
+
+def term_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information —
+    the phrase-mining signal (multi-word expressions for tokenizer vocab
+    seeding, query suggestion, stopword-free keyword pairs).
+
+    PMI(a,b) = ln( P(ab) / (P(a)P(b)) ) over adjacent pairs, computed as an
+    exact-integer ratio pushed into one ln (same literal expression in the
+    DuckDB oracle, so the doubles agree).  min_count floors the n_ab
+    estimate (PMI is unstable for rare pairs).  Two explode+hash-agg
+    passes over the corpus + two broadcastable unigram joins keyed on the
+    bigram's own words; no window, no Python.
+    """
+    t = docs.select(tokens(F.col(text_col)).alias("t"))
+    uni = t.select(F.explode("t").alias("w"))
+    n1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    sz = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, sz - 1),
+        F.slice(F.col("t"), 2, sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n2 = (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    stats = n1.agg(F.sum("n_w").cast("bigint").alias("N")).crossJoin(
+        n2.agg(F.sum("n_ab").cast("bigint").alias("B"))
+    )
+    a = n1.select(F.col("w").alias("_wa"), F.col("n_w").alias("n_a"))
+    b = n1.select(F.col("w").alias("_wb"), F.col("n_w").alias("n_b"))
+    out = (
+        n2.filter(F.col("n_ab") >= min_count)
+        .withColumn("_wa", F.split("bigram", " ")[0])
+        .withColumn("_wb", F.split("bigram", " ")[1])
+        .join(F.broadcast(a), "_wa")
+        .join(F.broadcast(b), "_wb")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * 1.0 * F.col("N") * F.col("N"))
+                    / (F.col("B") * 1.0 * F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ),
+        )
+        .select("bigram", "n_ab", "pmi")
+    )
+    return out.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)

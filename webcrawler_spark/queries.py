@@ -7596,6 +7596,112 @@ ORDER BY eff_priority DESC, o_orderkey ASC LIMIT 100
 """
 
 
+# PMI collocations (textstats.term_pmi): adjacent-bigram phrase mining.
+
+
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.term_pmi(docs, min_count=5, k=20)
+
+
+SQL_term_pmi = f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     w -> w != '') AS t
+  FROM documents
+),
+n1 AS (SELECT w, count(*) AS n_w FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+n2 AS (
+  SELECT bg, count(*) AS n_ab FROM (
+    SELECT unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                  x -> x[1] || ' ' || x[2])) AS bg
+    FROM t
+  ) GROUP BY bg
+),
+st AS (
+  SELECT (SELECT CAST(sum(n_w) AS BIGINT) FROM n1) AS N,
+         (SELECT CAST(sum(n_ab) AS BIGINT) FROM n2) AS B
+)
+SELECT bg AS bigram, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln((n_ab * 1.0 * N * N) / (B * 1.0 * a.n_w * b.n_w)), 6) AS pmi
+FROM n2
+JOIN n1 a ON string_split(bg, ' ')[1] = a.w
+JOIN n1 b ON string_split(bg, ' ')[2] = b.w
+CROSS JOIN st
+WHERE n_ab >= 5
+ORDER BY pmi DESC, bigram ASC LIMIT 20
+"""
+
+
+# Robots policy drift: hosts whose disallow set changed between two robots
+# snapshots — re-gate their frontier rows, re-schedule freed prefixes.
+
+
+def q_robots_policy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    host = F.concat(F.lit("h"), (F.col("c_custkey") % 60).cast("string"))
+    old = F.when(F.col("c_custkey") % 4 == 0, F.array(F.lit("/private"), F.lit("/tmp")))\
+        .when(F.col("c_custkey") % 4 == 1, F.array(F.lit("/admin")))\
+        .otherwise(F.array().cast("array<string>"))
+    new = (
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.array(F.lit("/private"), F.lit("/beta")),
+        )
+        .otherwise(old)
+    )
+    dims = cust.select(
+        host.alias("host"), old.alias("old_dis"), new.alias("new_dis")
+    ).dropDuplicates(["host"])
+    added = F.size(F.array_except("new_dis", "old_dis"))
+    removed = F.size(F.array_except("old_dis", "new_dis"))
+    return (
+        dims.withColumn("n_added", added.cast("bigint"))
+        .withColumn("n_removed", removed.cast("bigint"))
+        .filter((F.col("n_added") > 0) | (F.col("n_removed") > 0))
+        .withColumn(
+            "drift",
+            F.when((F.col("n_added") > 0) & (F.col("n_removed") == 0), "tightened")
+            .when((F.col("n_removed") > 0) & (F.col("n_added") == 0), "loosened")
+            .otherwise("mixed"),
+        )
+        .select("host", "n_added", "n_removed", "drift")
+    )
+
+
+SQL_robots_policy_drift = """
+WITH d0 AS (
+  SELECT 'h' || CAST(c_custkey % 60 AS VARCHAR) AS host,
+         CASE WHEN c_custkey % 4 = 0 THEN ['/private', '/tmp']
+              WHEN c_custkey % 4 = 1 THEN ['/admin']
+              ELSE [] END AS old_dis,
+         c_custkey
+  FROM customer
+),
+d1 AS (
+  SELECT host, old_dis,
+         CASE WHEN c_custkey % 5 = 0 THEN ['/private', '/beta']
+              ELSE old_dis END AS new_dis,
+         row_number() OVER (PARTITION BY host ORDER BY c_custkey) AS rn
+  FROM d0
+),
+dims AS (SELECT host, old_dis, new_dis FROM d1 WHERE rn = 1),
+diff AS (
+  SELECT host,
+         CAST(len(list_filter(new_dis, x -> NOT list_contains(old_dis, x)))
+              AS BIGINT) AS n_added,
+         CAST(len(list_filter(old_dis, x -> NOT list_contains(new_dis, x)))
+              AS BIGINT) AS n_removed
+  FROM dims
+)
+SELECT host, n_added, n_removed,
+       CASE WHEN n_added > 0 AND n_removed = 0 THEN 'tightened'
+            WHEN n_removed > 0 AND n_added = 0 THEN 'loosened'
+            ELSE 'mixed' END AS drift
+FROM diff WHERE n_added > 0 OR n_removed > 0
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7753,6 +7859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_lang_entropy": q_host_lang_entropy,
     "phrase_slop": q_phrase_slop,
     "aged_priority_drain": q_aged_priority_drain,
+    "term_pmi": q_term_pmi,
+    "robots_policy_drift": q_robots_policy_drift,
     "fuzzy_url_dedupe": q_fuzzy_url_dedupe,
     "crawl_two_epoch_counters": q_crawl_two_epoch_counters,
     "crawl_frontier_status": q_crawl_frontier_status,
@@ -7932,4 +8040,6 @@ ORACLE_SQL: dict[str, str] = {
     "host_lang_entropy": SQL_host_lang_entropy,
     "phrase_slop": SQL_phrase_slop,
     "aged_priority_drain": SQL_aged_priority_drain,
+    "term_pmi": SQL_term_pmi,
+    "robots_policy_drift": SQL_robots_policy_drift,
 }
