@@ -43,6 +43,9 @@ def main() -> None:
                          "change-rate-banded interval")
     ap.add_argument("--adaptive-salt", action="store_true",
                     help="salt only hosts measured above the hot threshold")
+    ap.add_argument("--detect-soft404", action="store_true",
+                    help="drop per-host HTTP-200 error-template pages from "
+                         "indexing and link discovery")
     ap.add_argument("--mine-dust", action="store_true",
                     help="learn content-irrelevant URL params from fetch "
                          "evidence and strip them from later candidates")
@@ -97,6 +100,7 @@ def main() -> None:
         recrawl=args.recrawl,
         adaptive_salt=args.adaptive_salt,
         mine_dust=args.mine_dust,
+        detect_soft404=args.detect_soft404,
     )
     cat = Catalog(spark, args.catalog)
     counters = E.run_epochs(

@@ -705,3 +705,73 @@ def test_recrawl_sitemap_hints_first_revisit(
     plain = {k: v for k, v in d0.items() if k[1] != hinted_host}
     assert hinted and set(hinted.values()) == {cfg.recrawl_max_interval}
     assert plain and set(plain.values()) == {1}
+
+
+def test_detect_soft404_gates_index_and_links(spark, tmp_path_factory):
+    """Soft-404 defense (CrawlConfig.detect_soft404): a host answering many
+    paths with one short body — those fetches must not enter web_content and
+    must not expand links; everything else is untouched."""
+    from datetime import datetime, timezone
+
+    from webcrawler_spark.functions.htmllib import extract_text
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    def page(url, title, para, links):
+        anchors = "\n".join(f'<a href="{t}">go</a>' for t in links)
+        html = (
+            f"<html><head><title>{title}</title></head><body>"
+            f"<p>{para}</p>{anchors}</body></html>"
+        )
+        return (url, ts, html.encode(), extract_text(html), "en")
+
+    rows = []
+    real_para = "real page body with plenty of distinct words %d " + "pad " * 40
+    for i in range(12):
+        rows.append(
+            page(
+                f"https://err.com/real-{i}",
+                f"Real {i}",
+                real_para % i,
+                [f"https://err.com/real-link-{i}"],
+            )
+        )
+    for i in range(8):
+        # identical TEXT (the hash input) but a distinct href each — the
+        # error template's nav link must never be discovered with the gate on
+        rows.append(
+            page(
+                f"https://err.com/missing-{i}",
+                "Not Found",
+                "sorry this page does not exist on err dot com",
+                [f"https://err.com/from-error-{i}"],
+            )
+        )
+    pages_df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    seeds_df = spark.createDataFrame(
+        [(r[0], 5, 0) for r in rows], "url string, priority int, depth int"
+    )
+
+    def run(tag, on):
+        cfg = CrawlConfig(epoch_seconds=60, detect_soft404=on, soft404_min_count=5)
+        cat = Catalog(spark, str(tmp_path_factory.mktemp(tag)))
+        counters = E.run_epochs(spark, cat, pages_df, seeds_df, None, 1, cfg)
+        web = cat.read_delta_union("web_content", 0)
+        texts = {r["content"][:9] for r in web.select("content").collect()}
+        links = cat.read_delta_union("links", 0)
+        targets = {r["target_url"] for r in links.select("target_url").collect()}
+        return counters, texts, targets, web.count()
+
+    c_on, t_on, g_on, n_on = run("s404_on", True)
+    c_off, t_off, g_off, n_off = run("s404_off", False)
+
+    assert c_on[0]["soft404_dropped"] == 8
+    assert n_on == 12 and not any(s.startswith("Not Found") for s in t_on)
+    assert not any("from-error" in t for t in g_on)
+    assert all(any(f"real-link-{i}" in t for t in g_on) for i in range(12))
+    # gate off: the (deduped) template body indexes once, its link leaks in
+    assert "soft404_dropped" not in c_off[0]
+    assert n_off == 13
+    assert any("from-error" in t for t in g_off)

@@ -113,6 +113,17 @@ class CrawlConfig:
     mine_dust: bool = False
     dust_min_groups: int = 3
 
+    # soft-404 template defense (operators/traps.soft404_signals): a host
+    # answering >= soft404_min_count distinct paths with one short body
+    # (avg <= soft404_max_chars) is serving an HTTP-200 error template;
+    # matching fetches are excluded from web_content AND from link
+    # discovery within their epoch (the fetch itself still happened and
+    # counts against budget/host stats). Off by default (reference parity:
+    # the reference trusts the status code only).
+    detect_soft404: bool = False
+    soft404_min_count: int = 5
+    soft404_max_chars: int = 512
+
     # crawl-trap defense (operators/traps.trap_signals) applied to the
     # pending pool each epoch: URLs of hosts whose URL-space shape trips
     # the trap heuristics (deep paths / repeated segments / one dominant

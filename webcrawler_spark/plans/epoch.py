@@ -331,6 +331,39 @@ def run_epoch(
         if n_bad:
             raise AssertionError(f"extract_text != text for {n_bad} rows (byte-identity broken)")
 
+    # ---- 4b. soft-404 template defense (opt-in): a host answering many
+    # distinct paths with ONE short body is serving an HTTP-200 "not found"
+    # template (traps.soft404_signals). Those fetches are real (they spent
+    # budget and enter seen/host_stats) but must not index and must not
+    # expand links — the error body's nav links would re-seed the frontier
+    # with the host's template page forever.
+    s4_drop = None
+    soft404_dropped = 0
+    if cfg.detect_soft404:
+        from ..operators.traps import soft404_signals
+
+        sig = ok.select(
+            "host",
+            F.col("url_norm").alias("url"),
+            C.content_hash(F.col("text")).alias("s4_hash"),
+            F.length("text").alias("n_chars"),
+        )
+        tmpl = soft404_signals(
+            sig,
+            url_col="url",
+            hash_col="s4_hash",
+            min_count=cfg.soft404_min_count,
+            max_chars=cfg.soft404_max_chars,
+        ).select("host", "template_hash")
+        s4_drop = (
+            sig.join(F.broadcast(tmpl), "host")
+            .filter(F.col("s4_hash") == F.col("template_hash"))
+            .select(F.col("url").alias("url_norm"))
+            .persist()
+        )
+        soft404_dropped = s4_drop.count()
+        ok = ok.join(s4_drop, "url_norm", "left_anti")
+
     # ---- 5. parse: links (F16/P2-P4/U2) + docs (F7/F11/F14/F15)
     pages_for_links = ok
     if cfg.respect_meta_robots:
@@ -623,11 +656,15 @@ def run_epoch(
         "pages_fetched": counts["web_content"],
         "links_discovered": counts["links"],
     }
+    if cfg.detect_soft404:
+        counters["soft404_dropped"] = soft404_dropped
     cat.commit_epoch(epoch, counts, counters)
     schedule.unpersist()
     fetched.unpersist()
     pending.unpersist()
     new_frontier_rows.unpersist()
+    if s4_drop is not None:
+        s4_drop.unpersist()
     return counters
 
 
