@@ -558,6 +558,7 @@ def main() -> None:
             scrub_pii=True, compact_every=2, respect_meta_robots=True,
             politeness_by_registrable=True, build_index=True,
             recrawl=True, adaptive_salt=True,
+            mine_dust=True, detect_soft404=True,
         ),
     )
 

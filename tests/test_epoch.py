@@ -559,6 +559,8 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         build_index=True,
         recrawl=True,
         adaptive_salt=True,
+        mine_dust=True,
+        detect_soft404=True,
     )
 
     def run(tag):
