@@ -178,3 +178,122 @@ def test_strip_params_by_rules_column(spark):
         "https://a.com/x?sid=1",
         "https://a.com/x?sid=1",
     ]
+
+
+# ---------------------------------------------------------------------------
+# derandomized fuzz: Spark implementations vs pure-Python references over a
+# seeded random URL corpus (one Spark job per test, not per example)
+
+
+def _py_strip(url, rules):
+    rules = set(rules or [])
+    if "?" not in url or not rules:
+        return url
+    base, qs = url.split("?", 1)
+    kept = [p for p in qs.split("&") if p != "" and p.split("=", 1)[0] not in rules]
+    return base + ("?" + "&".join(kept) if kept else "")
+
+
+def test_strip_params_by_rules_fuzz_vs_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.functions import columns as C
+
+    rng = random.Random(7)
+    keys = ["a", "bb", "sid", "page", "x1", "ref", "q"]
+    rows = []
+    for i in range(400):
+        nparams = rng.randrange(0, 5)
+        params = [
+            f"{rng.choice(keys)}={rng.randrange(10)}" if rng.random() < 0.9
+            else rng.choice(keys)  # valueless param: name is the whole token
+            for _ in range(nparams)
+        ]
+        url = f"https://h{rng.randrange(5)}.ex.com/p/{i}" + (
+            "?" + "&".join(params) if params else ""
+        )
+        rules = sorted(rng.sample(keys, rng.randrange(0, 4)))
+        rows.append((i, url, rules))
+    df = spark.createDataFrame(rows, "i long, url string, rules array<string>")
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", C.strip_params_by_rules(F.col("url"), F.col("rules")).alias("out")
+        ).collect()
+    }
+    for i, url, rules in rows:
+        assert got[i] == _py_strip(url, rules), (url, rules)
+
+
+def _py_mine(pages, min_groups):
+    """Brute-force reference for mine_irrelevant_params."""
+    from collections import defaultdict
+    from urllib.parse import urlsplit
+
+    groups = defaultdict(lambda: (set(), set(), set()))  # values, hashes, urls
+    for url, h in pages:
+        sp = urlsplit(url)
+        if not sp.query:
+            continue
+        params = [p for p in sp.query.split("&") if p != ""]
+        for idx, p in enumerate(params):
+            key = p.split("=", 1)[0]
+            val = p.split("=", 1)[1] if "=" in p else None
+            others = sorted(q for j, q in enumerate(params)
+                            if q.split("=", 1)[0] != key)
+            gk = (sp.hostname or "", key,
+                  url.split("?", 1)[0] + "?" + "&".join(others))
+            vs, hs, us = groups[gk]
+            vs.add(val); hs.add(h); us.add(url)
+    agg = defaultdict(lambda: [0, 0, 0])  # multi, clean, dup_urls
+    for (host, key, _), (vs, hs, us) in groups.items():
+        if len(vs) >= 2:
+            agg[(host, key)][0] += 1
+            if len(hs) == 1:
+                agg[(host, key)][1] += 1
+                agg[(host, key)][2] += len(us) - 1
+    return {
+        k: (m, c, d, m >= min_groups and c == m) for k, (m, c, d) in agg.items()
+    }
+
+
+def test_mine_irrelevant_params_fuzz_vs_python(spark):
+    import random
+
+    rng = random.Random(13)
+    pages = []
+    for i in range(600):
+        host = f"h{rng.randrange(4)}.ex.com"
+        path = f"/d/{rng.randrange(8)}"
+        params = []
+        if rng.random() < 0.8:
+            params.append(f"page={rng.randrange(3)}")
+        if rng.random() < 0.7:
+            params.append(f"sess={rng.randrange(6)}")
+        if rng.random() < 0.3:
+            params.append(f"ref={rng.randrange(4)}")
+        rng.shuffle(params)
+        url = f"https://{host}{path}" + ("?" + "&".join(params) if params else "")
+        page = next((p.split("=")[1] for p in params if p.startswith("page=")), "-")
+        content_hash = f"hash-{host}-{path}-p{page}"  # sess/ref never matter
+        pages.append((url, content_hash))
+    pages = list(dict.fromkeys(pages))  # observed page set is distinct
+
+    df = spark.createDataFrame(pages, "url string, content_hash string")
+    got = {
+        (r["host"], r["param"]): (
+            r["groups_multi"], r["clean_groups"], r["dup_urls_avoidable"],
+            r["irrelevant"],
+        )
+        for r in mine_irrelevant_params(df, min_groups=3).collect()
+    }
+    want = _py_mine(pages, min_groups=3)
+    assert got == want
+    # and the semantic ground truth holds: sess/ref always clean, page dirty
+    for (host, param), (_, _, _, irrelevant) in got.items():
+        if param in ("sess", "ref"):
+            assert irrelevant or got[(host, param)][0] < 3
+        if param == "page":
+            assert not irrelevant
