@@ -304,3 +304,68 @@ def test_opic_empty_edges(spark):
     out = G.opic(empty, n_iter=2)
     assert out.columns == ["node", "opic"]
     assert out.count() == 0
+
+
+def test_spam_mass_linearity_and_bounds(spark, diamond_edges):
+    """p' must equal PageRank-with-core-teleport at strength 1/N: verify by
+    the linearity identity spam_mass = pr - (s/n)*trustrank, and that a
+    seed-heavy core drives rel_mass toward 0 on nodes fed by seeds."""
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r["node"]: r for r in G.spam_mass(diamond_edges, seeds, n_iter=3).collect()}
+    pr = {r["node"]: r["rank"] for r in G.pagerank(diamond_edges, n_iter=3).collect()}
+    tr = {
+        r["node"]: r["rank"]
+        for r in G.trustrank(diamond_edges, seeds, n_iter=3).collect()
+    }
+    n = len(pr)
+    s = 1
+    for node, row in out.items():
+        assert row["rank_pagerank"] == pytest.approx(pr[node], abs=1e-12)
+        assert row["rank_core"] == pytest.approx(tr[node] * s / n, abs=1e-12)
+        assert row["spam_mass"] == pytest.approx(
+            pr[node] - tr[node] * s / n, abs=1e-12
+        )
+        assert row["rel_mass"] is None or row["rel_mass"] <= 1.0 + 1e-12
+    # node 5 has no in-edges and is not a seed: ALL its rank is teleport-
+    # derived, none core-derived -> rel_mass = 1 exactly
+    assert out[5]["rel_mass"] == pytest.approx(1.0, abs=1e-12)
+    # nodes 2/3 are fed directly by the seed: strictly more core share than
+    # the unseeded, unreached node 5 (whose rel_mass is exactly 1)
+    assert out[2]["rel_mass"] < out[5]["rel_mass"]
+
+
+def test_salsa_mass_conservation_and_bipartite(spark, diamond_edges):
+    """SALSA score vectors are probability distributions after every round
+    (the walk is stochastic) — no normalization scalar needed."""
+    out = G.salsa(diamond_edges, n_iter=2).collect()
+    hub_sum = sum(r["hub"] for r in out)
+    auth_sum = sum(r["authority"] for r in out)
+    assert hub_sum == pytest.approx(1.0, abs=1e-9)
+    assert auth_sum == pytest.approx(1.0, abs=1e-9)
+    by_node = {r["node"]: r for r in out}
+    # node 5 (pure source) is a pure hub; node 4 (dangling sink) pure authority
+    assert by_node[5]["authority"] == 0.0 and by_node[5]["hub"] > 0
+    assert by_node[4]["hub"] == 0.0 and by_node[4]["authority"] > 0
+
+
+def test_salsa_empty_graph(spark):
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    assert G.salsa(empty, n_iter=2).count() == 0
+
+
+def test_degree_powerlaw_closed_form(spark):
+    # in-degrees: node 10 <- 4 edges, node 11 <- 2, node 12 <- 1
+    rows = [(1, 10), (2, 10), (3, 10), (4, 10), (1, 11), (2, 11), (1, 12)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    row = G.degree_powerlaw(edges, d_min=2).first()
+    assert row["n_nodes_in"] == 3 and row["n_tail"] == 2 and row["max_indeg"] == 4
+    import math
+
+    expect = 1.0 + 2.0 / (math.log(4 / 1.5) + math.log(2 / 1.5))
+    assert row["alpha"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_degree_powerlaw_empty_tail(spark):
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    row = G.degree_powerlaw(edges, d_min=2).first()
+    assert row["n_tail"] == 0 and row["alpha"] is None

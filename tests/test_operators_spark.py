@@ -1545,3 +1545,84 @@ def test_term_pmi_prefers_exclusive_pairs(spark):
     # plan: no Python, no cartesian
     plan = term_pmi(docs, min_count=5)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_percolate_and_or_and_no_match(spark):
+    from webcrawler_spark.operators.search import percolate
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "spark streams windows of data"),
+            ("d2", "hash join beats sort merge join"),
+            ("d3", "nothing relevant here"),
+        ],
+        ["doc_id", "text"],
+    )
+    stored = spark.createDataFrame(
+        [
+            ("q_and", ["hash", "join"], 2),  # AND: both terms
+            ("q_or", ["spark", "hash"], 1),  # OR: either term
+            ("q_none", ["xylophone"], 1),
+        ],
+        "query_id string, terms array<string>, min_match int",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matched"], r["n_terms"])
+        for r in percolate(docs, stored).collect()
+    }
+    assert got == {
+        ("q_and", "d2"): (2, 2),
+        ("q_or", "d1"): (1, 2),
+        ("q_or", "d2"): (1, 2),
+    }
+
+
+def test_percolate_duplicate_terms_count_once(spark):
+    from webcrawler_spark.operators.search import percolate
+
+    docs = spark.createDataFrame([("d1", "join join join")], ["doc_id", "text"])
+    stored = spark.createDataFrame(
+        [("q", ["join", "join", "merge"], 2)],
+        "query_id string, terms array<string>, min_match int",
+    )
+    # list_distinct on both sides: tf 3 is still ONE matched term, and the
+    # duplicated stored term doesn't double n_terms — so min_match 2 misses
+    assert percolate(docs, stored).count() == 0
+
+
+def test_spell_correct_picks_distance_then_frequency(spark):
+    from webcrawler_spark.operators.search import spell_correct
+
+    # 'cat' appears 3x, 'car' 1x: for query 'caz' both are distance 1 ->
+    # frequency breaks the tie toward 'cat'; 'cat' itself corrects to itself
+    docs = spark.createDataFrame(
+        [("d1", "cat cat cat car dog")], ["doc_id", "text"]
+    )
+    got = {
+        r["term"]: (r["correction"], r["distance"], r["freq"])
+        for r in spell_correct(docs, ["caz", "cat", "zzzzzzzzzz"]).collect()
+    }
+    assert got["caz"] == ("cat", 1, 3)
+    assert got["cat"] == ("cat", 0, 3)
+    assert "zzzzzzzzzz" not in got  # no candidate within the edit budget
+
+
+def test_maxscore_skippable_never_includes_topk(spark):
+    from webcrawler_spark.operators.search import maxscore_prune, search_bm25
+
+    rows = [
+        (f"d{i}", ("alpha " * (i % 3 + 1)) + ("beta " if i % 2 == 0 else "") + "filler words here")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = maxscore_prune(docs, ["alpha", "beta"], k=5).collect()
+    assert {r["term"] for r in out} == {"alpha", "beta"}
+    r0 = out[0]
+    # soundness: every candidate is either skippable or must-score; the
+    # skippable count can never reach the candidate count when k docs exist
+    assert 0 <= r0["n_skippable"] <= r0["n_candidates"]
+    topk = search_bm25(docs, ["alpha", "beta"], k=5)
+    assert topk.count() == 5
+    # theta equals the 5th-best exact BM25 score (rounded alike)
+    fifth = min(r["score"] for r in topk.collect())
+    assert abs(r0["theta"] - fifth) < 1e-3

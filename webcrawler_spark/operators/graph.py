@@ -364,6 +364,205 @@ def hits(
     return hubs.join(auth, "node").select("node", "hub", "authority")
 
 
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Spam-mass estimation (Gyöngyi, Berkhin, Garcia-Molina & Pedersen,
+    "Link Spam Detection Based on Mass Estimation", VLDB 2006): the part of
+    a node's PageRank that does NOT flow from a trusted good core is its
+    spam mass. With p = PageRank (uniform teleport) and p' = PageRank whose
+    teleport is restricted to the good core at the SAME per-node strength
+    1/N (so p' ≤ p component-wise in expectation), absolute mass M = p − p'
+    and relative mass m = M/p ∈ (−∞, 1]; hosts with m near 1 get most of
+    their rank through untrusted paths — the link-spam demotion signal the
+    frontier can consume next to `operators/traps.py`'s URL-shape signals.
+
+    p' is derived from :func:`trustrank` by linearity: trustrank normalizes
+    its teleport to sum 1 over s seed nodes, while the paper's core teleport
+    sums to s/N — the recursion is linear in the teleport vector, so
+    p' = (s/N) · trustrank. One extra broadcast-joined projection; no new
+    shuffles beyond the two rank computations (each per-iteration one
+    edges⋈ranks shuffle on the node key, scalars only on the driver).
+
+    Returns (node, rank_pagerank, rank_core, spam_mass, rel_mass); rel_mass
+    is NULL where p = 0 (unreachable isolated nodes never occur here since
+    the node set comes from the edge list).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    pr = pagerank(e, n_iter=n_iter, damping=damping, checkpoint=checkpoint)
+    tr = trustrank(e, seeds, n_iter=n_iter, damping=damping, checkpoint=checkpoint)
+    # scale factors: s = |seeds ∩ graph|, n = |nodes| — two tiny counts
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    s = (
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        .join(nodes, "node").count()
+    )
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("rank_pagerank"),
+            F.lit(0.0).alias("rank_core"),
+            F.lit(0.0).alias("spam_mass"),
+            F.lit(None).cast("double").alias("rel_mass"),
+        )
+    scale = float(s) / float(n)
+    return (
+        pr.withColumnRenamed("rank", "rank_pagerank")
+        .join(tr.withColumnRenamed("rank", "_tr"), "node")
+        .select(
+            "node",
+            "rank_pagerank",
+            (F.col("_tr") * F.lit(scale)).alias("rank_core"),
+            (F.col("rank_pagerank") - F.col("_tr") * F.lit(scale)).alias("spam_mass"),
+            F.when(
+                F.col("rank_pagerank") > 0,
+                (F.col("rank_pagerank") - F.col("_tr") * F.lit(scale))
+                / F.col("rank_pagerank"),
+            ).alias("rel_mass"),
+        )
+    )
+
+
+def salsa(
+    edges: DataFrame,
+    n_iter: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """SALSA (Lempel & Moran, WWW 2000): the Stochastic Approach for
+    Link-Structure Analysis — HITS's mutual reinforcement replaced by a
+    random walk that alternates a backward and a forward step on the
+    bipartite hub/authority graph. Each transition divides by the degree,
+    so both score vectors are probability distributions and NO driver-side
+    normalization scalar is needed (unlike HITS's L2 norm):
+
+        h_k(u) = Σ_{u→v} a_{k-1}(v) / indeg(v)
+        a_k(v) = Σ_{u→v} h_k(u)   / outdeg(u)
+
+    from the uniform authority start a_0(v) = 1/|{v: indeg(v)>0}|. SALSA is
+    the production web-search variant (it resists the tightly-knit-community
+    effect that inflates HITS hubs), and Σh = Σa = 1 after every round by
+    construction — the test invariant.
+
+    100 TB shape: per half-round one edges⋈scores shuffle on the 8-byte
+    node key + one map-side-partial groupBy; degree dims computed once;
+    localCheckpoint keeps lineage O(1). Returns (node, hub, authority)
+    with hub 0 for pure authorities and authority 0 for pure hubs.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+        nodes = nodes.localCheckpoint(eager=True)
+    indeg = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("indeg")
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+    n_auth = indeg.count()
+    if n_auth == 0:
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+    auth = indeg.select("node", F.lit(1.0 / n_auth).alias("authority"), "indeg")
+    hubs = None
+    for _ in range(n_iter):
+        # backward step: hubs gather authority mass split by in-degree
+        h = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src"), (F.col("authority") / F.col("indeg")).alias("c"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("c").alias("hub"))
+        )
+        hubs = h.join(outdeg, "node").select("node", "hub", "outdeg")
+        if checkpoint:
+            hubs = hubs.localCheckpoint(eager=True)
+        # forward step: authorities gather hub mass split by out-degree
+        a = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .select(F.col("dst"), (F.col("hub") / F.col("outdeg")).alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("authority"))
+        )
+        auth = a.join(indeg, "node").select("node", "authority", "indeg")
+        if checkpoint:
+            auth = auth.localCheckpoint(eager=True)
+    return (
+        nodes.join(hubs.select("node", "hub"), "node", "left")
+        .join(auth.select("node", "authority"), "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
+        )
+    )
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    d_min: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """In-degree power-law fit: the continuous maximum-likelihood exponent
+    (Clauset, Shalizi & Newman, SIAM Review 2009, eq. 3.1 with the discrete
+    −1/2 offset)
+
+        α = 1 + n_tail / Σ_{d ≥ d_min} ln( d / (d_min − 1/2) )
+
+    over the distinct-edge in-degree distribution. Web-graph in-degrees are
+    the canonical power law (α ≈ 2.1, Broder et al. 2000); a crawl whose
+    frontier in-degree exponent drifts far from that is over-sampling link
+    farms or stuck in a mesh-shaped trap — a one-row drift gauge next to
+    `trap_signals`. Returns one row: (n_nodes_in, n_tail, max_indeg, alpha);
+    alpha is NULL when the tail is empty or degenerate (all tail degrees
+    = d_min would give Σln = 0 only if d_min/(d_min-0.5) = 1, impossible,
+    so the only NULL case is n_tail = 0).
+
+    100 TB shape: one distinct-edge shuffle + one groupBy(dst) map-side
+    partial agg, then a single global aggregate row — no driver data.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).dropDuplicates(
+        ["src", "dst"]
+    )
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    return indeg.agg(
+        F.count(F.lit(1)).alias("n_nodes_in"),
+        F.sum(F.when(F.col("d") >= d_min, 1).otherwise(0)).alias("n_tail"),
+        F.max("d").alias("max_indeg"),
+        F.round(
+            F.lit(1.0)
+            + F.sum(F.when(F.col("d") >= d_min, 1).otherwise(0))
+            / F.sum(
+                F.when(
+                    F.col("d") >= d_min,
+                    F.log(F.col("d") / F.lit(d_min - 0.5)),
+                )
+            ),
+            6,
+        ).alias("alpha"),
+    )
+
+
 def reciprocity(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Host-graph reciprocity: fraction of directed edges whose reverse
     also exists — the link-exchange signal (organic host graphs are ~10-30%

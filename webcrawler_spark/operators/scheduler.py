@@ -153,9 +153,15 @@ def schedule_epoch(
             )
             .withColumn("_pre_rank", F.row_number().over(pre_w))
         )
-        pre_overflow = salted.filter(F.col("_pre_rank") > F.col("host_budget")).drop(
-            "_hot", "salt", "_pre_rank"
-        )
+        # pre-window overflow is provably past-budget; stamp a sentinel rank
+        # (> host_budget by construction) so it rides the SAME ranked frame
+        # as the window outputs — schedule/deferred then split ONE union
+        # instead of each output re-deriving its own arms (each arm re-runs
+        # the salted window when the caller materializes outputs in
+        # separate jobs; profiled at ~50% of the opt-in crawl's write time)
+        pre_overflow = salted.filter(F.col("_pre_rank") > F.col("host_budget")).withColumn(
+            "rank_in_host", F.col("host_budget") + F.col("_pre_rank")
+        ).drop("_hot", "salt", "_pre_rank")
         cold_ranked = (
             salted.filter(F.col("_hot").isNull() & (F.col("_pre_rank") <= F.col("host_budget")))
             .withColumn("rank_in_host", F.col("_pre_rank"))
@@ -171,10 +177,11 @@ def schedule_epoch(
         ).withColumn("_pre_rank", F.row_number().over(pre_w))
         # a row ranked > budget within its salt has >= budget rows ahead of it
         # in the full host ordering too => its true host rank > budget, so it
-        # is provably deferred and can skip the final (bounded) window
-        pre_overflow = salted.filter(F.col("_pre_rank") > F.col("host_budget")).drop(
-            "salt", "_pre_rank"
-        )
+        # is provably deferred and can skip the final (bounded) window; the
+        # sentinel rank keeps it on the shared ranked frame (see above)
+        pre_overflow = salted.filter(F.col("_pre_rank") > F.col("host_budget")).withColumn(
+            "rank_in_host", F.col("host_budget") + F.col("_pre_rank")
+        ).drop("salt", "_pre_rank")
         # survivors: at most salt*budget rows per host enter the final sort
         pending = salted.filter(F.col("_pre_rank") <= F.col("host_budget")).drop(
             "salt", "_pre_rank"
@@ -186,6 +193,8 @@ def schedule_epoch(
         # partition is the whole key, so _pre_rank is the true host rank) —
         # they bypass the hot-survivor window entirely.
         ranked = ranked.unionByName(cold_ranked)
+    if pre_overflow is not None:
+        ranked = ranked.unionByName(pre_overflow)
 
     schedule = (
         ranked.filter(F.col("rank_in_host") <= F.col("host_budget"))
@@ -197,8 +206,6 @@ def schedule_epoch(
     overflow = ranked.filter(F.col("rank_in_host") > F.col("host_budget")).drop(
         "rank_in_host"
     )
-    if pre_overflow is not None:
-        overflow = overflow.unionByName(pre_overflow)
     deferred_next = (
         overflow.withColumn("ready_epoch", F.lit(epoch + 1))
         .withColumn("reason", F.lit("politeness_budget"))

@@ -587,3 +587,212 @@ def search_post_filter(
         )
         .orderBy(F.desc("n_matches"), F.asc(facet_col))
     )
+
+
+def percolate(
+    docs: DataFrame,
+    stored_queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    min_match_col: str | None = "min_match",
+) -> DataFrame:
+    """ES percolator (the reverse of search: match STORED queries against
+    incoming documents — alerts/saved-search notification, the percolate
+    API the reference's ES backend ships with). Each stored query is a
+    term list plus a minimum_should_match count (min_match = len(terms)
+    gives AND semantics, 1 gives OR).
+
+    Relational shape: explode the stored-query terms into a (query_id,
+    term) dim — stored queries are small (thousands of alerts), so the dim
+    BROADCASTS and each incoming doc batch needs one explode + one
+    broadcast join + one (doc, query) count-distinct. At 100 TB the doc
+    side streams through in parallel; nothing shuffles on the doc axis
+    except the per-(doc, query) partial-aggregated count, bounded by
+    matches, not corpus size.
+
+    Returns (query_id, doc_id, n_matched, n_terms) for every (stored
+    query, doc) pair meeting the query's min_match.
+    """
+    qterms = stored_queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("word"),
+    )
+    qmeta = stored_queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.size(F.array_distinct(F.col(terms_col))).alias("n_terms"),
+        (
+            F.col(min_match_col)
+            if min_match_col is not None
+            else F.size(F.array_distinct(F.col(terms_col)))
+        ).alias("_mm"),
+    )
+    dtoks = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
+    )
+    hits = (
+        dtoks.join(F.broadcast(qterms), "word")
+        .groupBy("_qid", "_doc")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        hits.join(F.broadcast(qmeta), "_qid")
+        .filter(F.col("n_matched") >= F.col("_mm"))
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("_doc").alias(id_col),
+            "n_matched",
+            "n_terms",
+        )
+    )
+
+
+def spell_correct(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_edits: int = 2,
+) -> DataFrame:
+    """Noisy-channel spelling correction over the corpus vocabulary
+    (Kernighan, Church & Gale 1990; the "did you mean" layer ES builds on
+    its term dictionary as the ``suggest`` API). Channel model simplified
+    to edit distance (fewer edits = likelier typo), language model = corpus
+    term frequency; the correction for a query term is
+
+        argmin (distance)  then  argmax (corpus frequency)  then  lexical
+
+    over vocabulary words within ``max_edits``. A term found in the
+    vocabulary corrects to itself at distance 0 (the argmin picks it).
+
+    Same 100 TB shape as :func:`search_fuzzy`: vocab is Heaps-law small
+    (broadcast), candidates = vocab × query terms pruned by the length
+    band before the JVM-native levenshtein; one window over the bounded
+    candidate set picks the winner. Returns (term, correction, distance,
+    freq) — terms with NO candidate within budget are absent (caller
+    treats missing as "no suggestion").
+    """
+    from pyspark.sql import Window
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    q = df.sparkSession.createDataFrame(
+        [(t,) for t in query_terms], "term string"
+    )
+    cand = (
+        vocab.crossJoin(F.broadcast(q))
+        .filter(
+            (F.abs(F.length("word") - F.length("term")) <= max_edits)
+            & (F.levenshtein(F.col("word"), F.col("term")) <= max_edits)
+        )
+        .withColumn("distance", F.levenshtein(F.col("word"), F.col("term")))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.asc("distance"), F.desc("freq"), F.asc("word")
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "term",
+            F.col("word").alias("correction"),
+            F.col("distance").cast("int").alias("distance"),
+            "freq",
+        )
+    )
+
+
+def maxscore_prune(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """MaxScore / WAND-style upper-bound pruning audit (Turtle & Flood
+    1995; Broder et al. CIKM 2003): per query term, the maximum BM25
+    contribution any single document gets from that term is the term's
+    upper bound; a candidate whose matched terms' upper bounds sum below
+    the current top-k threshold θ can be skipped without scoring. This
+    operator computes the audit a query planner needs: exact θ (the k-th
+    best full BM25 score), each term's upper bound, and how many matching
+    candidates are provably skippable vs must-score under Σ-UB pruning.
+
+    Output: one row per query term — (term, ub, df_term, theta,
+    n_candidates, n_skippable); theta/n_candidates/n_skippable repeat per
+    row (grain = term, audit fields are query-level). At 100 TB the
+    term UBs come from the same partial-aggregated (doc, term) tf pass
+    BM25 already does; θ is the existing top-k; the skippable count is
+    one more aggregate over the candidate set — no new shuffle axes.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qtf = (
+        toks.filter(F.col("word").isin(*query_tokens))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("word").agg(F.countDistinct("id").alias("df_term"))
+    term_scores = (
+        qtf.join(F.broadcast(dfreq), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_term") + 0.5) / (F.col("df_term") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    ubs = term_scores.groupBy("word").agg(
+        F.max("term_score").alias("ub"), F.min("df_term").alias("df_term")
+    )
+    doc_scores = term_scores.groupBy("id").agg(F.sum("term_score").alias("score"))
+    theta = (
+        doc_scores.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .agg(F.min("score").alias("theta"))
+    )
+    # Σ-UB per candidate: sum of the upper bounds of the terms the doc
+    # actually contains; skippable ⟺ that sum < θ (it cannot make top-k)
+    cand_ub = (
+        qtf.join(F.broadcast(ubs.select("word", "ub")), "word")
+        .groupBy("id")
+        .agg(F.sum("ub").alias("ub_sum"))
+    )
+    audit = cand_ub.crossJoin(F.broadcast(theta)).agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("ub_sum") < F.col("theta"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skippable"),
+        F.first("theta").alias("_theta"),
+    )
+    return (
+        ubs.crossJoin(F.broadcast(audit))
+        .select(
+            F.col("word").alias("term"),
+            F.round(F.col("ub"), 4).alias("ub"),
+            "df_term",
+            F.round(F.col("_theta"), 4).alias("theta"),
+            "n_candidates",
+            "n_skippable",
+        )
+        .orderBy(F.asc("term"))
+    )

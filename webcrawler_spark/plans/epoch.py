@@ -316,6 +316,13 @@ def run_epoch(
         )
         deferred_new = deferred_new.unionByName(bumped)
     schedule = schedule.persist()
+    # deferred_new feeds THREE consumers (the deferred snapshot, the
+    # frontier delta's 'deferred' arm, and — via unions — their counts);
+    # without the persist each consumer re-runs the politeness windows from
+    # the cached pending pool (profiled: the deferred+frontier writes were
+    # ~50% of the all-opt-ins epoch wall). rejected rides the same frontier
+    # arm but is a cheap filter over cached pending — not persisted.
+    deferred_new = deferred_new.persist()
 
     # ---- 4. "fetch" = equi join against the page table (J5 replaces S10 HTTP)
     fetched = schedule.join(pages_prepared, "url_norm", "left").persist()
@@ -660,6 +667,7 @@ def run_epoch(
         counters["soft404_dropped"] = soft404_dropped
     cat.commit_epoch(epoch, counts, counters)
     schedule.unpersist()
+    deferred_new.unpersist()
     fetched.unpersist()
     pending.unpersist()
     new_frontier_rows.unpersist()

@@ -7702,6 +7702,371 @@ FROM diff WHERE n_added > 0 OR n_removed > 0
 """
 
 
+# ES percolator (search.percolate): stored queries matched against incoming
+# docs — the reverse-search alert layer of the reference's ES backend. The
+# stored-query dim broadcasts; matching is one explode + broadcast join +
+# (doc, query) partial-agg count.
+
+
+def q_search_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import search as SE
+
+    docs = _t(spark, sf_dir, "documents")
+    stored = spark.createDataFrame(
+        [
+            ("alert_hash_join", ["hash", "join"], 2),
+            ("alert_streaming", ["spark", "stream", "window"], 2),
+            ("alert_vec_or_scan", ["vector", "scan"], 1),
+            ("alert_cust_order", ["customer", "order", "value"], 3),
+            ("alert_never", ["xylophonequery"], 1),
+        ],
+        "query_id string, terms array<string>, min_match int",
+    )
+    return SE.percolate(docs, stored)
+
+
+SQL_search_percolate = f"""
+WITH sq(query_id, terms, min_match) AS (VALUES
+  ('alert_hash_join', ['hash', 'join'], 2),
+  ('alert_streaming', ['spark', 'stream', 'window'], 2),
+  ('alert_vec_or_scan', ['vector', 'scan'], 1),
+  ('alert_cust_order', ['customer', 'order', 'value'], 3),
+  ('alert_never', ['xylophonequery'], 1)
+),
+qterms AS (SELECT query_id, unnest(list_distinct(terms)) AS word FROM sq),
+qmeta AS (SELECT query_id, CAST(len(list_distinct(terms)) AS INTEGER) AS n_terms,
+                 min_match FROM sq),
+dtoks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '{_TOKEN_RE}'), w -> w != ''))) AS word
+  FROM documents
+),
+hits AS (
+  SELECT query_id, doc_id, count(*) AS n_matched
+  FROM dtoks JOIN qterms USING (word) GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, n_matched, n_terms
+FROM hits JOIN qmeta USING (query_id)
+WHERE n_matched >= min_match
+"""
+
+
+# Noisy-channel spell correction (search.spell_correct, Kernighan et al.
+# 1990 / the ES suggest API): argmin edit distance then argmax corpus
+# frequency over the Heaps-law vocabulary, length-band pruned.
+
+
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import search as SE
+
+    docs = _t(spark, sf_dir, "documents")
+    return SE.spell_correct(
+        docs, ["jion", "haash", "batch", "custmer", "windwo", "zzzzz"]
+    )
+
+
+SQL_spell_correct = f"""
+WITH vocab AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                              w -> w != '')) AS word
+    FROM documents) GROUP BY word
+),
+q(term) AS (VALUES ('jion'), ('haash'), ('batch'), ('custmer'),
+                   ('windwo'), ('zzzzz')),
+cand AS (
+  SELECT term, word, CAST(levenshtein(word, term) AS INTEGER) AS distance, freq
+  FROM vocab CROSS JOIN q
+  WHERE abs(length(word) - length(term)) <= 2 AND levenshtein(word, term) <= 2
+)
+SELECT term, correction, distance, freq FROM (
+  SELECT term, word AS correction, distance, freq,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY distance ASC, freq DESC, word ASC) AS rn
+  FROM cand
+) WHERE rn = 1
+"""
+
+
+# MaxScore/WAND pruning audit (search.maxscore_prune, Turtle & Flood 1995):
+# per-term BM25 upper bounds + exact top-k threshold theta + how many
+# candidates are provably skippable under sum-of-UB pruning.
+
+
+def q_maxscore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import search as SE
+
+    docs = _t(spark, sf_dir, "documents")
+    return SE.maxscore_prune(docs, ["spark", "join", "vector"], k=10)
+
+
+SQL_maxscore_prune = f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                            w -> w != '')) AS word
+  FROM documents
+),
+dl AS (SELECT id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY id),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (
+  SELECT id, word, CAST(count(*) AS DOUBLE) AS tf FROM toks
+  WHERE word IN ('spark', 'join', 'vector') GROUP BY id, word
+),
+dfreq AS (SELECT word, count(DISTINCT id) AS df_term FROM qtf GROUP BY word),
+ts AS (
+  SELECT q.id, q.word, d.df_term,
+         ln(1.0 + (s.n_docs - d.df_term + 0.5)/(d.df_term + 0.5))
+           * (q.tf * (1.2 + 1))
+           / (q.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl)) AS term_score
+  FROM qtf q JOIN dfreq d USING (word) JOIN dl l ON q.id = l.id
+  CROSS JOIN stats s
+),
+ubs AS (SELECT word, max(term_score) AS ub, min(df_term) AS df_term
+        FROM ts GROUP BY word),
+docsc AS (SELECT id, sum(term_score) AS score FROM ts GROUP BY id),
+theta AS (SELECT min(score) AS theta FROM (
+  SELECT score FROM docsc ORDER BY score DESC, id ASC LIMIT 10)),
+cand AS (
+  SELECT q.id, sum(u.ub) AS ub_sum FROM qtf q JOIN ubs u USING (word)
+  GROUP BY q.id
+),
+audit AS (
+  SELECT count(*) AS n_candidates,
+         CAST(sum(CASE WHEN ub_sum < (SELECT theta FROM theta)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_skippable
+  FROM cand
+)
+SELECT word AS term, round(ub, 4) AS ub, df_term,
+       round((SELECT theta FROM theta), 4) AS theta, n_candidates, n_skippable
+FROM ubs CROSS JOIN audit ORDER BY term ASC
+"""
+
+
+# Spam mass (graph.spam_mass, Gyöngyi et al. VLDB 2006): the fraction of a
+# node's PageRank NOT flowing from the trusted core. The oracle unrolls BOTH
+# rank chains (uniform-teleport PageRank + core-teleport TrustRank) and
+# scales the trust side by |core|/N (teleport-linearity, see spam_mass
+# docstring). Suppliers reached mostly through unseeded customers show
+# rel_mass near 1.
+
+
+def q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    seeds = edges.filter(F.col("src") % 20 == 0).select(F.col("src").alias("node"))
+    out = G.spam_mass(edges, seeds, n_iter=3, damping=0.85)
+    return out.select(
+        "node",
+        F.round(F.col("rank_pagerank") * 1000.0, 6).alias("pr_permille"),
+        F.round(F.col("rank_core") * 1000.0, 6).alias("core_permille"),
+        F.round(F.col("rel_mass"), 6).alias("rel_mass"),
+    )
+
+
+SQL_spam_mass = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+p AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0/(SELECT n FROM p) AS rank FROM nodes),
+d0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r1 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85)/(SELECT n FROM p) + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d0)/(SELECT n FROM p)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r0 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r2 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85)/(SELECT n FROM p) + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d1)/(SELECT n FROM p)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r1 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+r3 AS (
+  SELECT nodes.node,
+         (1.0 - 0.85)/(SELECT n FROM p) + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM d2)/(SELECT n FROM p)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN r2 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+seeds AS (SELECT DISTINCT src AS node FROM edges WHERE src % 20 = 0),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM seeds),
+tv AS (
+  SELECT nodes.node,
+         CASE WHEN seeds.node IS NOT NULL THEN 1.0/(SELECT ns FROM s)
+              ELSE 0.0 END AS t
+  FROM nodes LEFT JOIN seeds USING (node)
+),
+t0 AS (SELECT node, t, t AS rank FROM tv),
+e0 AS (SELECT coalesce(sum(rank), 0) AS dm FROM t0 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+t1 AS (
+  SELECT tv.node, tv.t,
+         (1.0 - 0.85) * tv.t + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM e0) * tv.t) AS rank
+  FROM tv LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN t0 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+e1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM t1 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+t2 AS (
+  SELECT tv.node, tv.t,
+         (1.0 - 0.85) * tv.t + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM e1) * tv.t) AS rank
+  FROM tv LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN t1 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+e2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM t2 LEFT JOIN deg ON node = src
+       WHERE outdeg IS NULL),
+t3 AS (
+  SELECT tv.node,
+         (1.0 - 0.85) * tv.t + 0.85 * (coalesce(c.inflow, 0)
+           + (SELECT dm FROM e2) * tv.t) AS rank
+  FROM tv LEFT JOIN (
+    SELECT dst AS node, sum(r.rank/deg.outdeg) AS inflow
+    FROM edges JOIN t2 r ON edges.src = r.node JOIN deg ON deg.src = edges.src
+    GROUP BY dst) c USING (node)
+),
+scale AS (SELECT (SELECT ns FROM s) / (SELECT n FROM p) AS sc)
+SELECT r3.node,
+       round(r3.rank * 1000.0, 6) AS pr_permille,
+       round(t3.rank * (SELECT sc FROM scale) * 1000.0, 6) AS core_permille,
+       round(CASE WHEN r3.rank > 0
+                  THEN (r3.rank - t3.rank * (SELECT sc FROM scale)) / r3.rank
+             END, 6) AS rel_mass
+FROM r3 JOIN t3 USING (node)
+"""
+
+
+# SALSA (graph.salsa, Lempel & Moran WWW 2000): degree-normalized random
+# walk — both score vectors are probability distributions, no normalization
+# scalar. Over the customer->supplier bipartite graph customers are pure
+# hubs, suppliers pure authorities. 2 rounds unrolled.
+
+
+def q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    out = G.salsa(edges, n_iter=2)
+    return out.select(
+        "node",
+        F.round(F.col("hub") * 1000.0, 6).alias("hub_permille"),
+        F.round(F.col("authority") * 1000.0, 6).alias("auth_permille"),
+    )
+
+
+SQL_salsa_scores = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+ind AS (SELECT dst AS node, CAST(count(*) AS DOUBLE) AS indeg
+        FROM edges GROUP BY dst),
+outd AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS outdeg
+         FROM edges GROUP BY src),
+na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ind),
+a0 AS (SELECT node, 1.0/(SELECT n FROM na) AS authority, indeg FROM ind),
+h1 AS (
+  SELECT e.src AS node, sum(a.authority/a.indeg) AS hub
+  FROM edges e JOIN a0 a ON e.dst = a.node GROUP BY e.src
+),
+h1d AS (SELECT h1.node, hub, outdeg FROM h1 JOIN outd USING (node)),
+a1 AS (
+  SELECT e.dst AS node, sum(h.hub/h.outdeg) AS authority
+  FROM edges e JOIN h1d h ON e.src = h.node GROUP BY e.dst
+),
+a1d AS (SELECT a1.node, authority, indeg FROM a1 JOIN ind USING (node)),
+h2 AS (
+  SELECT e.src AS node, sum(a.authority/a.indeg) AS hub
+  FROM edges e JOIN a1d a ON e.dst = a.node GROUP BY e.src
+),
+h2d AS (SELECT h2.node, hub, outdeg FROM h2 JOIN outd USING (node)),
+a2 AS (
+  SELECT e.dst AS node, sum(h.hub/h.outdeg) AS authority
+  FROM edges e JOIN h2d h ON e.src = h.node GROUP BY e.dst
+)
+SELECT nodes.node,
+       round(coalesce(h2.hub, 0) * 1000.0, 6) AS hub_permille,
+       round(coalesce(a2.authority, 0) * 1000.0, 6) AS auth_permille
+FROM nodes LEFT JOIN h2 ON nodes.node = h2.node
+           LEFT JOIN a2 ON nodes.node = a2.node
+"""
+
+
+# In-degree power-law MLE (graph.degree_powerlaw, Clauset-Shalizi-Newman
+# 2009 eq. 3.7 discrete approximation): one-row drift gauge — web in-degree
+# exponents sit near 2.1 (Broder et al. 2000); a far drift flags link farms
+# or mesh traps.
+
+
+def q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    edges = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    return G.degree_powerlaw(edges, d_min=2)
+
+
+SQL_degree_powerlaw = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+ind AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+SELECT count(*) AS n_nodes_in,
+       CAST(sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       max(d) AS max_indeg,
+       round(1.0 + sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END)
+                   / sum(CASE WHEN d >= 2 THEN ln(d / 1.5) END), 6) AS alpha
+FROM ind
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -7760,6 +8125,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "trustrank": q_trustrank,
     "opic": q_opic,
+    "spam_mass": q_spam_mass,
+    "salsa_scores": q_salsa_scores,
+    "degree_powerlaw": q_degree_powerlaw,
+    "search_percolate": q_search_percolate,
+    "spell_correct": q_spell_correct,
+    "maxscore_prune": q_maxscore_prune,
     "surt_prefix_scan": q_surt_prefix_scan,
     "cdx_index": q_cdx_index,
     "registrable_domains": q_registrable_domains,
@@ -8042,4 +8413,10 @@ ORACLE_SQL: dict[str, str] = {
     "aged_priority_drain": SQL_aged_priority_drain,
     "term_pmi": SQL_term_pmi,
     "robots_policy_drift": SQL_robots_policy_drift,
+    "spam_mass": SQL_spam_mass,
+    "salsa_scores": SQL_salsa_scores,
+    "degree_powerlaw": SQL_degree_powerlaw,
+    "search_percolate": SQL_search_percolate,
+    "spell_correct": SQL_spell_correct,
+    "maxscore_prune": SQL_maxscore_prune,
 }
