@@ -8067,6 +8067,199 @@ FROM ind
 """
 
 
+# Canonical link element (operators/canonical.py): page-declared duplicate
+# collapse. Fixture exercises every extraction form (attr order, three quote
+# styles, rel token lists), every href form (absolute / scheme-relative /
+# root-relative / path-relative), 2-hop chains, and 2-cycle loops. The
+# DuckDB oracle INDEPENDENTLY re-extracts with RE2 regexps, re-resolves the
+# relative forms with string CASEs, and re-collapses chains with explicit
+# edge self-joins + loop checks (exact for the fixture's <=2-hop chains; the
+# operator's pointer-doubling handles arbitrary depth, pinned by pytest).
+
+
+def _canonical_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def _u(k):
+        return F.concat(
+            F.lit("https://h"),
+            (k % 7).cast("string"),
+            F.lit(".ex.com/a/u"),
+            k.cast("string"),
+        )
+
+    m = i % 8
+    html = (
+        F.when(m == 0, F.lit("<p>plain</p>"))
+        .when(m == 1, F.concat(F.lit('<link rel="canonical" href="'), _u(i), F.lit('">')))
+        .when(m == 2, F.concat(F.lit('<link href="'), _u(i - 1), F.lit('" rel="canonical">')))
+        .when(m == 3, F.concat(F.lit("<link rel='canonical' href='"), _u(i - 1), F.lit("'>")))
+        .when(m == 4, F.concat(F.lit('<link rel="alternate canonical" href="/a/u'), (i + 1).cast("string"), F.lit('">')))
+        .when(m == 5, F.concat(F.lit("<link rel=canonical href=//cdn.ex.com/u"), i.cast("string"), F.lit(">")))
+        .when(m == 6, F.concat(F.lit('<link rel="canonical" href="u'), (i + 2).cast("string"), F.lit('x">')))
+        .otherwise(
+            F.concat(
+                F.lit('<link rel="canonical" href="'),
+                F.when((i / 8).cast("long") % 2 == 0, _u(i + 8)).otherwise(_u(i - 8)),
+                F.lit('">'),
+            )
+        )
+    )
+    return docs.select(_u(i).alias("url"), html.alias("html"))
+
+
+def q_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import canonical as CN
+
+    pages = _canonical_fixture(spark, sf_dir)
+    return CN.collapse_alternates(CN.canonical_map(pages)).orderBy("canonical_url")
+
+
+SQL_canonical_collapse = r"""
+WITH pages AS (
+  SELECT 'https://h' || (doc_id % 7) || '.ex.com/a/u' || doc_id AS url,
+         CASE doc_id % 8
+           WHEN 0 THEN '<p>plain</p>'
+           WHEN 1 THEN '<link rel="canonical" href="https://h' || (doc_id % 7) || '.ex.com/a/u' || doc_id || '">'
+           WHEN 2 THEN '<link href="https://h' || ((doc_id-1) % 7) || '.ex.com/a/u' || (doc_id-1) || '" rel="canonical">'
+           WHEN 3 THEN '<link rel=''canonical'' href=''https://h' || ((doc_id-1) % 7) || '.ex.com/a/u' || (doc_id-1) || '''>'
+           WHEN 4 THEN '<link rel="alternate canonical" href="/a/u' || (doc_id+1) || '">'
+           WHEN 5 THEN '<link rel=canonical href=//cdn.ex.com/u' || doc_id || '>'
+           WHEN 6 THEN '<link rel="canonical" href="u' || (doc_id+2) || 'x">'
+           ELSE '<link rel="canonical" href="https://h' ||
+                (CASE WHEN (doc_id // 8) % 2 = 0 THEN (doc_id+8) % 7 ELSE (doc_id-8) % 7 END) ||
+                '.ex.com/a/u' ||
+                (CASE WHEN (doc_id // 8) % 2 = 0 THEN doc_id+8 ELSE doc_id-8 END) || '">'
+         END AS html
+  FROM documents
+),
+ext AS (
+  SELECT url, html,
+         regexp_extract(html,
+           '(?is)<link\b[^>]*\brel\s*=\s*(?:"[^">]*\bcanonical\b[^">]*"[^>]*|''[^''>]*\bcanonical\b[^''>]*''[^>]*|canonical\b[^>]*?)>',
+           0) AS tag
+  FROM pages
+),
+hrefed AS (
+  SELECT url,
+         NULLIF(TRIM(COALESCE(
+           NULLIF(regexp_extract(tag, '(?is)\bhref\s*=\s*"([^">]*)"', 1), ''),
+           NULLIF(regexp_extract(tag, '(?is)\bhref\s*=\s*''([^''>]*)''', 1), ''),
+           NULLIF(regexp_extract(tag, '(?is)\bhref\s*=\s*([^\s"''>]+)', 1), '')
+         )), '') AS href
+  FROM ext
+),
+resolved AS (
+  SELECT url,
+         CASE WHEN href IS NULL THEN NULL
+              WHEN regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.\-]*://') THEN href
+              WHEN href LIKE '//%' THEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*):', 1) || ':' || href
+              WHEN href LIKE '/%' THEN regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*://[^/]*)', 1) || href
+              ELSE regexp_extract(url, '^(.*/)', 1) || href
+         END AS decl
+  FROM hrefed
+),
+edges AS (SELECT url, decl AS canon FROM resolved WHERE decl IS NOT NULL AND decl <> url),
+mapped AS (
+  SELECT p.url,
+         CASE WHEN p.decl IS NULL THEN 'none'
+              WHEN p.decl = p.url THEN 'self'
+              WHEN e1.canon IS NULL THEN 'moved'
+              WHEN e1.canon = p.url THEN 'loop'
+              ELSE 'moved' END AS kind,
+         CASE WHEN p.decl IS NULL OR p.decl = p.url THEN p.url
+              WHEN e1.canon IS NULL THEN p.decl
+              WHEN e1.canon = p.url THEN p.url
+              ELSE e1.canon END AS canonical_final
+  FROM resolved p LEFT JOIN edges e1 ON e1.url = p.decl
+)
+SELECT canonical_final AS canonical_url,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(CASE WHEN kind = 'moved' THEN 1 ELSE 0 END) AS BIGINT) AS n_alternates,
+       bool_or(kind = 'loop') AS has_loop
+FROM mapped GROUP BY canonical_final ORDER BY canonical_url
+"""
+
+
+def q_hreflang_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import canonical as CN
+
+    docs = _t(spark, sf_dir, "documents")
+    g = (F.col("doc_id") / 3).cast("long")
+    lang = F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")), (F.col("doc_id") % 3 + 1).cast("int"))
+    site = F.concat(F.lit("https://s"), g.cast("string"), F.lit(".ex.com/"))
+    alts = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="'), site, F.lit('en">'),
+        F.lit('<link rel="alternate" hreflang="DE" href="'), site, F.lit('de">'),
+        F.lit('<link rel="alternate" hreflang="fr" href="'), site, F.lit('fr">'),
+        F.when(g % 2 == 0, F.concat(F.lit('<link rel="alternate" hreflang="x-default" href="'), site, F.lit('">'))).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        F.concat(site, lang).alias("url"),
+        F.concat(F.lit("<html><head>"), alts, F.lit("</head></html>")).alias("html"),
+    )
+    return CN.hreflang_clusters(pages).orderBy("cluster_key")
+
+
+SQL_hreflang_clusters = """
+WITH member AS (
+  SELECT doc_id // 3 AS g,
+         'https://s' || (doc_id // 3) || '.ex.com/' ||
+           CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS url
+  FROM documents
+),
+clus AS (
+  SELECT g,
+         CASE WHEN g % 2 = 0 THEN 'https://s' || g || '.ex.com/'
+              ELSE 'https://s' || g || '.ex.com/de' END AS cluster_key,
+         CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+         CAST(CASE WHEN g % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n_langs,
+         CASE WHEN g % 2 = 0 THEN 'de,en,fr,x-default' ELSE 'de,en,fr' END AS langs
+  FROM member GROUP BY g
+)
+SELECT cluster_key, n_pages, n_langs, langs FROM clus ORDER BY cluster_key
+"""
+
+
+def q_feed_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import canonical as CN
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (i % 9).cast("string"), F.lit(".ex.com/b/p"), i.cast("string"))
+    m = i % 5
+    rss = F.lit('<link rel="alternate" type="application/rss+xml" href="/feed.xml">')
+    atom = F.lit('<link href="atom.xml" type="application/atom+xml" rel="alternate">')
+    html = (
+        F.when(m == 0, rss)
+        .when(m == 1, atom)
+        .when(m == 2, F.concat(rss, atom))
+        .when(m == 3, F.lit('<link rel="alternate" type="text/html" href="/notafeed">'))
+        .otherwise(F.lit("<p>no links</p>"))
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return CN.feed_links(pages).orderBy("url", "feed_url")
+
+
+SQL_feed_discovery = """
+WITH pages AS (
+  SELECT doc_id, doc_id % 5 AS m,
+         'https://h' || (doc_id % 9) || '.ex.com/b/p' || doc_id AS url,
+         'https://h' || (doc_id % 9) || '.ex.com' AS origin,
+         'https://h' || (doc_id % 9) || '.ex.com/b/' AS dir
+  FROM documents
+),
+feeds AS (
+  SELECT url, origin || '/feed.xml' AS feed_url, 'rss' AS feed_kind
+  FROM pages WHERE m IN (0, 2)
+  UNION ALL
+  SELECT url, dir || 'atom.xml', 'atom' FROM pages WHERE m IN (1, 2)
+)
+SELECT url, feed_url, feed_kind FROM feeds ORDER BY url, feed_url
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -8128,6 +8321,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spam_mass": q_spam_mass,
     "salsa_scores": q_salsa_scores,
     "degree_powerlaw": q_degree_powerlaw,
+    "canonical_collapse": q_canonical_collapse,
+    "hreflang_clusters": q_hreflang_clusters,
+    "feed_discovery": q_feed_discovery,
     "search_percolate": q_search_percolate,
     "spell_correct": q_spell_correct,
     "maxscore_prune": q_maxscore_prune,
@@ -8416,6 +8612,9 @@ ORACLE_SQL: dict[str, str] = {
     "spam_mass": SQL_spam_mass,
     "salsa_scores": SQL_salsa_scores,
     "degree_powerlaw": SQL_degree_powerlaw,
+    "canonical_collapse": SQL_canonical_collapse,
+    "hreflang_clusters": SQL_hreflang_clusters,
+    "feed_discovery": SQL_feed_discovery,
     "search_percolate": SQL_search_percolate,
     "spell_correct": SQL_spell_correct,
     "maxscore_prune": SQL_maxscore_prune,
