@@ -556,6 +556,7 @@ def main() -> None:
             use_bloom=True, cluster_by_surt=True, strip_tracking=True,
             detect_traps=True, global_budget=100_000, use_host_rank=True,
             scrub_pii=True, compact_every=2, respect_meta_robots=True,
+            respect_canonical=True,
             politeness_by_registrable=True, build_index=True,
             recrawl=True, adaptive_salt=True,
             mine_dust=True, detect_soft404=True,

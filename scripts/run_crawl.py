@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--mine-dust", action="store_true",
                     help="learn content-irrelevant URL params from fetch "
                          "evidence and strip them from later candidates")
+    ap.add_argument("--respect-canonical", action="store_true",
+                    help="honor <link rel=canonical>: suppress non-self-"
+                         "canonical pages from the index and crawl the "
+                         "declared targets")
     ap.add_argument("--verify-extraction", action="store_true",
                     help="assert extract_text(html) == text per fetched row")
     ap.add_argument("--synthetic", type=int, metavar="N_PAGES",
@@ -101,6 +105,7 @@ def main() -> None:
         adaptive_salt=args.adaptive_salt,
         mine_dust=args.mine_dust,
         detect_soft404=args.detect_soft404,
+        respect_canonical=args.respect_canonical,
     )
     cat = Catalog(spark, args.catalog)
     counters = E.run_epochs(

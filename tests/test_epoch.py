@@ -555,6 +555,7 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         scrub_pii=True,
         compact_every=2,
         respect_meta_robots=True,
+        respect_canonical=True,
         politeness_by_registrable=True,
         build_index=True,
         recrawl=True,
@@ -640,6 +641,92 @@ def test_respect_meta_robots_gates_index_and_links(spark, tmp_path_factory):
     assert {"from-a", "from-c"} <= paths(tgt_on)
     assert "from-b" not in paths(tgt_on)
     assert "from-d" not in paths(tgt_on)
+
+
+def test_respect_canonical_gates_index_and_discovers_target(spark, tmp_path_factory):
+    """cfg.respect_canonical: a page declaring a canonical target other than
+    itself fetches and its links are followed, but it never reaches
+    web_content, and the declared target enters link discovery even when no
+    <a> points at it. Self-canonical pages stay indexed even when the
+    declared href is the pre-normalization form (http://, www., tracking
+    params). Off (default) = reference parity: every page indexes and
+    canonical targets are not discovered."""
+    from webcrawler_spark.functions.htmllib import extract_text
+
+    def page(path, canon, link):
+        head = f'<title>{path}</title>'
+        if canon:
+            head += f'<link rel="canonical" href="{canon}">'
+        body = (
+            f'<a href="http://cn.test/{link}">next</a>'
+            f'<p>{f"unique words for page {path} " * 40}</p>'
+        )
+        html = f"<html><head>{head}</head><body>{body}</body></html>"
+        return (f"http://cn.test/{path}", None, html.encode(), extract_text(html), "en")
+
+    pages = spark.createDataFrame(
+        [
+            page("a", None, "from-a"),
+            # alias of a: absolute already-normalized form
+            page("b", "https://cn.test/a", "from-b"),
+            # self-canonical declared in pre-normalization form
+            page("c", "http://www.cn.test/c?utm_source=x", "from-c"),
+            # alias via root-relative href; target has no <a> pointing at it
+            page("d", "/canon-d", "from-d"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [(f"http://cn.test/{p}", 10, 0) for p in "abcd"],
+        "url string, priority int, depth int",
+    )
+    robots = spark.createDataFrame(
+        [("cn.test", [], [], 1.0)],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double",
+    )
+
+    def paths(urls):
+        return {u.rsplit("/", 1)[-1] for u in urls}
+
+    out = {}
+    for flag in (False, True):
+        root = tmp_path_factory.mktemp(f"cn_{flag}")
+        cat = Catalog(spark, str(root))
+        E.run_epochs(
+            spark, cat, pages, seeds, robots, 2,
+            CrawlConfig(epoch_seconds=60, respect_canonical=flag),
+        )
+        indexed = {
+            r["url_norm"] for r in cat.read_delta_union("web_content", 1).collect()
+        }
+        links = cat.read_delta_union("links", 1)
+        rows = links.collect() if links is not None else []
+        out[flag] = (indexed, rows, cat)
+
+    idx_off, rows_off, cat_off = out[False]
+    idx_on, rows_on, cat_on = out[True]
+    # flag off = reference parity: all four pages index; the canonical link
+    # rows sit in the links table (link_type='canonical') but never reach
+    # the frontier
+    assert paths(idx_off) == set("abcd")
+    assert "canonical" in {r["link_type"] for r in rows_off}
+    f_off = cat_off.read_merged("frontier", 1)
+    assert f_off.filter(F.col("url_norm").contains("canon-d")).count() == 0
+    # flag on: aliases b and d drop from the index; a and c (self) stay —
+    # c declared its pre-normalization form (http://www., utm param)
+    assert paths(idx_on) == {"a", "c"}
+    tgt_on = {r["target_url"] for r in rows_on}
+    # alias pages still contribute their <a> links...
+    assert {f"from-{p}" for p in "abcd"} <= paths(tgt_on)
+    # ...and their declared canonical targets were extracted for discovery
+    canon_on = {
+        r["target_url"] for r in rows_on if r["link_type"] == "canonical"
+    }
+    assert any("canon-d" in t for t in canon_on)
+    # the declared target entered the next epoch's frontier as a candidate
+    f_on = cat_on.read_merged("frontier", 1)
+    assert f_on.filter(F.col("url_norm").contains("canon-d")).count() == 1
 
 
 def test_build_index_maintains_postings(spark, pages_df, seeds_df, robots_df, tmp_path_factory):

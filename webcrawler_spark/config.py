@@ -72,6 +72,20 @@ class CrawlConfig:
     # but never gates on it, services/parser/app.py:142).
     respect_meta_robots: bool = False
 
+    # canonical link element (<link rel="canonical">, operators/canonical.py):
+    # a page declaring a canonical target other than itself is fetched and
+    # its links followed, but it is NOT indexed into web_content (the site
+    # says this body is a duplicate; the declared href is normalized before
+    # the self-compare so declaring the pre-normalization URL still counts
+    # as self). The parser-extracted link_type='canonical' rows
+    # (htmllib.extract_links) become frontier candidates, so the declared
+    # target is crawled even when no <a> points at it; chains collapse
+    # across epochs as targets are fetched and declare in turn. Off =
+    # reference parity (the reference stores canonical link rows but never
+    # gates indexing on them nor feeds them to the frontier,
+    # services/parser/app.py:122-166, :628-647).
+    respect_canonical: bool = False
+
     # global per-epoch fetch budget (fleet capacity) applied AFTER the
     # per-host politeness schedule: the top `global_budget` schedule rows by
     # (priority [+ host-rank boost] desc, url_norm asc) are kept — exact

@@ -45,9 +45,19 @@ def discovered_candidates(
     links: DataFrame, cfg: CrawlConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Links -> next-epoch frontier candidates (parser/app.py:628-647):
-    internal/external only, fixed discovered priority, depth+1 carried."""
+    internal/external only, fixed discovered priority, depth+1 carried.
+
+    With cfg.respect_canonical the parser-extracted rel=canonical rows
+    (link_type='canonical', htmllib.extract_links) are candidates too:
+    CMSes point aliases at targets no <a> links to, so honoring the tag
+    means crawling the declared target. Off = reference parity (the
+    reference stores canonical rows but never feeds them to the frontier,
+    parser/app.py:628-647)."""
+    types = ["internal", "external"]
+    if cfg.respect_canonical:
+        types.append("canonical")
     return (
-        links.filter(F.col("link_type").isin("internal", "external"))
+        links.filter(F.col("link_type").isin(types))
         .select(
             F.col("target_url").alias("url"),
             F.col("source_url"),

@@ -37,6 +37,22 @@ _CAND_SCHEMA = StructType(
 )
 
 
+def _canonical_norm(url):
+    """Normalize a declared canonical href with the native fast path when it
+    is provably byte-identical to the full normalizer (urlnorm_native.
+    is_simple_url); otherwise keep the raw resolved href — the candidate
+    ingest runs every discovered URL through the full normalizer anyway, so
+    this column only has to be right where it is compared against url_norm
+    (the self-canonical index gate) and where it seeds link discovery.
+    Pure codegen, no UDF."""
+    from ..functions.urlnorm_native import canonicalize_native, is_simple_url
+
+    return F.coalesce(
+        F.when(is_simple_url(url), canonicalize_native(url)["url_norm"]),
+        url,
+    )
+
+
 def _empty_seen(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [],
@@ -412,6 +428,20 @@ def run_epoch(
         # nofollow) but they never reach the index append
         indexed = indexed.filter(
             ~C.meta_robots_noindex(F.col("html").cast("string"))
+        )
+    if cfg.respect_canonical:
+        # a page that declares a canonical target other than itself is a
+        # site-declared duplicate: fetched, links followed, never indexed.
+        # The declared href is normalized before the self-compare so a page
+        # declaring its own pre-normalization URL (http://, www., tracking
+        # params) is still recognized as self-canonical.
+        from ..operators import canonical as CN
+
+        _decl = CN.declared_canonical(
+            F.col("url_norm"), F.col("html").cast("string")
+        )
+        indexed = indexed.filter(
+            _decl.isNull() | (_canonical_norm(_decl) == F.col("url_norm"))
         )
     # per-doc top-20 keywords (F16; parser/app.py:426-442 feeding
     # indexer/app.py:268-298, reference truncation [:20]). groupBy
