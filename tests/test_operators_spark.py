@@ -1626,3 +1626,97 @@ def test_maxscore_skippable_never_includes_topk(spark):
     # theta equals the 5th-best exact BM25 score (rounded alike)
     fifth = min(r["score"] for r in topk.collect())
     assert abs(r0["theta"] - fifth) < 1e-3
+
+
+def test_regex_url_filter_first_match_wins_and_default(spark):
+    from webcrawler_spark.operators.scheduler import regex_url_filter
+
+    rules = [
+        (0, "-", r"\.jpg$"),
+        (1, "+", r"^https://ok\.com/"),
+        (2, "-", r"."),
+    ]
+    urls = spark.createDataFrame(
+        [
+            ("https://ok.com/a",),          # rule 1 +
+            ("https://ok.com/pic.jpg",),    # rules 0,1 match; 0 wins -> -
+            ("https://other.com/x",),       # catch-all 2 -> -
+            ("mailto:x@y",),                # catch-all 2 -> -
+        ],
+        ["url"],
+    )
+    got = {r["url"]: (r["rule_order"], r["kept"]) for r in
+           regex_url_filter(urls, rules).collect()}
+    assert got["https://ok.com/a"] == (1, True)
+    assert got["https://ok.com/pic.jpg"] == (0, False)
+    assert got["https://other.com/x"] == (2, False)
+    # no catch-all: unmatched URL falls to default_allow
+    got2 = {r["url"]: (r["rule_order"], r["kept"]) for r in
+            regex_url_filter(urls, rules[:2], default_allow=True).collect()}
+    assert got2["mailto:x@y"] == (None, True)
+    got3 = {r["url"]: r["kept"] for r in
+            regex_url_filter(urls, rules[:2]).collect()}
+    assert got3["mailto:x@y"] is False  # Nutch default: exclude
+
+
+def test_rare_terms_shingles_and_short_docs(spark):
+    from webcrawler_spark.operators.search import rare_terms
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "alpha beta gamma"),
+            ("d2", "alpha beta delta"),
+            ("d3", "alpha"),        # shorter than the shingle -> no terms
+            ("d4", ""),             # empty doc
+        ],
+        ["doc_id", "text"],
+    )
+    uni = {r["term"]: r["doc_count"] for r in rare_terms(docs, max_doc_count=1).collect()}
+    assert uni == {"gamma": 1, "delta": 1}
+    bi = {r["term"]: r["doc_count"] for r in
+          rare_terms(docs, max_doc_count=2, shingles=2).collect()}
+    # 'alpha beta' appears in 2 docs; trailing bigrams once each
+    assert bi == {"alpha beta": 2, "beta gamma": 1, "beta delta": 1}
+    # repeated shingle inside one doc counts that doc once
+    docs2 = spark.createDataFrame([("d1", "x y x y")], ["doc_id", "text"])
+    bi2 = {r["term"]: r["doc_count"] for r in
+           rare_terms(docs2, max_doc_count=5, shingles=2).collect()}
+    assert bi2 == {"x y": 1, "y x": 1}
+
+
+def test_composite_after_pagination_walks_all_buckets(spark):
+    from webcrawler_spark.operators.search import composite_after
+
+    rows = [(f"s{i % 4}", f"l{i % 3}", float(i)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["source", "lang", "n_chars"])
+    # walk pages of 5 until exhausted; union must equal the full bucket set
+    pages, after = [], None
+    while True:
+        page = composite_after(df, ["source", "lang"], "n_chars",
+                               after=after, size=5).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["source"], page[-1]["lang"])
+    full = composite_after(df, ["source", "lang"], "n_chars", size=1000).collect()
+    assert [(r["source"], r["lang"]) for r in pages] == \
+           [(r["source"], r["lang"]) for r in full]
+    assert len(full) == 12 and len(pages) == 12
+    assert all(abs(p["value_sum"] - f["value_sum"]) < 1e-9
+               for p, f in zip(pages, full))
+
+
+def test_pipeline_aggs_first_bucket_nulls(spark):
+    from webcrawler_spark.operators.search import pipeline_aggs
+
+    df = spark.createDataFrame(
+        [("2024-01-0%d 10:00:00" % d, 1.0 + d) for d in range(1, 5)],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = pipeline_aggs(df, "ts", "value", window=2)
+    rows = sorted(out.collect(), key=lambda r: r["bucket_start"])
+    assert rows[0]["derivative"] is None and rows[0]["moving_avg"] is None
+    assert rows[1]["derivative"] == 1.0
+    # ES moving_fn default window excludes the current bucket
+    assert rows[2]["moving_avg"] == pytest.approx((200 + 300) / 2 / 100)
+    assert rows[3]["cumulative_sum"] == pytest.approx(2.0 + 3.0 + 4.0 + 5.0)

@@ -543,3 +543,46 @@ def politeness_audit(
         )
         .withColumn("compliant", F.col("violations") == 0)
     )
+
+
+def regex_url_filter(
+    urls: DataFrame,
+    rules: list[tuple[int, str, str]],
+    url_col: str = "url",
+    default_allow: bool = False,
+) -> DataFrame:
+    """Nutch-style ordered regex URL filter (the `regex-urlfilter.txt`
+    contract, first-match-wins): `rules` is an ordered list of
+    (rule_order, action, pattern) with action '+' (include) or '-'
+    (exclude); a URL is decided by the LOWEST-order rule whose pattern
+    matches anywhere in it; URLs matching no rule fall to `default_allow`
+    (Nutch default: exclude). The reference hardcodes its extension/scheme/
+    domain gates (url-scheduler/app.py:... P1-P4); this is the
+    operator-configurable generalization crawl ops actually deploy.
+
+    Returns (url_col, rule_order, action, kept). Shape: the rule list is a
+    tiny BROADCAST dim crossed against the URLs — per row, `len(rules)`
+    native rlike probes and a min-order aggregation, all whole-stage
+    codegen; no shuffle beyond the partial-agg on the URL itself (and none
+    at all when url_col is unique: groupBy(url) after an explode of
+    matches partial-aggregates map-side). Patterns must stay in the
+    Java/RE2 common subset (no backrefs/lookaheads) — that keeps the gate
+    portable across engines, which is also what the DuckDB oracle checks.
+    """
+    spark = urls.sparkSession
+    dim = spark.createDataFrame(
+        [(int(o), a, p) for o, a, p in rules],
+        "rule_order int, action string, pattern string",
+    )
+    matched = (
+        urls.select(F.col(url_col))
+        .join(F.broadcast(dim), F.expr(f"rlike({url_col}, pattern)"), "left")
+        .groupBy(url_col)
+        .agg(F.min_by(F.struct("rule_order", "action"), "rule_order").alias("m"))
+    )
+    return matched.select(
+        url_col,
+        F.col("m.rule_order").alias("rule_order"),
+        F.col("m.action").alias("action"),
+        F.coalesce(F.col("m.action") == "+", F.lit(default_allow)).alias("kept"),
+    )

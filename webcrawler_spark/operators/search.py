@@ -796,3 +796,137 @@ def maxscore_prune(
         )
         .orderBy(F.asc("term"))
     )
+
+
+def pipeline_aggs(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "day",
+    window: int = 7,
+) -> DataFrame:
+    """ES pipeline aggregations over a `date_histogram` parent: per calendar
+    bucket — doc_count, value sum, `cumulative_sum`, `derivative` (delta vs
+    the previous bucket; NULL on the first, ES semantics), and `moving_fn`
+    unweighted average over the previous `window` buckets EXCLUDING the
+    current one (the ES default window `(i-window, i-1]` with shift=0;
+    NULL when no prior bucket exists).
+
+    The value metric sums round(value*100) as an integer so every derived
+    series is order-independent and exact; sums convert back to double at
+    the end. Shape: one partial-aggregated shuffle to the calendar buckets,
+    then window functions over the BUCKET rows only — bucket cardinality is
+    bounded by the calendar (days in the corpus), so the unpartitioned
+    ordered window is a few-thousand-row frame at any data scale.
+    """
+    from pyspark.sql import Window
+
+    buckets = (
+        df.select(
+            F.date_trunc(interval, F.col(ts_col)).alias("bucket_start"),
+            F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("cents").alias("c"))
+    )
+    w = Window.orderBy("bucket_start")
+    mv = w.rowsBetween(-window, -1)
+    to_d = lambda c: (c.cast("double") / F.lit(100.0))  # noqa: E731
+    return buckets.select(
+        "bucket_start",
+        "doc_count",
+        F.round(to_d(F.col("c")), 2).alias("value_sum"),
+        F.round(to_d(F.sum("c").over(w)), 2).alias("cumulative_sum"),
+        F.round(to_d(F.col("c") - F.lag("c", 1).over(w)), 2).alias("derivative"),
+        F.round(to_d(F.avg(F.col("c").cast("double")).over(mv)), 6).alias(
+            "moving_avg"
+        ),
+    )
+
+
+def composite_after(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    after: tuple | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """ES `composite` aggregation with `after`-key pagination: buckets keyed
+    by the `keys` tuple in ascending key order, page of `size` buckets
+    strictly after the `after` key (None = first page). Per bucket:
+    doc_count and an exact integer-cents value sum.
+
+    Shape: one grouped shuffle on the key tuple, a tuple-compare filter
+    (struct comparison, whole-stage codegen), and orderBy+limit — Spark
+    plans that as TakeOrderedAndProject (per-partition top-k, no global
+    sort), which is exactly the cursor-pagination shape that lets a client
+    walk 10^9 buckets in bounded pages.
+    """
+    buckets = (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("c"),
+        )
+    )
+    if after is not None:
+        cur = F.struct(*[F.col(k) for k in keys])
+        aft = F.struct(*[F.lit(v) for v in after])
+        buckets = buckets.filter(cur > aft)
+    return (
+        buckets.select(
+            *keys,
+            "doc_count",
+            (F.col("c").cast("double") / F.lit(100.0)).alias("value_sum"),
+        )
+        .orderBy(*[F.asc(k) for k in keys])
+        .limit(size)
+    )
+
+
+def rare_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_count: int = 2,
+    shingles: int = 1,
+) -> DataFrame:
+    """ES `rare_terms` aggregation: terms appearing in at most
+    `max_doc_count` documents, i.e. the long tail the `terms` agg's
+    size-limited most-common ordering can never return. Ordered doc_count
+    asc, term asc (the ES ordering). `shingles` > 1 runs it over
+    word-n-gram terms (the ES shingle-analyzer pairing, where rare_terms
+    is typically deployed — unigram vocabularies saturate, shingle
+    vocabularies keep a tail).
+
+    Shape: explode distinct per-doc terms -> one partial-aggregated
+    count shuffle -> filter. ES approximates this with a CuckooFilter to
+    bound memory on one node; on Spark the exact computation is just a
+    hash aggregation that scales horizontally, so no sketch is needed
+    (the false-positive semantics of the ES implementation are a
+    single-node memory workaround, not part of the contract).
+    """
+    toks = tokens(F.col(text_col))
+    if shingles > 1:
+        n = F.size(toks) - (shingles - 1)
+        parts = [F.slice(toks, 1 + i, n) for i in range(shingles)]
+        terms = F.when(n >= 1, _zip_concat(parts)).otherwise(
+            F.array().cast("array<string>")
+        )
+    else:
+        terms = toks
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(terms)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .filter(F.col("doc_count") <= max_doc_count)
+        .orderBy(F.asc("doc_count"), F.asc("term"))
+    )
+
+
+def _zip_concat(parts: list[Column]) -> Column:
+    """Element-wise space-join of equal-length string arrays (codegen)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return out

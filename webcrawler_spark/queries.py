@@ -8260,6 +8260,156 @@ SELECT url, feed_url, feed_kind FROM feeds ORDER BY url, feed_url
 """
 
 
+# ES pipeline aggregations (cumulative_sum / derivative / moving_fn) over a
+# date_histogram parent — indexer/app.py's aggregation surface extended to
+# the pipeline-agg family (computed bucket series, not new buckets)
+
+
+def q_events_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.pipeline_aggs(events, "ts", "value", interval="day", window=7)
+
+
+SQL_events_pipeline_aggs = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         count(*) AS doc_count,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1
+)
+SELECT bucket_start, doc_count,
+       round(c / 100.0, 2) AS value_sum,
+       round(sum(c) OVER (ORDER BY bucket_start) / 100.0, 2)
+         AS cumulative_sum,
+       round((c - lag(c, 1) OVER (ORDER BY bucket_start)) / 100.0, 2)
+         AS derivative,
+       round(avg(CAST(c AS DOUBLE)) OVER (ORDER BY bucket_start
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) / 100.0, 6)
+         AS moving_avg
+FROM b
+"""
+
+
+# ES composite aggregation with after-key pagination — the cursor that walks
+# an unbounded bucket space in fixed pages (indexer-side agg surface)
+
+
+def q_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.composite_after(
+        docs, ["source", "lang"], "n_chars", after=("src12", "es"), size=10
+    )
+
+
+SQL_composite_after = """
+SELECT source, lang, count(*) AS doc_count,
+       CAST(sum(CAST(round(n_chars * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS value_sum
+FROM documents
+GROUP BY source, lang
+HAVING (source, lang) > ('src12', 'es')
+ORDER BY source, lang
+LIMIT 10
+"""
+
+
+# ES rare_terms aggregation — the long tail a size-limited terms agg can
+# never return; exact on Spark (ES needs a CuckooFilter approximation to
+# bound single-node memory)
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.rare_terms(docs, "text", "doc_id", max_doc_count=2, shingles=2)
+
+
+SQL_rare_terms = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+big AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(a) - 1),
+                               i -> a[i] || ' ' || a[i + 1])) AS term
+  FROM d
+)
+SELECT term, count(*) AS doc_count
+FROM big GROUP BY term HAVING count(*) <= 2
+ORDER BY doc_count, term
+"""
+
+
+# Nutch-style ordered regex URL filter (first-match-wins include/exclude
+# rule chain) — the configurable generalization of the reference's
+# hardcoded extension/scheme/domain gates (P1-P4)
+
+_REGEX_RULES = [
+    (0, "-", r"\.(jpg|png|gif)$"),
+    (1, "-", r"[?&](fbclid|sessionid)="),
+    (2, "-", r"/login"),
+    (3, "+", r"^https://(shop|cdn)\.example\.com/"),
+]
+
+
+def q_regex_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scheduler as SCH
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    url = (
+        F.when(
+            F.col("o_orderkey") % 5 == 0,
+            F.concat(F.lit("https://shop.example.com/item/"), k),
+        )
+        .when(
+            F.col("o_orderkey") % 5 == 1,
+            F.concat(F.lit("https://shop.example.com/item/"), k, F.lit("?fbclid=a1")),
+        )
+        .when(
+            F.col("o_orderkey") % 5 == 2,
+            F.concat(F.lit("https://cdn.example.com/img/"), k, F.lit(".jpg")),
+        )
+        .when(
+            F.col("o_orderkey") % 5 == 3,
+            F.concat(F.lit("https://shop.example.com/login?next=/item/"), k),
+        )
+        .otherwise(F.concat(F.lit("ftp://files.example.com/"), k))
+    )
+    urls = orders.select(url.alias("url"))
+    return SCH.regex_url_filter(urls, _REGEX_RULES).orderBy("url")
+
+
+SQL_regex_url_filter = r"""
+WITH urls AS (
+  SELECT CASE o_orderkey % 5
+    WHEN 0 THEN 'https://shop.example.com/item/' || o_orderkey
+    WHEN 1 THEN 'https://shop.example.com/item/' || o_orderkey || '?fbclid=a1'
+    WHEN 2 THEN 'https://cdn.example.com/img/' || o_orderkey || '.jpg'
+    WHEN 3 THEN 'https://shop.example.com/login?next=/item/' || o_orderkey
+    ELSE 'ftp://files.example.com/' || o_orderkey END AS url
+  FROM orders
+),
+rules(rule_order, action, pattern) AS (VALUES
+  (0, '-', '\.(jpg|png|gif)$'),
+  (1, '-', '[?&](fbclid|sessionid)='),
+  (2, '-', '/login'),
+  (3, '+', '^https://(shop|cdn)\.example\.com/')
+),
+m AS (
+  SELECT u.url, r.rule_order, r.action,
+         row_number() OVER (PARTITION BY u.url ORDER BY r.rule_order) AS rn
+  FROM urls u JOIN rules r ON regexp_matches(u.url, r.pattern)
+)
+SELECT u.url, m.rule_order, m.action,
+       coalesce(m.action = '+', false) AS kept
+FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url)
+ORDER BY u.url
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -8347,6 +8497,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trap_signals": q_trap_signals,
     "hits_scores": q_hits_scores,
     "strip_tracking": q_strip_tracking,
+    "events_pipeline_aggs": q_events_pipeline_aggs,
+    "composite_after": q_composite_after,
+    "rare_terms": q_rare_terms,
+    "regex_url_filter": q_regex_url_filter,
     "robots_rfc_gate": q_robots_rfc_gate,
     "search_phrase": q_search_phrase,
     "value_percentiles": q_value_percentiles,
@@ -8521,6 +8675,10 @@ ORACLE_SQL: dict[str, str] = {
     "trap_signals": SQL_trap_signals,
     "hits_scores": SQL_hits_scores,
     "strip_tracking": SQL_strip_tracking,
+    "events_pipeline_aggs": SQL_events_pipeline_aggs,
+    "composite_after": SQL_composite_after,
+    "rare_terms": SQL_rare_terms,
+    "regex_url_filter": SQL_regex_url_filter,
     "robots_rfc_gate": SQL_robots_rfc_gate,
     "search_phrase": SQL_search_phrase,
     "value_percentiles": SQL_value_percentiles,
