@@ -1720,3 +1720,38 @@ def test_pipeline_aggs_first_bucket_nulls(spark):
     # ES moving_fn default window excludes the current bucket
     assert rows[2]["moving_avg"] == pytest.approx((200 + 300) / 2 / 100)
     assert rows[3]["cumulative_sum"] == pytest.approx(2.0 + 3.0 + 4.0 + 5.0)
+
+
+def test_extended_stats_matches_population_moments(spark):
+    import statistics
+
+    from webcrawler_spark.operators.search import extended_stats
+
+    vals = [1.25, 2.50, 2.50, 10.00, 7.75]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    r = extended_stats(df, "value").collect()[0]
+    assert r["count"] == 5 and r["min"] == 1.25 and r["max"] == 10.0
+    assert r["sum"] == pytest.approx(sum(vals))
+    assert r["avg"] == pytest.approx(statistics.mean(vals), abs=1e-6)
+    assert r["variance"] == pytest.approx(statistics.pvariance(vals), abs=1e-6)
+    assert r["std_deviation"] == pytest.approx(statistics.pstdev(vals), abs=1e-6)
+    assert r["std_upper"] == pytest.approx(r["avg"] + 2 * r["std_deviation"], abs=1e-5)
+    assert r["sum_of_squares"] == pytest.approx(sum(v * v for v in vals), abs=1e-4)
+
+
+def test_adjacency_matrix_cells_and_empty_omission(spark):
+    from webcrawler_spark.operators.search import adjacency_matrix
+
+    df = spark.createDataFrame(
+        [("en", 10), ("en", 500), ("fr", 500), ("fr", 5)], ["lang", "n"]
+    )
+    out = {r["key"]: r["doc_count"] for r in adjacency_matrix(
+        df,
+        [
+            ("en", F.col("lang") == "en"),
+            ("big", F.col("n") >= 100),
+            ("none", F.col("n") < 0),
+        ],
+    ).collect()}
+    # ES omits empty buckets: 'none' and all its intersections are absent
+    assert out == {"en": 2, "big": 2, "en&big": 1}

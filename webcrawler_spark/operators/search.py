@@ -930,3 +930,96 @@ def _zip_concat(parts: list[Column]) -> Column:
     for p in parts[1:]:
         out = F.zip_with(out, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return out
+
+
+def extended_stats(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+) -> DataFrame:
+    """ES `extended_stats` aggregation: count, min, max, sum, avg,
+    sum_of_squares, population variance, std_deviation, and the ±2σ
+    std bounds — optionally per `by` bucket (the nested-under-terms form).
+
+    Every moment is computed from exact integer-cents sums (Σc and Σc² as
+    BIGINTs — c ≤ ~10^7 keeps Σc² < 2^63 at 10^9 rows), then converted to
+    double ONCE at the end, so the result is independent of partition
+    summation order — the property that makes the aggregation
+    deterministic at any scale and lets a value-hash oracle compare it.
+    One map-side-combined hash-agg; no shuffle beyond the bucket key.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    keys = [by] if by else []
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.min(cents).alias("_mn"),
+        F.max(cents).alias("_mx"),
+        F.sum(cents).alias("_s"),
+        F.sum(cents * cents).alias("_ss"),
+    )
+    n = F.col("count").cast("double")
+    s = F.col("_s").cast("double") / 100.0
+    ss = F.col("_ss").cast("double") / 10000.0
+    avg = s / n
+    var = ss / n - avg * avg
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        *keys,
+        "count",
+        (F.col("_mn").cast("double") / 100.0).alias("min"),
+        (F.col("_mx").cast("double") / 100.0).alias("max"),
+        F.round(s, 2).alias("sum"),
+        F.round(avg, 6).alias("avg"),
+        F.round(ss, 4).alias("sum_of_squares"),
+        F.round(var, 6).alias("variance"),
+        F.round(std, 6).alias("std_deviation"),
+        F.round(avg + 2 * std, 6).alias("std_upper"),
+        F.round(avg - 2 * std, 6).alias("std_lower"),
+    )
+
+
+def adjacency_matrix(
+    df: DataFrame, filters: list[tuple[str, Column]]
+) -> DataFrame:
+    """ES `adjacency_matrix` aggregation: named boolean filters -> one
+    bucket per filter (`A`) and per unordered pair (`A&B`, ES key order:
+    name1 < name2) counting documents matching BOTH; empty buckets are
+    omitted (ES behavior). All cells evaluate in ONE pass as conditional
+    sums inside a single hash-agg row — no self-join, no explode — then
+    unpivot to (key, doc_count); the cell count is len(filters)·
+    (len(filters)+1)/2, a constant, so the agg state is O(filters²) bytes
+    regardless of corpus size.
+    """
+    names = [n for n, _ in filters]
+    conds = dict(filters)
+    cells = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            key = a if a == b else f"{a}&{b}"
+            both = conds[a] & conds[b]
+            cells.append(
+                F.sum(both.cast("long")).alias(key.replace(".", "_"))
+            )
+    row = df.agg(*cells)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("key"),
+                        F.col(f"`{c.replace('.', '_')}`").alias("doc_count"),
+                    )
+                    for c in [
+                        (a if a == b else f"{a}&{b}")
+                        for i, a in enumerate(names)
+                        for b in names[i:]
+                    ]
+                ]
+            )
+        ).alias("cell")
+    )
+    return (
+        stacked.select("cell.key", "cell.doc_count")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )

@@ -8342,6 +8342,93 @@ ORDER BY doc_count, term
 """
 
 
+# ES extended_stats aggregation — exact integer-cents moments per bucket
+
+
+def q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.extended_stats(events, "value", by="event_type").orderBy(
+        "event_type"
+    )
+
+
+SQL_extended_stats = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events
+),
+a AS (
+  SELECT event_type, count(*) AS n,
+         min(c) AS mn, max(c) AS mx, sum(c) AS s, sum(c * c) AS ss
+  FROM c GROUP BY event_type
+),
+d AS (
+  SELECT event_type, n,
+         CAST(mn AS DOUBLE) / 100.0 AS mn_d,
+         CAST(mx AS DOUBLE) / 100.0 AS mx_d,
+         CAST(s AS DOUBLE) / 100.0 AS s_d,
+         CAST(ss AS DOUBLE) / 10000.0 AS ss_d,
+         (CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS avg_d,
+         CAST(ss AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)
+           - ((CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE))
+             * ((CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE)) AS var_d
+  FROM a
+)
+SELECT event_type, n AS "count", mn_d AS "min", mx_d AS "max",
+       round(s_d, 2) AS "sum", round(avg_d, 6) AS avg,
+       round(ss_d, 4) AS sum_of_squares,
+       round(var_d, 6) AS variance,
+       round(sqrt(greatest(var_d, 0.0)), 6) AS std_deviation,
+       round(avg_d + 2 * sqrt(greatest(var_d, 0.0)), 6) AS std_upper,
+       round(avg_d - 2 * sqrt(greatest(var_d, 0.0)), 6) AS std_lower
+FROM d ORDER BY event_type
+"""
+
+
+# ES adjacency_matrix aggregation — named-filter intersection counts in one
+# conditional-sum pass (no self-join)
+
+_ADJ_FILTERS_SQL = {
+    "en": "lang = 'en'",
+    "longdoc": "n_chars >= 306",
+    "srcA": "source IN ('src0', 'src1', 'src10')",
+}
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    filters = [
+        ("en", F.col("lang") == "en"),
+        ("longdoc", F.col("n_chars") >= 306),
+        ("srcA", F.col("source").isin("src0", "src1", "src10")),
+    ]
+    return SE.adjacency_matrix(docs, filters)
+
+
+SQL_adjacency_matrix = f"""
+WITH cells AS (
+  SELECT 'en' AS key,
+         CAST(sum(CASE WHEN ({_ADJ_FILTERS_SQL['en']}) THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+  FROM documents
+  UNION ALL SELECT 'en&longdoc',
+         CAST(sum(CASE WHEN ({_ADJ_FILTERS_SQL['en']}) AND ({_ADJ_FILTERS_SQL['longdoc']}) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL SELECT 'en&srcA',
+         CAST(sum(CASE WHEN ({_ADJ_FILTERS_SQL['en']}) AND ({_ADJ_FILTERS_SQL['srcA']}) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL SELECT 'longdoc',
+         CAST(sum(CASE WHEN ({_ADJ_FILTERS_SQL['longdoc']}) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL SELECT 'longdoc&srcA',
+         CAST(sum(CASE WHEN ({_ADJ_FILTERS_SQL['longdoc']}) AND ({_ADJ_FILTERS_SQL['srcA']}) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+  UNION ALL SELECT 'srcA',
+         CAST(sum(CASE WHEN ({_ADJ_FILTERS_SQL['srcA']}) THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+)
+SELECT key, doc_count FROM cells WHERE doc_count > 0 ORDER BY key
+"""
+
+
 # Nutch-style ordered regex URL filter (first-match-wins include/exclude
 # rule chain) — the configurable generalization of the reference's
 # hardcoded extension/scheme/domain gates (P1-P4)
@@ -8501,6 +8588,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "composite_after": q_composite_after,
     "rare_terms": q_rare_terms,
     "regex_url_filter": q_regex_url_filter,
+    "extended_stats": q_extended_stats,
+    "adjacency_matrix": q_adjacency_matrix,
     "robots_rfc_gate": q_robots_rfc_gate,
     "search_phrase": q_search_phrase,
     "value_percentiles": q_value_percentiles,
@@ -8679,6 +8768,8 @@ ORACLE_SQL: dict[str, str] = {
     "composite_after": SQL_composite_after,
     "rare_terms": SQL_rare_terms,
     "regex_url_filter": SQL_regex_url_filter,
+    "extended_stats": SQL_extended_stats,
+    "adjacency_matrix": SQL_adjacency_matrix,
     "robots_rfc_gate": SQL_robots_rfc_gate,
     "search_phrase": SQL_search_phrase,
     "value_percentiles": SQL_value_percentiles,
