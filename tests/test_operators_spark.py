@@ -1755,3 +1755,64 @@ def test_adjacency_matrix_cells_and_empty_omission(spark):
     ).collect()}
     # ES omits empty buckets: 'none' and all its intersections are absent
     assert out == {"en": 2, "big": 2, "en&big": 1}
+
+
+def test_function_score_gauss_and_fvf(spark):
+    import math
+
+    from webcrawler_spark.operators.search import search_function_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta", 100),   # 2 matches, at origin -> decay 1.0
+            (2, "alpha", 100),        # 1 match, at origin
+            (3, "alpha beta", 150),   # 2 matches, at distance scale -> 0.5
+            (4, "gamma", 100),        # 0 matches -> filtered out
+        ],
+        ["doc_id", "text", "n"],
+    )
+    out = {r["doc_id"]: r["fscore"] for r in search_function_score(
+        df, ["alpha", "beta"], "text", "doc_id",
+        factor_col="n", decay_col="n",
+        origin=100.0, scale=50.0, offset=0.0, decay=0.5, k=10,
+    ).collect()}
+    assert 4 not in out
+    fvf100, fvf150 = math.log1p(100.0), math.log1p(150.0)
+    assert out[1] == pytest.approx(2 * fvf100, abs=1e-6)
+    assert out[2] == pytest.approx(1 * fvf100, abs=1e-6)
+    # exactly `decay` at distance `scale` (the published ES gauss contract)
+    assert out[3] == pytest.approx(2 * fvf150 * 0.5, abs=1e-6)
+
+
+def test_top_hits_rank_count_single_shuffle(spark):
+    from webcrawler_spark.operators.search import top_hits
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 5), ("b", 5, 7)],
+        ["grp", "doc_id", "n"],
+    )
+    rows = top_hits(df, "grp", "n", "doc_id", size=2).collect()
+    got = [(r["grp"], r["doc_id"], r["hit_rank"], r["doc_count"]) for r in rows]
+    # doc_id ASC tiebreak between the two n=30 docs; doc_count is the FULL
+    # bucket size (4), not the truncated hit list
+    assert got == [("a", 2, 1, 4), ("a", 3, 2, 4), ("b", 5, 1, 1)]
+    # single exchange: rank and count ride the same hash partitioning
+    plan = top_hits(df, "grp", "n", "doc_id", size=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(grp") == 1
+
+
+def test_histogram_dense_fills_empty_buckets(spark):
+    from webcrawler_spark.operators.search import histogram_dense
+
+    df = spark.createDataFrame(
+        [(0.5,), (1.2,), (1.7,), (4.9,)], ["value"]
+    )
+    rows = histogram_dense(df, "value", 1.0).collect()
+    got = [(r["key"], r["doc_count"]) for r in rows]
+    # keys 2.0 and 3.0 are empty but PRESENT (min_doc_count=0 semantics)
+    assert got == [(0.0, 1), (1.0, 2), (2.0, 0), (3.0, 0), (4.0, 1)]
+    # min_doc_count>0 path: filter, no densify
+    got2 = [(r["key"], r["doc_count"])
+            for r in histogram_dense(df, "value", 1.0, min_doc_count=2).collect()]
+    assert got2 == [(1.0, 2)]

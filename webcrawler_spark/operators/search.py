@@ -1023,3 +1023,144 @@ def adjacency_matrix(
         .filter(F.col("doc_count") > 0)
         .orderBy("key")
     )
+
+
+def gauss_decay(x: Column, origin: float, scale: float,
+                offset: float = 0.0, decay: float = 0.5) -> Column:
+    """ES `gauss` decay function on a numeric field: exp(-max(0, |x-origin|
+    - offset)^2 / (2 sigma^2)) with sigma^2 = -scale^2 / (2 ln(decay)), so
+    the score is exactly `decay` at distance `scale` beyond the offset
+    (the published function_score formula). Pure per-row codegen math —
+    no state, no shuffle."""
+    sigma2 = -(scale * scale) / (2.0 * __import__("math").log(decay))
+    dist = F.greatest(F.abs(x - F.lit(float(origin))) - F.lit(float(offset)),
+                      F.lit(0.0))
+    return F.exp(-(dist * dist) / F.lit(2.0 * sigma2))
+
+
+def field_value_factor(x: Column, factor: float = 1.0,
+                       modifier: str = "log1p", missing: float = 1.0) -> Column:
+    """ES `field_value_factor`: modifier(factor * field), null -> missing.
+    Supported modifiers: none | log1p | sqrt (the common trio)."""
+    v = F.coalesce(x.cast("double"), F.lit(float(missing))) * F.lit(float(factor))
+    if modifier == "log1p":
+        v = F.log(F.lit(1.0) + v)
+    elif modifier == "sqrt":
+        v = F.sqrt(v)
+    elif modifier != "none":
+        raise ValueError(f"unsupported modifier: {modifier}")
+    return v
+
+
+def search_function_score(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str,
+    id_col: str,
+    *,
+    factor_col: str,
+    decay_col: str,
+    origin: float,
+    scale: float,
+    offset: float = 0.0,
+    decay: float = 0.5,
+    factor: float = 1.0,
+    modifier: str = "log1p",
+    k: int = 20,
+) -> DataFrame:
+    """ES `function_score` query (score_mode=boost_mode=multiply): the
+    match `_score` (token overlap, Q1 semantics) rescored by a
+    field_value_factor on `factor_col` and a gauss decay on `decay_col`,
+    top-k by the combined score.
+
+    100 TB shape: one projection pass (all three factors are per-row
+    codegen math over already-read columns), then `orderBy().limit(k)` —
+    Spark executes that as per-partition partial top-k + an n-row driver
+    merge (TakeOrderedAndProject), never a global sort. Rounded to 6 dp so
+    the score is engine-portable for the value-hash oracle."""
+    base = match_score(F.col(text_col), query_tokens)
+    score = (
+        base.cast("double")
+        * field_value_factor(F.col(factor_col), factor=factor, modifier=modifier)
+        * gauss_decay(F.col(decay_col), origin, scale, offset=offset, decay=decay)
+    )
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("fscore"), base.alias("_b"))
+        .filter(F.col("_b") >= 1)
+        .drop("_b")
+        .orderBy(F.desc("fscore"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def top_hits(
+    df: DataFrame,
+    by: str,
+    sort_col: str,
+    id_col: str,
+    size: int = 3,
+) -> DataFrame:
+    """ES `terms` aggregation with a `top_hits` sub-aggregation: per
+    bucket, the bucket's doc_count plus its top `size` documents by
+    `sort_col` DESC (id ASC tiebreak) with their hit rank.
+
+    100 TB shape: ONE shuffle — the rank and the bucket count are both
+    windows over the same partition key, so they ride a single exchange;
+    no join, no second agg. Skewed buckets bound the window task at the
+    bucket size, same mitigation ladder as W1 (salt the count, never the
+    rank, if a bucket outgrows a task)."""
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(by).orderBy(F.desc(sort_col), F.asc(id_col))
+    w_all = Window.partitionBy(by)
+    return (
+        df.select(
+            F.col(by),
+            F.col(id_col),
+            F.col(sort_col),
+            F.row_number().over(w_rank).alias("hit_rank"),
+            F.count(F.lit(1)).over(w_all).alias("doc_count"),
+        )
+        .filter(F.col("hit_rank") <= size)
+        .orderBy(by, "hit_rank")
+    )
+
+
+def histogram_dense(
+    df: DataFrame,
+    value_col: str,
+    interval: float,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """ES `histogram` aggregation with min_doc_count=0 semantics: fixed-
+    interval buckets keyed at floor(value/interval)*interval, DENSIFIED so
+    every bucket between the observed min and max key appears even when
+    empty (the ES default that trips up naive GROUP BY ports, which drop
+    empty buckets). min_doc_count>0 filters instead (no densify needed).
+
+    100 TB shape: the only data-sized pass is the map-side-combined
+    hash-agg onto bucket keys; everything after operates on the bucket
+    axis (bounded by value range / interval, thousands not billions) —
+    the dense spine comes from sequence() over a one-row global min/max
+    agg cross-joined in (1 row x 1 row), and the counts join onto the
+    spine is broadcast-sized by construction."""
+    step = float(interval)
+    key = (F.floor(F.col(value_col) / step) * step).cast("double")
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("doc_count")
+    )
+    if min_doc_count > 0:
+        return counts.filter(F.col("doc_count") >= min_doc_count).orderBy("key")
+    # dense spine: every multiple of `interval` in [min_key, max_key]
+    bounds = counts.agg(
+        (F.min("key") / step).cast("long").alias("lo"),
+        (F.max("key") / step).cast("long").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("i")
+    ).select((F.col("i") * step).cast("double").alias("key"))
+    return (
+        spine.join(F.broadcast(counts), "key", "left")
+        .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+        .orderBy("key")
+    )

@@ -8497,6 +8497,88 @@ ORDER BY u.url
 """
 
 
+# ES function_score query (search-api analog): match score rescored by
+# field_value_factor × gauss decay, multiply boost mode
+
+_FS = dict(origin=306.0, scale=150.0, offset=10.0, decay=0.5)
+
+
+def q_search_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_function_score(
+        docs, _QUERY_TOKENS, "text", "doc_id",
+        factor_col="n_chars", decay_col="n_chars", **_FS, k=20,
+    )
+
+
+# 2*sigma^2 inlined as a Python-computed literal so neither engine takes a
+# log at query time (exp alone, then round to 6 dp, is cross-engine stable)
+_FS_2SIG2 = repr(-(_FS["scale"] ** 2) / __import__("math").log(_FS["decay"]))
+
+SQL_search_function_score = f"""
+WITH s AS (
+  SELECT doc_id,
+         len(list_intersect(list_distinct(string_split_regex(lower(text), '{_TOKEN_RE}')),
+                            [{_QT_SQL}])) AS base,
+         ln(1.0 + CAST(n_chars AS DOUBLE)) AS fvf,
+         greatest(abs(CAST(n_chars AS DOUBLE) - {_FS["origin"]}) - {_FS["offset"]}, 0.0) AS d
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(base AS DOUBLE) * fvf * exp(-(d * d) / {_FS_2SIG2}), 6) AS fscore
+FROM s WHERE base >= 1
+ORDER BY fscore DESC, doc_id ASC LIMIT 20
+"""
+
+
+# ES terms + top_hits sub-aggregation: per-source bucket count plus its top
+# 3 docs by n_chars
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.top_hits(docs, "source", "n_chars", "doc_id", size=3)
+
+
+SQL_top_hits = """
+SELECT source, doc_id, n_chars, CAST(hit_rank AS INTEGER) AS hit_rank,
+       doc_count FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS hit_rank,
+         count(*) OVER (PARTITION BY source) AS doc_count
+  FROM documents
+) WHERE hit_rank <= 3 ORDER BY source, hit_rank
+"""
+
+
+# ES histogram aggregation with min_doc_count=0 (dense spine including
+# empty buckets — the sparsest event_type at interval 5 leaves real gaps)
+
+
+def q_histogram_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.histogram_dense(
+        events.filter(F.col("event_type") == "purchase"), "value", 5.0
+    )
+
+
+SQL_histogram_dense = """
+WITH c AS (
+  SELECT floor(value / 5.0) * 5.0 AS key, count(*) AS doc_count
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+b AS (SELECT CAST(min(key) / 5.0 AS BIGINT) AS lo,
+             CAST(max(key) / 5.0 AS BIGINT) AS hi FROM c),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi)) * 5.0 AS DOUBLE) AS key FROM b
+)
+SELECT spine.key, coalesce(c.doc_count, 0) AS doc_count
+FROM spine LEFT JOIN c ON spine.key = c.key
+ORDER BY spine.key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -8590,6 +8672,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "regex_url_filter": q_regex_url_filter,
     "extended_stats": q_extended_stats,
     "adjacency_matrix": q_adjacency_matrix,
+    "search_function_score": q_search_function_score,
+    "top_hits": q_top_hits,
+    "histogram_dense": q_histogram_dense,
     "robots_rfc_gate": q_robots_rfc_gate,
     "search_phrase": q_search_phrase,
     "value_percentiles": q_value_percentiles,
@@ -8770,6 +8855,9 @@ ORACLE_SQL: dict[str, str] = {
     "regex_url_filter": SQL_regex_url_filter,
     "extended_stats": SQL_extended_stats,
     "adjacency_matrix": SQL_adjacency_matrix,
+    "search_function_score": SQL_search_function_score,
+    "top_hits": SQL_top_hits,
+    "histogram_dense": SQL_histogram_dense,
     "robots_rfc_gate": SQL_robots_rfc_gate,
     "search_phrase": SQL_search_phrase,
     "value_percentiles": SQL_value_percentiles,
