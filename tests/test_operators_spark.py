@@ -1816,3 +1816,146 @@ def test_histogram_dense_fills_empty_buckets(spark):
     got2 = [(r["key"], r["doc_count"])
             for r in histogram_dense(df, "value", 1.0, min_doc_count=2).collect()]
     assert got2 == [(1.0, 2)]
+
+
+def test_multi_terms_composite_ordering(spark):
+    from webcrawler_spark.operators.search import multi_terms
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0)] * 3 + [("a", "y", 2.0)] * 3 + [("b", "x", 4.0)],
+        ["s", "l", "v"],
+    )
+    rows = multi_terms(df, ["s", "l"], value_col="v", size=2).collect()
+    got = [(r["s"], r["l"], r["doc_count"], r["value_sum"]) for r in rows]
+    # count ties broken by keys ASC; size truncates the 1-doc bucket away
+    assert got == [("a", "x", 3, 3.0), ("a", "y", 3, 6.0)]
+
+
+def test_weighted_avg_skips_nulls(spark):
+    from webcrawler_spark.operators.search import weighted_avg
+
+    df = spark.createDataFrame(
+        [("g", 10.0, 1.0), ("g", 20.0, 3.0), ("g", None, 99.0), ("g", 5.0, None)],
+        "grp string, v double, w double",
+    )
+    r = weighted_avg(df, "v", "w", "grp").collect()[0]
+    # (10*1 + 20*3) / (1+3) = 17.5; null value/weight rows don't count
+    assert r["doc_count"] == 2 and r["weighted_avg"] == pytest.approx(17.5)
+
+
+def test_mad_exact_small_set(spark):
+    from webcrawler_spark.operators.search import median_absolute_deviation
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in [1, 1, 2, 2, 4, 6, 9]], ["grp", "v"]
+    )
+    r = median_absolute_deviation(df, "v", "grp").collect()[0]
+    # median 2; |x-2| = [1,1,0,0,2,4,7] -> median 1
+    assert r["median"] == 2.0 and r["mad"] == 1.0 and r["doc_count"] == 7
+
+
+def test_serial_diff_lag2_nulls(spark):
+    from webcrawler_spark.operators.search import serial_diff
+
+    df = spark.createDataFrame(
+        [("2024-01-0%d 10:00:00" % d, float(d * d)) for d in range(1, 5)],
+        ["ts", "v"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v")
+    rows = sorted(serial_diff(df, "ts", "v", lag=2).collect(),
+                  key=lambda r: r["bucket_start"])
+    assert rows[0]["serial_diff"] is None and rows[1]["serial_diff"] is None
+    assert rows[2]["serial_diff"] == 9.0 - 1.0   # d=3 minus d=1
+    assert rows[3]["serial_diff"] == 16.0 - 4.0
+
+
+def test_bucket_selector_and_sort_paging(spark):
+    from webcrawler_spark.operators.search import bucket_selector, bucket_sort
+
+    rows = [(g, float(v)) for g, n, v in
+            [("a", 0, 10), ("b", 0, 20), ("c", 0, 30), ("d", 0, 40)]
+            for _ in range(1)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    kept = {r["grp"] for r in bucket_selector(
+        df, "grp", "v", F.col("value_sum") >= 20.0).collect()}
+    assert kept == {"b", "c", "d"}
+    page = [r["grp"] for r in bucket_sort(
+        df, "grp", "v", size=2, skip=1).collect()]
+    assert page == ["c", "b"]   # desc by sum: d,c,b,a -> skip 1, take 2
+
+
+def test_string_stats_entropy_bits(spark):
+    from webcrawler_spark.operators.search import string_stats
+
+    df = spark.createDataFrame([("g", "aabb"), ("g", "ab")], ["grp", "t"])
+    r = string_stats(df, "t", "grp").collect()[0]
+    # 3 a's + 3 b's -> uniform 2-symbol distribution = exactly 1 bit
+    assert r["entropy"] == pytest.approx(1.0)
+    assert (r["min_length"], r["max_length"], r["avg_length"]) == (2, 4, 3.0)
+
+
+def test_boxplot_whiskers_clip_outlier(spark):
+    from webcrawler_spark.operators.search import boxplot
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]  # 100 is far outside the upper fence
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    r = boxplot(df, "v", "grp").collect()[0]
+    assert r["min"] == 1.0 and r["max"] == 100.0
+    assert r["q2"] == 3.0
+    # upper whisker = largest datum inside q3 + 1.5*IQR, NOT the outlier
+    assert r["upper_whisker"] == 4.0
+    assert r["lower_whisker"] == 1.0
+
+
+def test_t_test_welch_matches_closed_form(spark):
+    import math
+    import statistics
+
+    from webcrawler_spark.operators.search import t_test_stats
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], ["grp", "v"]
+    )
+    r = t_test_stats(df, "v", F.col("grp") == "a", F.col("grp") == "b").collect()[0]
+    va, vb = statistics.variance(a), statistics.variance(b)
+    sea, seb = va / len(a), vb / len(b)
+    t = (statistics.mean(a) - statistics.mean(b)) / math.sqrt(sea + seb)
+    dof = (sea + seb) ** 2 / (sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1))
+    assert r["na"] == 4 and r["nb"] == 5
+    assert r["t_stat"] == pytest.approx(t, abs=1e-6)
+    assert r["welch_df"] == pytest.approx(dof, abs=1e-4)
+
+
+def test_auto_date_histogram_picks_smallest_fitting(spark):
+    from webcrawler_spark.operators.search import auto_date_histogram
+
+    narrow = spark.createDataFrame(
+        [("2024-01-01 10:%02d:30" % m,) for m in range(5)], ["ts"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    rows = auto_date_histogram(narrow, "ts", target_buckets=10).collect()
+    assert all(r["interval"] == "minute" for r in rows) and len(rows) == 5
+    wide = spark.createDataFrame(
+        [("2024-0%d-01 00:00:00" % m,) for m in range(1, 7)], ["ts"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    rows = auto_date_histogram(wide, "ts", target_buckets=10).collect()
+    # ~150-day span: day would need 151 buckets, month fits in 10
+    assert all(r["interval"] == "month" for r in rows) and len(rows) == 6
+
+
+def test_diversified_sampler_caps_per_value(spark):
+    from webcrawler_spark.operators.search import diversified_sampler
+
+    df = spark.createDataFrame(
+        [(i, "h%d" % (i % 3)) for i in range(30)], ["doc_id", "host"]
+    )
+    out = diversified_sampler(df, "host", "doc_id",
+                              shard_size=5, max_docs_per_value=2).collect()
+    assert len(out) == 5
+    from collections import Counter
+
+    assert max(Counter(r["host"] for r in out).values()) <= 2
+    # deterministic: same call, same sample
+    again = diversified_sampler(df, "host", "doc_id",
+                                shard_size=5, max_docs_per_value=2).collect()
+    assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]

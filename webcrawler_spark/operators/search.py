@@ -1164,3 +1164,413 @@ def histogram_dense(
         .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
         .orderBy("key")
     )
+
+
+def multi_terms(
+    df: DataFrame,
+    terms: list[str],
+    value_col: str | None = None,
+    size: int = 10,
+) -> DataFrame:
+    """ES `multi_terms` aggregation: buckets keyed by the COMPOSITE of
+    several fields (the thing a plain `terms` agg on one field can't
+    express without client-side joins), ES ordering doc_count DESC then
+    keys ASC, truncated to `size`. Optional sum metric integerized to
+    cents so the value is partition-order independent.
+
+    100 TB shape: one map-side-combined hash-agg onto the composite key,
+    then `orderBy().limit(size)` = per-partition partial top-k + an
+    n-row driver merge (TakeOrderedAndProject) — never a global sort."""
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs.append(
+            (F.sum(F.round(F.col(value_col) * 100).cast("long"))
+             .cast("double") / 100.0).alias("value_sum")
+        )
+    out = df.groupBy(*[F.col(t) for t in terms]).agg(*aggs)
+    order = [F.desc("doc_count")] + [F.asc(t) for t in terms]
+    return out.orderBy(*order).limit(size)
+
+
+def weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    by: str,
+) -> DataFrame:
+    """ES `weighted_avg` aggregation per bucket: sum(value*weight) /
+    sum(weight), docs with a NULL value or weight skipped (ES
+    value_count semantics). Both factors are integerized to cents so the
+    two sums are exact integers in any engine and at any partition
+    order; the single final division is the only float op (rounded 6dp).
+
+    100 TB shape: one map-side-combined hash-agg — same cost as a plain
+    avg."""
+    vc = F.round(F.col(value_col) * 100).cast("long")
+    wc = F.round(F.col(weight_col) * 100).cast("long")
+    ok = F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    return (
+        df.filter(ok)
+        .groupBy(F.col(by))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum(vc * wc).alias("_swv"),
+            F.sum(wc).alias("_sw"),
+        )
+        .select(
+            F.col(by),
+            "doc_count",
+            F.round(
+                F.col("_swv").cast("double")
+                / (F.lit(100.0) * F.col("_sw").cast("double")),
+                6,
+            ).alias("weighted_avg"),
+        )
+    )
+
+
+def median_absolute_deviation(
+    df: DataFrame, value_col: str, by: str
+) -> DataFrame:
+    """ES `median_absolute_deviation` aggregation, EXACT: per bucket,
+    median(|x - median(x)|) with linear-interpolation medians (Spark
+    `percentile` == DuckDB `quantile_cont`; ES itself uses TDigest — the
+    approximate drop-in at 10^10 rows per bucket is
+    `percentile_approx`, documented not defaulted).
+
+    100 TB shape: two shuffles on the bucket key (the medians can't
+    fuse — the second pass needs the first's result per row), with the
+    per-bucket median dim broadcast back; bucket axis is bounded, data
+    rows stream through both passes."""
+    med = df.groupBy(F.col(by)).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("_med"),
+        F.count(F.lit(1)).alias("doc_count"),
+    )
+    return (
+        df.join(F.broadcast(med), on=by)
+        .groupBy(F.col(by))
+        .agg(
+            F.max("doc_count").alias("doc_count"),
+            F.round(F.max("_med"), 6).alias("median"),
+            F.round(
+                F.percentile(F.abs(F.col(value_col) - F.col("_med")), F.lit(0.5)),
+                6,
+            ).alias("mad"),
+        )
+    )
+
+
+def serial_diff(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    interval: str = "day",
+    lag: int = 1,
+) -> DataFrame:
+    """ES `serial_diff` pipeline aggregation over a `date_histogram`
+    parent: per calendar bucket, value_sum minus the value_sum `lag`
+    buckets earlier (NULL for the first `lag` buckets — ES emits no
+    value there). Cents-integerized sums; the lag runs over BUCKET rows
+    only (calendar-bounded axis), so the unpartitioned ordered window is
+    a few-thousand-row frame at any data scale."""
+    from pyspark.sql import Window
+
+    buckets = (
+        df.select(
+            F.date_trunc(interval, F.col(ts_col)).alias("bucket_start"),
+            F.round(F.col(value_col) * 100).cast("long").alias("c"),
+        )
+        .groupBy("bucket_start")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.sum("c").alias("c"))
+    )
+    w = Window.orderBy("bucket_start")
+    to_d = lambda c: c.cast("double") / F.lit(100.0)  # noqa: E731
+    return buckets.select(
+        "bucket_start",
+        "doc_count",
+        F.round(to_d(F.col("c")), 2).alias("value_sum"),
+        F.round(to_d(F.col("c") - F.lag("c", lag).over(w)), 2).alias("serial_diff"),
+    )
+
+
+def bucket_selector(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    predicate,
+) -> DataFrame:
+    """ES `bucket_selector` pipeline aggregation: aggregate buckets
+    (doc_count + cents-exact value_sum), then keep only buckets where
+    `predicate` — a Column over [by, doc_count, value_sum] — holds (the
+    script-driven HAVING of the ES DSL).
+
+    100 TB shape: the filter runs on the already-collapsed bucket axis;
+    one hash-agg shuffle total."""
+    buckets = (
+        df.groupBy(F.col(by))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            (F.sum(F.round(F.col(value_col) * 100).cast("long"))
+             .cast("double") / 100.0).alias("value_sum"),
+        )
+    )
+    return buckets.filter(predicate)
+
+
+def bucket_sort(
+    df: DataFrame,
+    by: str,
+    value_col: str,
+    sort_col: str = "value_sum",
+    ascending: bool = False,
+    size: int = 10,
+    skip: int = 0,
+) -> DataFrame:
+    """ES `bucket_sort` pipeline aggregation: order the parent's buckets
+    by an aggregated metric and truncate (`from` + `size` paging).
+
+    100 TB shape: one hash-agg; the sort+page runs on the bucket axis.
+    With skip=0 Spark plans orderBy().limit() as TakeOrderedAndProject;
+    a non-zero skip pages through a row_number window over the (bounded)
+    bucket rows instead — still never a data-sized sort."""
+    from pyspark.sql import Window
+
+    buckets = (
+        df.groupBy(F.col(by))
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            (F.sum(F.round(F.col(value_col) * 100).cast("long"))
+             .cast("double") / 100.0).alias("value_sum"),
+        )
+    )
+    key = F.asc(sort_col) if ascending else F.desc(sort_col)
+    if skip == 0:
+        return buckets.orderBy(key, F.asc(by)).limit(size)
+    w = Window.orderBy(key, F.asc(by))
+    return (
+        buckets.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > skip) & (F.col("_rn") <= skip + size))
+        .drop("_rn")
+    )
+
+
+def string_stats(
+    df: DataFrame, str_col: str, by: str, with_entropy: bool = True
+) -> DataFrame:
+    """ES `string_stats` aggregation per bucket: count, min/max/avg
+    length, and (show_distribution analog) the Shannon entropy IN BITS of
+    the bucket's character distribution.
+
+    100 TB shape: lengths ride one hash-agg on the bucket key; entropy
+    explodes to one row per CHARACTER but immediately partial-aggregates
+    onto (bucket, char) — the shuffle carries |alphabet| rows per bucket,
+    not the corpus. The two aggs join on the bounded bucket axis
+    (broadcast)."""
+    lengths = df.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.min(F.length(str_col)).alias("min_length"),
+        F.max(F.length(str_col)).alias("max_length"),
+        F.round(
+            F.sum(F.length(str_col)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_length"),
+    )
+    if not with_entropy:
+        return lengths
+    # (?s). so newlines count as characters too
+    chars = df.select(
+        F.col(by),
+        F.explode(
+            F.regexp_extract_all(F.col(str_col), F.lit(r"(?s)."), F.lit(0))
+        ).alias("ch"),
+    )
+    per = chars.groupBy(F.col(by), "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy(F.col(by)).agg(F.sum("n").alias("n_chars"))
+    ent = (
+        per.join(F.broadcast(tot), on=by)
+        .withColumn("p", F.col("n").cast("double") / F.col("n_chars"))
+        .groupBy(F.col(by))
+        .agg(
+            F.round(
+                -F.sum(F.col("p") * F.log2(F.col("p"))), 6
+            ).alias("entropy")
+        )
+    )
+    return lengths.join(F.broadcast(ent), on=by)
+
+
+def boxplot(df: DataFrame, value_col: str, by: str) -> DataFrame:
+    """ES `boxplot` aggregation, EXACT: per bucket min, max, q1, q2, q3
+    (linear interpolation — DuckDB quantile_cont parity) plus the Tukey
+    whiskers ES draws: lower = smallest datum >= q1 - 1.5*IQR, upper =
+    largest datum <= q3 + 1.5*IQR.
+
+    100 TB shape: two shuffles on the bucket key (quartiles, then the
+    fence-conditional min/max needs them per row) with the quartile dim
+    broadcast back — same shape as median_absolute_deviation."""
+    q = df.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+        F.percentile(F.col(value_col), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("q2"),
+        F.percentile(F.col(value_col), F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo_fence = F.col("q1") - 1.5 * iqr
+    hi_fence = F.col("q3") + 1.5 * iqr
+    v = F.col(value_col)
+    return (
+        df.join(F.broadcast(q), on=by)
+        .groupBy(F.col(by))
+        .agg(
+            F.max("doc_count").alias("doc_count"),
+            F.round(F.max("vmin"), 6).alias("min"),
+            F.round(F.max("vmax"), 6).alias("max"),
+            F.round(F.max("q1"), 6).alias("q1"),
+            F.round(F.max("q2"), 6).alias("q2"),
+            F.round(F.max("q3"), 6).alias("q3"),
+            F.round(F.min(F.when(v >= lo_fence, v)), 6).alias("lower_whisker"),
+            F.round(F.max(F.when(v <= hi_fence, v)), 6).alias("upper_whisker"),
+        )
+    )
+
+
+def t_test_stats(
+    df: DataFrame,
+    value_col: str,
+    filter_a,
+    filter_b,
+    by: str | None = None,
+) -> DataFrame:
+    """ES `t_test` aggregation (heteroscedastic / Welch's form), reduced
+    to its sufficient statistics: the t statistic and the
+    Welch-Satterthwaite degrees of freedom between the rows matching
+    `filter_a` and those matching `filter_b`. ES reports the p-value —
+    Student's CDF (incomplete beta) is out of codegen reach, so this
+    emits (t, df); the caller maps to p with scipy offline. Moments are
+    cents-exact integers; one conditional-sum pass, no join, no second
+    scan.
+
+    100 TB shape: a single map-side-combined hash-agg (or one global agg
+    row when by=None)."""
+    c = F.round(F.col(value_col) * 100).cast("long")
+    grp = [F.col(by)] if by else []
+    agg = (
+        df.groupBy(*grp).agg(
+            F.sum(F.when(filter_a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(filter_a, c).otherwise(0)).cast("long").alias("sa"),
+            F.sum(F.when(filter_a, c * c).otherwise(0)).cast("long").alias("ssa"),
+            F.sum(F.when(filter_b, 1).otherwise(0)).cast("long").alias("nb"),
+            F.sum(F.when(filter_b, c).otherwise(0)).cast("long").alias("sb"),
+            F.sum(F.when(filter_b, c * c).otherwise(0)).cast("long").alias("ssb"),
+        )
+    )
+    def _mean(s, n):
+        return s.cast("double") / 100.0 / n.cast("double")
+
+    def _var(s, ss, n):  # unbiased sample variance from integer moments
+        sd, ssd, nd = s.cast("double") / 100.0, ss.cast("double") / 10000.0, n.cast("double")
+        return (ssd - sd * sd / nd) / (nd - 1.0)
+
+    ma, mb = _mean(F.col("sa"), F.col("na")), _mean(F.col("sb"), F.col("nb"))
+    va = _var(F.col("sa"), F.col("ssa"), F.col("na"))
+    vb = _var(F.col("sb"), F.col("ssb"), F.col("nb"))
+    sea, seb = va / F.col("na").cast("double"), vb / F.col("nb").cast("double")
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (
+        (sea + seb) * (sea + seb)
+        / (sea * sea / (F.col("na").cast("double") - 1.0)
+           + seb * seb / (F.col("nb").cast("double") - 1.0))
+    )
+    keep = grp + [
+        F.col("na"), F.col("nb"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_df"),
+    ]
+    return agg.filter((F.col("na") >= 2) & (F.col("nb") >= 2)).select(*keep)
+
+
+_AUTO_INTERVALS = ["minute", "hour", "day", "month", "year"]
+_INTERVAL_SECONDS = {
+    "minute": 60.0,
+    "hour": 3600.0,
+    "day": 86400.0,
+    "month": 86400.0 * 30,
+    "year": 86400.0 * 365,
+}
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, target_buckets: int = 10
+) -> DataFrame:
+    """ES `auto_date_histogram`: pick the smallest calendar interval from
+    the ladder (minute..year) whose ESTIMATED bucket count (span /
+    interval seconds, the ES rounding heuristic) fits `target_buckets`,
+    then bucket on it. The choice is data-driven but fully declarative:
+    the 1-row min/max bounds aggregate cross-joins (broadcast) onto the
+    scan, and the bucket key is a CASE over the ladder — no collect, no
+    second job submission.
+
+    100 TB shape: one extra 1-row agg over the (prunable, single-column)
+    ts scan, then the usual map-side-combined hash-agg onto calendar
+    buckets."""
+    # NTZ timestamps don't cast to double directly; the ltz hop shifts
+    # min and max by the same session-tz offset, so the SPAN (all the
+    # interval choice uses) is unchanged
+    ts = F.col(ts_col).cast("timestamp_ltz").cast("double")
+    bounds = df.agg(
+        F.min(ts).alias("_t0"), F.max(ts).alias("_t1")
+    )
+    span = F.col("_t1") - F.col("_t0")
+    choice = F.lit("year")
+    for iv in reversed(_AUTO_INTERVALS):  # smallest fitting interval wins
+        fits = span / F.lit(_INTERVAL_SECONDS[iv]) <= F.lit(float(target_buckets))
+        choice = F.when(fits, F.lit(iv)).otherwise(choice)
+    with_iv = df.crossJoin(F.broadcast(bounds.select(choice.alias("interval"))))
+    bucket = F.coalesce(
+        *[
+            F.when(F.col("interval") == iv, F.date_trunc(iv, F.col(ts_col)))
+            for iv in _AUTO_INTERVALS
+        ]
+    )
+    return (
+        with_iv.groupBy(F.col("interval"), bucket.alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("doc_count"))
+        .orderBy("bucket_start")
+    )
+
+
+def diversified_sampler(
+    df: DataFrame,
+    dedup_col: str,
+    id_col: str,
+    shard_size: int = 100,
+    max_docs_per_value: int = 1,
+    salt: int = 7,
+) -> DataFrame:
+    """ES `diversified_sampler` aggregation, made deterministic: sample
+    `shard_size` docs with at most `max_docs_per_value` per `dedup_col`
+    value, "first seen" replaced by a portable Carter-Wegman hash order
+    on the integral id (reruns and the DuckDB oracle reproduce the
+    sample bit-for-bit — ES's own shard-order sample is irreproducible
+    by construction).
+
+    100 TB shape: per-value cap = one window over the dedup key
+    (salting ladder as W1 if a value is hot), then the global cut rides
+    orderBy().limit() = partial top-k + driver merge, never a full
+    sort."""
+    from pyspark.sql import Window
+
+    from .sketches import _P
+
+    h = ((F.lit(48611) * (F.col(id_col) % F.lit(_P)) + F.lit(salt)) % F.lit(_P))
+    w = Window.partitionBy(dedup_col).orderBy(F.asc("_h"), F.asc(id_col))
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_docs_per_value)
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .limit(shard_size)
+        .drop("_rn")
+        .withColumnRenamed("_h", "sample_order")
+    )

@@ -8579,6 +8579,319 @@ ORDER BY spine.key
 """
 
 
+# ES multi_terms aggregation — composite-key buckets
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.multi_terms(docs, ["source", "lang"], value_col="n_chars", size=10)
+
+
+SQL_multi_terms = """
+SELECT source, lang, count(*) AS doc_count,
+       CAST(sum(CAST(round(n_chars * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS value_sum
+FROM documents GROUP BY source, lang
+ORDER BY doc_count DESC, source ASC, lang ASC LIMIT 10
+"""
+
+
+# ES weighted_avg aggregation — price weighted by quantity per returnflag
+
+
+def q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return SE.weighted_avg(
+        li, "l_extendedprice", "l_quantity", "l_returnflag"
+    ).orderBy("l_returnflag")
+
+
+SQL_weighted_avg = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+         CAST(round(l_quantity * 100) AS BIGINT) AS wc
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+)
+SELECT l_returnflag, count(*) AS doc_count,
+       round(CAST(sum(vc * wc) AS DOUBLE)
+             / (100.0 * CAST(sum(wc) AS DOUBLE)), 6) AS weighted_avg
+FROM c GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ES median_absolute_deviation aggregation (exact two-pass)
+
+
+def q_mad_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.median_absolute_deviation(events, "value", "event_type").orderBy(
+        "event_type"
+    )
+
+
+SQL_mad_value = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m, count(*) AS doc_count
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, max(med.doc_count) AS doc_count,
+       round(max(med.m), 6) AS median,
+       round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+FROM events e JOIN med ON e.event_type = med.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# ES serial_diff pipeline aggregation over a day histogram
+
+
+def q_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.serial_diff(events, "ts", "value", interval="day", lag=1)
+
+
+SQL_serial_diff = """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_start,
+         count(*) AS doc_count,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1
+)
+SELECT bucket_start, doc_count,
+       round(CAST(c AS DOUBLE) / 100.0, 2) AS value_sum,
+       round(CAST(c - lag(c, 1) OVER (ORDER BY bucket_start) AS DOUBLE)
+             / 100.0, 2) AS serial_diff
+FROM b ORDER BY bucket_start
+"""
+
+
+# ES bucket_selector pipeline aggregation (script-HAVING on bucket metrics)
+
+
+def q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    keep = (F.col("value_sum") > 99000.0) & (F.col("doc_count") >= 1000)
+    return SE.bucket_selector(events, "event_type", "value", keep).orderBy(
+        "event_type"
+    )
+
+
+SQL_bucket_selector = """
+SELECT event_type, count(*) AS doc_count,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS value_sum
+FROM events GROUP BY event_type
+HAVING value_sum > 99000.0 AND doc_count >= 1000
+ORDER BY event_type
+"""
+
+
+# ES bucket_sort pipeline aggregation (bucket paging: from=2, size=5)
+
+
+def q_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.bucket_sort(
+        docs, "source", "n_chars", sort_col="value_sum",
+        ascending=False, size=5, skip=2,
+    )
+
+
+SQL_bucket_sort = """
+WITH b AS (
+  SELECT source, count(*) AS doc_count,
+         CAST(sum(CAST(round(n_chars * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS value_sum
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY value_sum DESC, source ASC) AS rn
+  FROM b
+)
+SELECT source, doc_count, value_sum FROM r
+WHERE rn > 2 AND rn <= 7 ORDER BY rn
+"""
+
+
+# ES string_stats aggregation (+ character-distribution entropy, bits)
+
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.string_stats(docs, "text", "lang").orderBy("lang")
+
+
+SQL_string_stats = """
+WITH lengths AS (
+  SELECT lang, count(*) AS doc_count,
+         CAST(min(length(text)) AS INTEGER) AS min_length,
+         CAST(max(length(text)) AS INTEGER) AS max_length,
+         round(CAST(sum(length(text)) AS DOUBLE) / count(*), 6) AS avg_length
+  FROM documents GROUP BY lang
+),
+chars AS (
+  SELECT lang, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents
+),
+per AS (SELECT lang, ch, count(*) AS n FROM chars GROUP BY lang, ch),
+tot AS (SELECT lang, sum(n) AS n_chars FROM per GROUP BY lang),
+ent AS (
+  SELECT per.lang,
+         round(-sum((CAST(n AS DOUBLE) / n_chars)
+                    * log2(CAST(n AS DOUBLE) / n_chars)), 6) AS entropy
+  FROM per JOIN tot ON per.lang = tot.lang GROUP BY per.lang
+)
+SELECT lengths.lang, lengths.doc_count, lengths.min_length,
+       lengths.max_length, lengths.avg_length, ent.entropy
+FROM lengths JOIN ent ON lengths.lang = ent.lang
+ORDER BY lengths.lang
+"""
+
+
+# ES boxplot aggregation (exact quartiles + Tukey whiskers)
+
+
+def q_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.boxplot(events, "value", "event_type").orderBy("event_type")
+
+
+SQL_boxplot = """
+WITH q AS (
+  SELECT event_type, count(*) AS doc_count,
+         min(value) AS vmin, max(value) AS vmax,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.5) AS q2,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, max(q.doc_count) AS doc_count,
+       round(max(q.vmin), 6) AS "min", round(max(q.vmax), 6) AS "max",
+       round(max(q.q1), 6) AS q1, round(max(q.q2), 6) AS q2,
+       round(max(q.q3), 6) AS q3,
+       round(min(CASE WHEN e.value >= q.q1 - 1.5 * (q.q3 - q.q1)
+                      THEN e.value END), 6) AS lower_whisker,
+       round(max(CASE WHEN e.value <= q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN e.value END), 6) AS upper_whisker
+FROM events e JOIN q ON e.event_type = q.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+# ES t_test aggregation (Welch) — sufficient statistics (t, df)
+
+
+def q_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.t_test_stats(
+        events, "value",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+    )
+
+
+SQL_t_test = """
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+             THEN CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssa,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+    CAST(sum(CASE WHEN event_type = 'view'
+             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb,
+    CAST(sum(CASE WHEN event_type = 'view'
+             THEN CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS ssb
+  FROM events
+),
+d AS (
+  SELECT na, nb,
+         CAST(sa AS DOUBLE) / 100.0 / CAST(na AS DOUBLE) AS ma,
+         CAST(sb AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE) AS mb,
+         ((CAST(ssa AS DOUBLE) / 10000.0
+           - (CAST(sa AS DOUBLE) / 100.0) * (CAST(sa AS DOUBLE) / 100.0)
+             / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))
+           / CAST(na AS DOUBLE) AS sea,
+         ((CAST(ssb AS DOUBLE) / 10000.0
+           - (CAST(sb AS DOUBLE) / 100.0) * (CAST(sb AS DOUBLE) / 100.0)
+             / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))
+           / CAST(nb AS DOUBLE) AS seb
+  FROM m
+)
+SELECT na, nb,
+       round((ma - mb) / sqrt(sea + seb), 6) AS t_stat,
+       round((sea + seb) * (sea + seb)
+             / (sea * sea / (CAST(na AS DOUBLE) - 1.0)
+                + seb * seb / (CAST(nb AS DOUBLE) - 1.0)), 4) AS welch_df
+FROM d WHERE na >= 2 AND nb >= 2
+"""
+
+
+# ES auto_date_histogram — data-driven calendar interval choice
+
+
+def q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.auto_date_histogram(events, "ts", target_buckets=30)
+
+
+SQL_auto_date_histogram = """
+WITH b AS (
+  SELECT min(epoch(ts)) AS t0, max(epoch(ts)) AS t1 FROM events
+),
+pick AS (
+  SELECT CASE
+    WHEN (t1 - t0) / 60.0 <= 30.0 THEN 'minute'
+    WHEN (t1 - t0) / 3600.0 <= 30.0 THEN 'hour'
+    WHEN (t1 - t0) / 86400.0 <= 30.0 THEN 'day'
+    WHEN (t1 - t0) / 2592000.0 <= 30.0 THEN 'month'
+    ELSE 'year' END AS interval
+  FROM b
+)
+SELECT pick.interval,
+       CAST(CASE pick.interval
+         WHEN 'minute' THEN date_trunc('minute', ts)
+         WHEN 'hour' THEN date_trunc('hour', ts)
+         WHEN 'day' THEN date_trunc('day', ts)
+         WHEN 'month' THEN date_trunc('month', ts)
+         ELSE date_trunc('year', ts) END AS TIMESTAMP) AS bucket_start,
+       count(*) AS doc_count
+FROM events, pick GROUP BY 1, 2 ORDER BY bucket_start
+"""
+
+
+# ES diversified_sampler — deterministic hash-ordered sample with a
+# per-value cap
+
+_DS_P = 2_147_483_647  # operators.sketches._P (Carter-Wegman modulus)
+
+
+def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.diversified_sampler(
+        docs, "source", "doc_id", shard_size=30, max_docs_per_value=2
+    )
+
+
+SQL_diversified_sampler = f"""
+WITH h AS (
+  SELECT *, (48611 * (doc_id % {_DS_P}) + 7) % {_DS_P} AS sample_order
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY sample_order ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, text, lang, source, n_chars, sample_order
+FROM r WHERE rn <= 2 ORDER BY sample_order ASC, doc_id ASC LIMIT 30
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_topk_per_host": q_frontier_topk_per_host,
     "priority_drain": q_priority_drain,
@@ -8675,6 +8988,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "multi_terms": q_multi_terms,
+    "weighted_avg": q_weighted_avg,
+    "mad_value": q_mad_value,
+    "serial_diff": q_serial_diff,
+    "bucket_selector": q_bucket_selector,
+    "bucket_sort": q_bucket_sort,
+    "string_stats": q_string_stats,
+    "boxplot": q_boxplot,
+    "t_test": q_t_test,
+    "auto_date_histogram": q_auto_date_histogram,
+    "diversified_sampler": q_diversified_sampler,
     "robots_rfc_gate": q_robots_rfc_gate,
     "search_phrase": q_search_phrase,
     "value_percentiles": q_value_percentiles,
@@ -8858,6 +9182,17 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "multi_terms": SQL_multi_terms,
+    "weighted_avg": SQL_weighted_avg,
+    "mad_value": SQL_mad_value,
+    "serial_diff": SQL_serial_diff,
+    "bucket_selector": SQL_bucket_selector,
+    "bucket_sort": SQL_bucket_sort,
+    "string_stats": SQL_string_stats,
+    "boxplot": SQL_boxplot,
+    "t_test": SQL_t_test,
+    "auto_date_histogram": SQL_auto_date_histogram,
+    "diversified_sampler": SQL_diversified_sampler,
     "robots_rfc_gate": SQL_robots_rfc_gate,
     "search_phrase": SQL_search_phrase,
     "value_percentiles": SQL_value_percentiles,
