@@ -1959,3 +1959,32 @@ def test_diversified_sampler_caps_per_value(spark):
     again = diversified_sampler(df, "host", "doc_id",
                                 shard_size=5, max_docs_per_value=2).collect()
     assert [r["doc_id"] for r in out] == [r["doc_id"] for r in again]
+
+
+def test_search_rescore_reranks_window_only(spark):
+    from webcrawler_spark.operators.search import search_rescore
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),        # score 3
+            (2, "alpha beta"),              # score 2, phrase "beta alpha" absent
+            (3, "beta alpha"),              # score 2, phrase present
+            (4, "beta alpha beta alpha"),   # score 2, phrase twice
+            (5, "delta"),                   # score 0 -> never in window
+        ],
+        ["doc_id", "text"],
+    )
+    out = search_rescore(
+        df, ["alpha", "beta", "gamma"], ["beta", "alpha"],
+        window_size=10, query_weight=1.0, rescore_weight=2.0, k=10,
+    ).collect()
+    got = [(r["doc_id"], r["rescore"]) for r in out]
+    # doc4: 2 + 2*2 = 6; doc3: 2 + 2 = 4; doc1: 3 + 0 = 3; doc2: 2
+    assert got == [(4, 6.0), (3, 4.0), (1, 3.0), (2, 2.0)]
+    # outside the window the secondary scorer never runs: with window 1,
+    # only the best main-query hit survives regardless of phrase boost
+    top1 = search_rescore(
+        df, ["alpha", "beta", "gamma"], ["beta", "alpha"],
+        window_size=1, k=10,
+    ).collect()
+    assert [(r["doc_id"], r["rescore"]) for r in top1] == [(1, 3.0)]

@@ -1574,3 +1574,45 @@ def diversified_sampler(
         .drop("_rn")
         .withColumnRenamed("_h", "sample_order")
     )
+
+
+def search_rescore(
+    df: DataFrame,
+    query_tokens: list[str],
+    phrase_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window_size: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    k: int = 20,
+) -> DataFrame:
+    """ES `rescore` API: run the cheap main query, take its top
+    `window_size` hits, and re-rank only that window with an expensive
+    secondary scorer (here: match_phrase occurrence count) combined as
+    query_weight*original + rescore_query_weight*secondary (ES
+    score_mode=total, the default).
+
+    100 TB shape: the main pass is the usual codegen projection +
+    TakeOrderedAndProject partial top-k; the phrase scorer — the
+    expensive part — runs on `window_size` ROWS ONLY (a driver-merged
+    head, re-parallelized), never on the corpus. That asymmetry is the
+    entire point of the ES API and survives any scale-up unchanged."""
+    base = match_score(F.col(text_col), query_tokens)
+    window = (
+        df.select(F.col(id_col), F.col(text_col), base.alias("score"))
+        .filter(F.col("score") >= 1)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(window_size)
+    )
+    combined = (
+        F.lit(float(query_weight)) * F.col("score").cast("double")
+        + F.lit(float(rescore_weight))
+        * phrase_count(F.col(text_col), phrase_tokens).cast("double")
+    )
+    return (
+        window.select(F.col(id_col), F.round(combined, 2).alias("rescore"))
+        .orderBy(F.desc("rescore"), F.asc(id_col))
+        .limit(k)
+    )

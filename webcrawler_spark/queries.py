@@ -8579,6 +8579,44 @@ ORDER BY spine.key
 """
 
 
+# ES rescore API — cheap main query, expensive phrase re-rank on the
+# top-window only
+
+
+def q_search_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_rescore(
+        docs, _QUERY_TOKENS, ["batch", "window"], "text", "doc_id",
+        window_size=50, query_weight=1.0, rescore_weight=2.0, k=20,
+    )
+
+
+SQL_search_rescore = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, toks,
+         len(list_intersect(list_distinct(toks), [{_QT_SQL}])) AS score
+  FROM t
+),
+win AS (
+  SELECT doc_id, toks, score FROM scored WHERE score >= 1
+  ORDER BY score DESC, doc_id ASC LIMIT 50
+)
+SELECT doc_id,
+       round(1.0 * CAST(score AS DOUBLE)
+             + 2.0 * CAST(CASE WHEN len(toks) < 2 THEN 0 ELSE
+                 len(list_filter(generate_series(1, len(toks) - 1),
+                     i -> toks[i] = 'batch' AND toks[i+1] = 'window'))
+                 END AS DOUBLE), 2) AS rescore
+FROM win ORDER BY rescore DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ES multi_terms aggregation — composite-key buckets
 
 
@@ -8988,6 +9026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "search_rescore": q_search_rescore,
     "multi_terms": q_multi_terms,
     "weighted_avg": q_weighted_avg,
     "mad_value": q_mad_value,
@@ -9182,6 +9221,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "search_rescore": SQL_search_rescore,
     "multi_terms": SQL_multi_terms,
     "weighted_avg": SQL_weighted_avg,
     "mad_value": SQL_mad_value,
