@@ -392,3 +392,31 @@ def test_strip_host_templates_rebuild(spark):
         4: ("copyright footer\nother text", 2, 2),
         5: ("more text", 1, 1),
     }
+
+
+def test_fineweb_filters_branches(spark):
+    from webcrawler_spark.operators.lines import fineweb_filters
+
+    long_punct = "This sentence is comfortably longer than thirty chars."
+    docs = spark.createDataFrame(
+        [
+            (1, "nav\nhome\nabout"),                      # short + unpunct
+            (2, "\n".join([long_punct] * 3 + ["A different long closing sentence right here."])),
+            (3, "\n".join([
+                "The first proper sentence is long enough to pass.",
+                "The second proper sentence is also long enough here.",
+                "The third proper sentence closes the document nicely.",
+            ])),
+            (4, "One line only, fine and punctuated properly enough."),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in fineweb_filters(docs).collect()}
+    assert out[1]["fail_punct"] and out[1]["fail_short"] and not out[1]["fineweb_pass"]
+    # doc2: 2 of 4 lines are repeats of an earlier identical line
+    assert out[2]["fail_dup"] and not out[2]["fail_punct"] and not out[2]["fineweb_pass"]
+    assert out[2]["dup_line_char_frac"] > 0.4
+    assert out[3]["fineweb_pass"] and not any(
+        out[3][c] for c in ("fail_punct", "fail_short", "fail_dup"))
+    # single line: dup frac defined as 0, passes
+    assert out[4]["fineweb_pass"] and out[4]["dup_line_char_frac"] == 0.0

@@ -1988,3 +1988,22 @@ def test_search_rescore_reranks_window_only(spark):
         window_size=1, k=10,
     ).collect()
     assert [(r["doc_id"], r["rescore"]) for r in top1] == [(1, 3.0)]
+
+
+def test_data_epochs_plan_caps_and_normalizes(spark):
+    from webcrawler_spark.operators.corpus import data_epochs_plan
+
+    docs = spark.createDataFrame(
+        [("a", "w " * 10), ("a", "w " * 10), ("b", "w " * 80), ("c", "ignored " * 5)],
+        ["source", "text"],
+    )
+    out = {r["source"]: r for r in data_epochs_plan(
+        docs, {"a": 0.5, "b": 0.5}, token_budget=200, max_epochs=4.0
+    ).collect()}
+    assert set(out) == {"a", "b"}          # unweighted source c excluded
+    # a: 20 tokens available, wants 100 -> 5 epochs, over cap, granted 80
+    assert out["a"]["n_tokens"] == 20 and out["a"]["epochs"] == 5.0
+    assert out["a"]["over_cap"] and out["a"]["granted_tokens"] == 80.0
+    # b: 80 available, wants 100 -> 1.25 epochs, under cap, granted 100
+    assert out["b"]["epochs"] == 1.25 and not out["b"]["over_cap"]
+    assert out["b"]["granted_tokens"] == 100.0

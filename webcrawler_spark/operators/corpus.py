@@ -635,3 +635,51 @@ def domain_cap(
         .filter(F.col("rk") <= cap)
         .drop("_salt", "_pre_rk")
     )
+
+
+def data_epochs_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    max_epochs: float = 4.0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-data audit for a training mix (Muennighoff et al. 2023:
+    repeating past ~4 epochs stops buying loss): given target mixture
+    `weights` and a total `token_budget`, compute per source the tokens
+    available, the tokens the mixture wants, the implied EPOCH COUNT
+    (desired/available), whether it breaches `max_epochs`, and the
+    capped grant min(desired, max_epochs*available) — the number the mix
+    must renormalize around when a small source can't cover its weight.
+
+    100 TB shape: one map-side-combined hash-agg to the source axis,
+    then pure arithmetic against the broadcast (literal) weight dim —
+    the audit costs one pass regardless of corpus size."""
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    per = docs.groupBy(F.col(source_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(ws)).cast("long").alias("n_tokens"),
+    )
+    total_w = float(sum(weights.values()))
+    wmap = F.create_map(
+        *[x for s, w in sorted(weights.items())
+          for x in (F.lit(s), F.lit(float(w) / total_w))]
+    )
+    desired = wmap[F.col(source_col)] * F.lit(float(token_budget))
+    epochs = desired / F.col("n_tokens").cast("double")
+    capped = F.least(
+        desired, F.lit(float(max_epochs)) * F.col("n_tokens").cast("double")
+    )
+    return (
+        per.filter(wmap[F.col(source_col)].isNotNull())
+        .select(
+            F.col(source_col),
+            "n_docs",
+            "n_tokens",
+            F.round(desired, 2).alias("desired_tokens"),
+            F.round(epochs, 4).alias("epochs"),
+            (epochs > F.lit(float(max_epochs))).alias("over_cap"),
+            F.round(capped, 2).alias("granted_tokens"),
+        )
+    )

@@ -460,3 +460,69 @@ def strip_host_templates(
             F.col("n_lines_total").cast("int"),
         )
     )
+
+
+def fineweb_filters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_punct_line_frac: float = 0.12,
+    max_short_line_frac: float = 0.67,
+    short_line_chars: int = 30,
+    max_dup_line_char_frac: float = 0.10,
+) -> DataFrame:
+    """The three doc-level filters FineWeb (Penedo et al. 2024 §3.4) added
+    on TOP of the C4 + Gopher stacks (both implemented elsewhere in this
+    package): remove a doc when (a) the fraction of lines ending in
+    punctuation is below 0.12, (b) >= 0.67 of lines are shorter than 30
+    chars, or (c) > 0.10 of line characters sit in within-doc duplicate
+    lines. Emits each signal (6dp) plus per-rule fails and the combined
+    `fineweb_pass`.
+
+    Fully native higher-order array ops over the line split — per-row
+    linear passes (the dup fraction uses the sorted-array neighbor-
+    equality trick, O(L log L) worst case), NO explode, NO shuffle: the
+    whole filter fuses into whatever scan already reads text."""
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != "")
+    n = F.size(lines)
+    punct = F.size(
+        F.filter(lines, lambda x: x.rlike('[.!?"’”]\\s*$'))
+    )
+    short = F.size(
+        F.filter(lines, lambda x: F.length(x) < short_line_chars)
+    )
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    srt = F.array_sort(lines)
+    dup_chars = F.aggregate(
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(srt, i) == F.element_at(srt, i - 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.length(F.element_at(srt, i)),
+    )
+    frac = lambda a, b: F.round(  # noqa: E731
+        a.cast("double") / F.greatest(b.cast("double"), F.lit(1.0)), 6
+    )
+    out = docs.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        frac(punct, n).alias("punct_line_frac"),
+        frac(short, n).alias("short_line_frac"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(frac(dup_chars, tot_chars))
+        .alias("dup_line_char_frac"),
+    )
+    return out.select(
+        "*",
+        (F.col("punct_line_frac") < min_punct_line_frac).alias("fail_punct"),
+        (F.col("short_line_frac") >= max_short_line_frac).alias("fail_short"),
+        (F.col("dup_line_char_frac") > max_dup_line_char_frac).alias("fail_dup"),
+    ).select(
+        "*",
+        (
+            ~F.col("fail_punct") & ~F.col("fail_short") & ~F.col("fail_dup")
+        ).alias("fineweb_pass"),
+    )

@@ -8579,6 +8579,118 @@ ORDER BY spine.key
 """
 
 
+# FineWeb doc-level filters (Penedo et al. 2024 §3.4) — the three rules
+# FineWeb adds on top of C4+Gopher. The synthetic docs are single-line, so
+# lines are derived from sentence breaks; a constant fixture (shared
+# verbatim with the oracle) exercises every fail branch.
+
+_FW_FIXTURE: list[tuple[int, str]] = [
+    # all-short, unpunctuated lines -> fail_short AND fail_punct
+    (-1, "nav\nhome\nabout\ncontact"),
+    # one 48-char punctuated line repeated 4x + one unique -> fail_dup only
+    (-2, "\n".join(["This duplicated navigation line is long enough."] * 4
+                   + ["A unique closing sentence that is long enough too."])),
+    # three distinct long punctuated lines -> passes all three rules
+    (-3, "The first proper sentence is long enough to pass.\n"
+         "The second proper sentence is also long enough here.\n"
+         "The third proper sentence closes the document nicely."),
+]
+
+
+def q_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import lines as L
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", r"\. ", ".\n").alias("text")
+    )
+    fix = spark.createDataFrame(_FW_FIXTURE, "doc_id long, text string")
+    return L.fineweb_filters(docs.unionByName(fix)).orderBy("doc_id")
+
+
+_FW_FIX_SQL = ", ".join(
+    "({}, '{}')".format(i, t.replace("'", "''").replace("\n", "' || chr(10) || '"))
+    for i, t in _FW_FIXTURE
+)
+
+SQL_fineweb_filters = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_replace(text, '\\. ', '.' || chr(10), 'g') AS text
+  FROM documents
+  UNION ALL SELECT * FROM (VALUES {_FW_FIX_SQL}) AS fx(doc_id, text)
+),
+l AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), x -> x <> '') AS ls
+  FROM raw
+),
+sig AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         round(CAST(len(list_filter(ls, x -> regexp_matches(x, '[.!?"’”]\\s*$')))
+                    AS DOUBLE) / greatest(CAST(len(ls) AS DOUBLE), 1.0), 6)
+           AS punct_line_frac,
+         round(CAST(len(list_filter(ls, x -> length(x) < 30)) AS DOUBLE)
+               / greatest(CAST(len(ls) AS DOUBLE), 1.0), 6) AS short_line_frac,
+         CASE WHEN len(ls) < 2 THEN 0.0 ELSE
+           round(CAST(list_sum(list_transform(
+                   list_filter(generate_series(2, len(ls)),
+                               i -> list_sort(ls)[i] = list_sort(ls)[i-1]),
+                   i -> length(list_sort(ls)[i]))) AS DOUBLE)
+                 / greatest(CAST(list_sum(list_transform(ls, x -> length(x)))
+                                 AS DOUBLE), 1.0), 6)
+         END AS dup_line_char_frac
+  FROM l
+)
+SELECT doc_id, CAST(n_lines AS INTEGER) AS n_lines, punct_line_frac,
+       short_line_frac,
+       coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       punct_line_frac < 0.12 AS fail_punct,
+       short_line_frac >= 0.67 AS fail_short,
+       coalesce(dup_line_char_frac, 0.0) > 0.10 AS fail_dup,
+       NOT (punct_line_frac < 0.12) AND NOT (short_line_frac >= 0.67)
+         AND NOT (coalesce(dup_line_char_frac, 0.0) > 0.10) AS fineweb_pass
+FROM sig ORDER BY doc_id
+"""
+
+
+# Repeated-data epochs audit (Muennighoff et al. 2023) for a target mix
+
+_DE_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_DE_BUDGET = 20_000
+
+
+def q_data_epochs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import corpus as C
+
+    docs = _t(spark, sf_dir, "documents")
+    return C.data_epochs_plan(docs, _DE_WEIGHTS, _DE_BUDGET).orderBy("source")
+
+
+_DE_W_SQL = " ".join(
+    f"WHEN '{s}' THEN {w / sum(_DE_WEIGHTS.values())!r}"
+    for s, w in sorted(_DE_WEIGHTS.items())
+)
+
+SQL_data_epochs_plan = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, CAST(CASE source {_DE_W_SQL} ELSE NULL END AS DOUBLE) AS wt
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(wt * {_DE_BUDGET}.0, 2) AS desired_tokens,
+       round(wt * {_DE_BUDGET}.0 / CAST(n_tokens AS DOUBLE), 4) AS epochs,
+       wt * {_DE_BUDGET}.0 / CAST(n_tokens AS DOUBLE) > 4.0 AS over_cap,
+       round(least(wt * {_DE_BUDGET}.0,
+                   4.0 * CAST(n_tokens AS DOUBLE)), 2) AS granted_tokens
+FROM w WHERE wt IS NOT NULL ORDER BY source
+"""
+
+
 # ES rescore API — cheap main query, expensive phrase re-rank on the
 # top-window only
 
@@ -9026,6 +9138,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "fineweb_filters": q_fineweb_filters,
+    "data_epochs_plan": q_data_epochs_plan,
     "search_rescore": q_search_rescore,
     "multi_terms": q_multi_terms,
     "weighted_avg": q_weighted_avg,
@@ -9221,6 +9335,8 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "fineweb_filters": SQL_fineweb_filters,
+    "data_epochs_plan": SQL_data_epochs_plan,
     "search_rescore": SQL_search_rescore,
     "multi_terms": SQL_multi_terms,
     "weighted_avg": SQL_weighted_avg,
