@@ -8691,6 +8691,70 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Quality-filter ensemble — the C4 + Gopher + FineWeb stacks composed
+# into one per-doc verdict (the actual keep decision a FineWeb-style
+# pipeline makes; each stack is individually oracle-backed elsewhere)
+
+
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc composition: gopher_pass ∧ fineweb_pass ∧ survived-C4.
+    Composed here as doc_id joins for auditability; in the production
+    pipeline the three signal sets are pure projections over the same
+    text column and fuse into ONE scan (no join) — the entry pins the
+    SEMANTICS. C4 presence counts as the pass bit because the C4 filter
+    drops failing docs rather than flagging them."""
+    from .operators import lines as L
+    from .operators import textstats as T
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    g = T.gopher_quality(docs, "doc_id", "text").select("doc_id", "gopher_pass")
+    fw = L.fineweb_filters(
+        docs.select(
+            "doc_id", F.regexp_replace("text", r"\. ", ".\n").alias("text")
+        )
+    ).select("doc_id", "fineweb_pass")
+    c4 = (
+        L.c4_line_filter(docs, min_words=3, min_lines=2, mode="chunks")
+        .select("doc_id", F.lit(True).alias("c4_pass"))
+    )
+    return (
+        g.join(fw, "doc_id")
+        .join(c4, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_pass",
+            "fineweb_pass",
+            F.coalesce("c4_pass", F.lit(False)).alias("c4_pass"),
+            (
+                F.col("gopher_pass") & F.col("fineweb_pass")
+                & F.coalesce("c4_pass", F.lit(False))
+            ).alias("ensemble_keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_ensemble() -> str:
+    # compose the three stacks' own oracle SQL so the ensemble can never
+    # drift from the individually-verified semantics; strip the fixture
+    # unions (negative ids) the standalone entries add for branch coverage
+    return f"""
+WITH g_all AS ({_sql_gopher_quality().strip().rstrip(';')}),
+fw_all AS ({SQL_fineweb_filters.strip().rstrip(';')}),
+c4_all AS ({SQL_c4_line_filter.strip().rstrip(';')})
+SELECT g_all.doc_id, g_all.gopher_pass, fw_all.fineweb_pass,
+       coalesce(c4_all.c4_pass, false) AS c4_pass,
+       g_all.gopher_pass AND fw_all.fineweb_pass
+         AND coalesce(c4_all.c4_pass, false) AS ensemble_keep
+FROM g_all
+JOIN fw_all ON g_all.doc_id = fw_all.doc_id
+LEFT JOIN (SELECT doc_id, true AS c4_pass FROM c4_all) c4_all
+       ON g_all.doc_id = c4_all.doc_id
+WHERE g_all.doc_id >= 0
+ORDER BY g_all.doc_id
+"""
+
+
 # ES rescore API — cheap main query, expensive phrase re-rank on the
 # top-window only
 
@@ -9138,6 +9202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "quality_ensemble": q_quality_ensemble,
     "fineweb_filters": q_fineweb_filters,
     "data_epochs_plan": q_data_epochs_plan,
     "search_rescore": q_search_rescore,
@@ -9335,6 +9400,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "quality_ensemble": _sql_quality_ensemble(),
     "fineweb_filters": SQL_fineweb_filters,
     "data_epochs_plan": SQL_data_epochs_plan,
     "search_rescore": SQL_search_rescore,
