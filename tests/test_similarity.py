@@ -550,3 +550,28 @@ def test_ngram_containment_tie_drops_larger_id(spark):
     (row,) = ngram_containment_pairs(docs, threshold=0.9).collect()
     assert row["cont_a_in_b"] == row["cont_b_in_a"] == 1.0
     assert row["drop_id"] == 9
+
+
+def test_semantic_decontaminate_flags_and_tiebreak(spark):
+    from webcrawler_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [0.7, 0.7])],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame(
+        # bench 1 and 2 are IDENTICAL -> tie on cos_sim; smallest id wins
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.99).collect()}
+    assert out[10]["contaminated"] and out[10]["closest_bench_id"] == 1
+    assert out[10]["max_cos"] == 1.0
+    assert out[11]["contaminated"] and out[11]["closest_bench_id"] == 3
+    assert not out[12]["contaminated"]  # cos ~= 0.707 < 0.99
+    # benchmark dim must broadcast: the 10^10-vector corpus never shuffles
+    plan = semantic_decontaminate(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

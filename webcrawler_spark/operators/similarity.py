@@ -927,3 +927,56 @@ def ann_recall(
             F.round(F.col("n_hits") / F.lit(float(k)), 6).alias("recall"),
         )
     )
+
+
+def semantic_decontaminate(
+    embeddings: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic complement
+    of the n-gram `corpus_decontaminate`): for every corpus vector, the
+    max cosine similarity against ANY benchmark vector, the closest
+    benchmark item (ties -> smallest benchmark id, resolved inside one
+    max(struct) aggregate so the argmax is deterministic), and the
+    contaminated flag at `threshold`.
+
+    100 TB shape: the benchmark suite is a bounded dim (10^3-10^5 rows) —
+    BROADCAST it; the corpus streams through one scan with a |bench|-wide
+    per-row loop and the (id)-keyed agg partial-aggregates map-side, so
+    nothing data-sized shuffles. For benchmark sets too big to broadcast,
+    the IVF route (ivf cell assignment on both sides, join on cell)
+    bounds the pair space exactly as semantic_dedup's cells do."""
+    b = F.broadcast(
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.col(vec_col).cast("array<double>").alias("bvec"),
+        )
+    )
+    scored = (
+        embeddings.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .join(b)
+        .select(
+            F.col(id_col),
+            F.col("bench_id"),
+            F.round(cosine(F.col("v"), F.col("bvec")), 6).alias("cos_sim"),
+        )
+    )
+    best = scored.groupBy(F.col(id_col)).agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"), (-F.col("bench_id")).alias("nid")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("m.cos_sim").alias("max_cos"),
+        (-F.col("m.nid")).alias("closest_bench_id"),
+        (F.col("m.cos_sim") >= F.lit(float(threshold))).alias("contaminated"),
+    )

@@ -8691,6 +8691,42 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Embedding-space benchmark decontamination (semantic complement of the
+# n-gram corpus_decontaminate): vec_id < 25 stands in for the benchmark
+# suite; threshold 0.35 sits at ~p95 of the synthetic max-cos distribution
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 25),
+        emb.filter(F.col("vec_id") < 25),
+        threshold=0.35,
+    ).orderBy("vec_id")
+
+
+SQL_semantic_decontaminate = """
+WITH b AS (SELECT vec_id AS bench_id, embedding AS bv
+           FROM embeddings WHERE vec_id < 25),
+c AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id >= 25),
+s AS (
+  SELECT c.vec_id, b.bench_id,
+         round(list_cosine_similarity(c.v::DOUBLE[], b.bv::DOUBLE[]), 6)
+           AS cos_sim
+  FROM c, b
+),
+agg AS (
+  SELECT vec_id,
+         max(struct_pack(cos_sim := cos_sim, nid := -bench_id)) AS m
+  FROM s GROUP BY vec_id
+)
+SELECT vec_id, m.cos_sim AS max_cos,
+       CAST(-m.nid AS BIGINT) AS closest_bench_id,
+       m.cos_sim >= 0.35 AS contaminated
+FROM agg ORDER BY vec_id
+"""
+
+
 # Quality-filter ensemble — the C4 + Gopher + FineWeb stacks composed
 # into one per-doc verdict (the actual keep decision a FineWeb-style
 # pipeline makes; each stack is individually oracle-backed elsewhere)
@@ -9202,6 +9238,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "quality_ensemble": q_quality_ensemble,
     "fineweb_filters": q_fineweb_filters,
     "data_epochs_plan": q_data_epochs_plan,
@@ -9400,6 +9437,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "semantic_decontaminate": SQL_semantic_decontaminate,
     "quality_ensemble": _sql_quality_ensemble(),
     "fineweb_filters": SQL_fineweb_filters,
     "data_epochs_plan": SQL_data_epochs_plan,
