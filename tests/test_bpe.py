@@ -111,3 +111,22 @@ def test_no_python_udf_in_plan(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_tokenizer_fertility_by_group(spark):
+    import pytest
+
+    from webcrawler_spark.operators.bpe import tokenizer_fertility, train_bpe
+
+    docs = spark.createDataFrame(
+        [("en", "aa aa aa bb"), ("de", "cc dd")], ["lang", "text"]
+    )
+    merges = train_bpe(docs, n_merges=1)  # merges the most frequent pair: (a)(a)
+    out = {r["lang"]: r for r in
+           tokenizer_fertility(docs, merges, by="lang").collect()}
+    # en: 'aa' -> [aa, _] = 2 tokens x3; 'bb' -> [b, b, _] = 3  => 9/4 words
+    assert out["en"]["n_words"] == 4 and out["en"]["n_tokens"] == 9
+    assert out["en"]["fertility"] == pytest.approx(2.25)
+    # de words untouched by the merge: 'cc' -> [c, c, _] = 3 each
+    assert out["de"]["n_words"] == 2 and out["de"]["n_tokens"] == 6
+    assert out["de"]["chars_per_token"] == pytest.approx(4 / 6, abs=1e-6)

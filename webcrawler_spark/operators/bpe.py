@@ -211,3 +211,48 @@ def encode_docs(
             F.sum("n_sub").cast("bigint").alias("n_subwords"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[dict],
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per group (typically language): subword
+    tokens per word and characters per subword token under the LEARNED
+    merge chain — the standard check that a tokenizer trained on one mix
+    doesn't tax another language with 2-3x the tokens per word. Subword
+    counts include the end-of-word marker (consistent with
+    `encode_docs` / `bpe_sequence_plan` budgets); chars count the raw
+    word letters.
+
+    100 TB shape: same as encode_docs — the merge chain rewrites each
+    DISTINCT word once (vocab-sized), the per-word length dim broadcasts
+    back onto the occurrence stream, and the group agg partial-aggregates
+    map-side. One corpus scan total."""
+    occurrences = docs.select(
+        F.col(by), F.explode(_tokens(F.col(text_col))).alias("word")
+    )
+    vocab = apply_merges(
+        occurrences.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .withColumn("wrapped", _wrapped(F.col("word"))),
+        merges,
+    ).select("word", F.size("subwords").alias("n_sub"))
+    joined = occurrences.join(F.broadcast(vocab), "word")
+    return joined.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("n_sub").cast("bigint").alias("n_tokens"),
+        F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+    ).select(
+        F.col(by),
+        "n_words",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("chars_per_token"),
+    )

@@ -6646,6 +6646,45 @@ GROUP BY 1
 """
 
 
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import bpe as B
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = B.train_bpe(docs, n_merges=_BPE_ROUNDS)
+    return B.tokenizer_fertility(docs, merges, by="lang").orderBy("lang")
+
+
+SQL_tokenizer_fertility = _sql_bpe_chain(keep_word=True) + """
+, wsub AS (
+  SELECT word,
+         CAST(len(string_split(substr(wrapped, 2, length(wrapped) - 2),
+                               ')(')) AS BIGINT) AS n_sub
+  FROM v{n}
+),
+occ AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            w -> w != '')) AS word
+  FROM documents
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_sub) AS BIGINT) AS n_tokens,
+         CAST(sum(length(word)) AS BIGINT) AS n_chars
+  FROM occ JOIN wsub USING (word)
+  GROUP BY lang
+)
+SELECT lang, n_words, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         AS fertility,
+       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         AS chars_per_token
+FROM agg ORDER BY lang
+""".format(n=_BPE_ROUNDS)
+
+
 # BPE-aware sequence packing (corpus.bpe_sequence_plan): the packing
 # cumulative-sum window fed by LEARNED-tokenizer lengths (bpe.encode_docs)
 # instead of whitespace counts — token budgets match what the training
@@ -9298,6 +9337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "bpe_vocab_counts": q_bpe_vocab_counts,
     "bpe_sequence_plan": q_bpe_sequence_plan,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "recrawl_rates": q_recrawl_rates,
     "recrawl_schedule": q_recrawl_schedule,
     "revisit_intervals": q_revisit_intervals,
@@ -9497,6 +9537,7 @@ ORACLE_SQL: dict[str, str] = {
     "bpe_merges": SQL_bpe_merges,
     "bpe_vocab_counts": SQL_bpe_vocab_counts,
     "bpe_sequence_plan": SQL_bpe_sequence_plan,
+    "tokenizer_fertility": SQL_tokenizer_fertility,
     "recrawl_rates": SQL_recrawl_rates,
     "recrawl_schedule": SQL_recrawl_schedule,
     "revisit_intervals": SQL_revisit_intervals,
