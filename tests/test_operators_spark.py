@@ -2007,3 +2007,39 @@ def test_data_epochs_plan_caps_and_normalizes(spark):
     # b: 80 available, wants 100 -> 1.25 epochs, under cap, granted 100
     assert out["b"]["epochs"] == 1.25 and not out["b"]["over_cap"]
     assert out["b"]["granted_tokens"] == 100.0
+
+
+def test_budget_fairness_cap_flattens(spark):
+    from webcrawler_spark.operators.scheduler import budget_fairness
+
+    # one hot host with 8 URLs, four hosts with 1 each
+    rows = [("hot",)] * 8 + [("h%d" % i,) for i in range(4)]
+    df = spark.createDataFrame(rows, ["host"])
+    r = budget_fairness(df, "host", cap=2).collect()[0]
+    assert r["n_hosts"] == 5 and r["total_demand"] == 12
+    assert r["total_granted"] == 2 + 4
+    # raw: (12^2)/(5*(64+4)) = 144/340; capped: (6^2)/(5*(4+4)) = 36/40
+    assert r["jain_raw"] == pytest.approx(144 / 340, abs=1e-6)
+    assert r["jain_capped"] == pytest.approx(0.9, abs=1e-6)
+    assert r["jain_capped"] > r["jain_raw"]
+
+
+def test_schedule_order_correlation_extremes(spark):
+    from webcrawler_spark.operators.scheduler import schedule_order_correlation
+
+    rows = []
+    # host A: priority strictly increases with discovery -> drain reverses it
+    for i in range(5):
+        rows.append(("A", i, float(i), 100 + i))
+    # host B: priority strictly decreases with discovery -> same order
+    for i in range(5):
+        rows.append(("B", i, float(10 - i), 200 + i))
+    df = spark.createDataFrame(rows, ["host", "disc", "prio", "uid"])
+    out = {r["host"]: r["spearman_rho"] for r in schedule_order_correlation(
+        df, "host", "disc", "prio", "uid").collect()}
+    assert out["A"] == pytest.approx(-1.0)
+    assert out["B"] == pytest.approx(1.0)
+    # single exchange: both windows ride one hash partitioning on host
+    plan = schedule_order_correlation(df, "host", "disc", "prio", "uid") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(host") == 1

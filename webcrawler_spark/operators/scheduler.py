@@ -586,3 +586,89 @@ def regex_url_filter(
         F.col("m.action").alias("action"),
         F.coalesce(F.col("m.action") == "+", F.lit(default_allow)).alias("kept"),
     )
+
+
+def budget_fairness(
+    frontier: DataFrame, host_col: str, cap: int
+) -> DataFrame:
+    """Jain's fairness index over per-host fetch allocation, before and
+    after the politeness cap: J = (Σx)² / (n·Σx²) ∈ (1/n, 1], 1 = every
+    host gets an equal share. The one-row gauge that politeness capping
+    actually flattens a skewed frontier (raw demand J ≪ capped J) — the
+    scheduler-health metric next to `shard_imbalance`.
+
+    100 TB shape: one map-side-combined hash-agg to the host axis, then
+    a single global sum over host rows; exact integer moments, one final
+    double division per index."""
+    per = frontier.groupBy(F.col(host_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("demand")
+    ).select(
+        "demand",
+        F.least(F.col("demand"), F.lit(int(cap))).cast("long").alias("granted"),
+    )
+    jain = lambda s, ss: F.round(  # noqa: E731
+        (s.cast("double") * s.cast("double"))
+        / (F.count(F.lit(1)).cast("double") * ss.cast("double")),
+        6,
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("demand").alias("total_demand"),
+        F.sum("granted").alias("total_granted"),
+        jain(F.sum("demand"), F.sum(F.col("demand") * F.col("demand"))).alias(
+            "jain_raw"
+        ),
+        jain(
+            F.sum("granted"), F.sum(F.col("granted") * F.col("granted"))
+        ).alias("jain_capped"),
+    )
+
+
+def schedule_order_correlation(
+    frontier: DataFrame,
+    host_col: str,
+    discovery_col: str,
+    priority_col: str,
+    id_col: str,
+    min_rows: int = 2,
+) -> DataFrame:
+    """Per-host Spearman rank correlation between DISCOVERY order (BFS:
+    `discovery_col` asc) and DRAIN order (priority: `priority_col` desc)
+    — how far priority scheduling deviates from the reference's
+    FIFO-per-host semantics on each host (ρ=1 identical order, ρ=-1 full
+    reversal). Both rankings tie-break on `id_col`, making them exact
+    permutations, so ρ = 1 − 6·Σd²/(n(n²−1)) is exact integer arithmetic
+    until one final division.
+
+    100 TB shape: the two row_number windows share ONE hash exchange on
+    the host key (same partitioning, different orderBy), then a map-side
+    combined per-host agg; no joins."""
+    w_disc = Window.partitionBy(host_col).orderBy(
+        F.asc(discovery_col), F.asc(id_col)
+    )
+    w_prio = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.asc(id_col)
+    )
+    ranked = frontier.select(
+        F.col(host_col),
+        F.row_number().over(w_disc).cast("long").alias("r_disc"),
+        F.row_number().over(w_prio).cast("long").alias("r_prio"),
+    )
+    d2 = (F.col("r_disc") - F.col("r_prio")) * (F.col("r_disc") - F.col("r_prio"))
+    agg = ranked.groupBy(F.col(host_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d2).cast("long").alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    return (
+        agg.filter(F.col("n") >= int(min_rows))
+        .select(
+            F.col(host_col),
+            "n",
+            F.round(
+                F.lit(1.0) - (F.lit(6.0) * F.col("sd2").cast("double"))
+                / (n * (n * n - F.lit(1.0))),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )

@@ -8730,6 +8730,68 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Scheduler health gauges: Jain fairness of the politeness cap, and
+# per-host Spearman deviation of priority order from discovery order
+
+
+def q_budget_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scheduler as SCH
+
+    orders = _t(spark, sf_dir, "orders")
+    return SCH.budget_fairness(orders, "o_custkey", cap=3)
+
+
+SQL_budget_fairness = """
+WITH per AS (
+  SELECT CAST(count(*) AS BIGINT) AS demand,
+         CAST(least(count(*), 3) AS BIGINT) AS granted
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+       CAST(sum(demand) AS BIGINT) AS total_demand,
+       CAST(sum(granted) AS BIGINT) AS total_granted,
+       round(CAST(sum(demand) AS DOUBLE) * CAST(sum(demand) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+                * CAST(sum(demand * demand) AS DOUBLE)), 6) AS jain_raw,
+       round(CAST(sum(granted) AS DOUBLE) * CAST(sum(granted) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+                * CAST(sum(granted * granted) AS DOUBLE)), 6) AS jain_capped
+FROM per
+"""
+
+
+def q_schedule_order_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scheduler as SCH
+
+    orders = _t(spark, sf_dir, "orders")
+    return SCH.schedule_order_correlation(
+        orders, "o_custkey", "o_orderdate", "o_totalprice", "o_orderkey",
+        min_rows=5,
+    ).orderBy("o_custkey")
+
+
+SQL_schedule_order_correlation = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS r_disc,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS r_prio
+  FROM orders
+),
+a AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum((r_disc - r_prio) * (r_disc - r_prio)) AS BIGINT) AS sd2
+  FROM r GROUP BY o_custkey
+)
+SELECT o_custkey, n,
+       round(1.0 - (6.0 * CAST(sd2 AS DOUBLE))
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                     - 1.0)), 6) AS spearman_rho
+FROM a WHERE n >= 5 ORDER BY o_custkey
+"""
+
+
 # Embedding-space benchmark decontamination (semantic complement of the
 # n-gram corpus_decontaminate): vec_id < 25 stands in for the benchmark
 # suite; threshold 0.35 sits at ~p95 of the synthetic max-cos distribution
@@ -9277,6 +9339,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "budget_fairness": q_budget_fairness,
+    "schedule_order_correlation": q_schedule_order_correlation,
     "semantic_decontaminate": q_semantic_decontaminate,
     "quality_ensemble": q_quality_ensemble,
     "fineweb_filters": q_fineweb_filters,
@@ -9477,6 +9541,8 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "budget_fairness": SQL_budget_fairness,
+    "schedule_order_correlation": SQL_schedule_order_correlation,
     "semantic_decontaminate": SQL_semantic_decontaminate,
     "quality_ensemble": _sql_quality_ensemble(),
     "fineweb_filters": SQL_fineweb_filters,
