@@ -2043,3 +2043,23 @@ def test_schedule_order_correlation_extremes(spark):
     plan = schedule_order_correlation(df, "host", "disc", "prio", "uid") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(host") == 1
+
+
+def test_variable_width_histogram_separated_clusters(spark):
+    from webcrawler_spark.operators.search import variable_width_histogram
+
+    vals = [1.0, 1.1, 1.2, 10.0, 10.1, 10.2, 50.0, 50.5, 99.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    rows = variable_width_histogram(df, "value", buckets=4, rounds=2).collect()
+    got = [(r["min"], r["max"], r["doc_count"]) for r in rows]
+    # quantile init seeds two centroids inside the dense 10.x group (three
+    # of eight inter-quantile positions fall there), so Lloyd keeps the
+    # split and the sparse right tail merges — standard k-means behavior,
+    # pinned here deterministically
+    assert got == [(1.0, 1.2, 3), (10.0, 10.1, 2), (10.2, 10.2, 1),
+                   (50.0, 99.0, 3)]
+    assert rows[0]["centroid"] == pytest.approx(1.1, abs=1e-6)
+    assert rows[3]["centroid"] == pytest.approx((50.0 + 50.5 + 99.0) / 3, abs=1e-6)
+    # deterministic across reruns (ES's own streaming agg is not)
+    again = variable_width_histogram(df, "value", buckets=4, rounds=2).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

@@ -1616,3 +1616,64 @@ def search_rescore(
         .orderBy(F.desc("rescore"), F.asc(id_col))
         .limit(k)
     )
+
+
+def variable_width_histogram(
+    df: DataFrame,
+    value_col: str,
+    buckets: int = 4,
+    rounds: int = 2,
+) -> DataFrame:
+    """ES `variable_width_histogram`, made deterministic: 1-D k-means
+    where ES uses a one-pass streaming approximation (shard-order
+    dependent, irreproducible by construction). Init = exact
+    linear-interpolation quantiles at (i+0.5)/k, then `rounds` Lloyd
+    iterations (assign to nearest centroid, ties to the lower-indexed
+    one; recompute centroid as the cents-exact mean). Emits per
+    non-empty bucket: min, max, centroid, doc_count, ordered by
+    centroid (ES bucket order).
+
+    100 TB shape: per round, one data scan with a k-literal argmin
+    projection + a map-side-combined k-row agg; ONLY the k centroid
+    scalars visit the driver between rounds (the IVF-centroid bounded-
+    collect precedent, `similarity.py`). Empty clusters drop (ES merges
+    them away)."""
+    v = F.col(value_col).cast("double")
+    qs = df.agg(
+        F.percentile(v, F.array(*[F.lit((i + 0.5) / buckets) for i in range(buckets)])).alias("q")
+    ).first()["q"]
+    centroids = [float(c) for c in qs]
+    out = None
+    for _ in range(rounds):
+        dists = F.array(
+            *[
+                F.struct(
+                    F.abs(v - F.lit(c)).alias("d"), F.lit(i).alias("i")
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+        assigned = df.select(
+            v.alias("v"), F.array_min(dists)["i"].alias("cl")
+        )
+        agg = (
+            assigned.groupBy("cl")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("doc_count"),
+                F.min("v").alias("min"),
+                F.max("v").alias("max"),
+                (
+                    F.sum(F.round(F.col("v") * 100).cast("long")).cast("double")
+                    / (100.0 * F.count(F.lit(1)).cast("double"))
+                ).alias("centroid"),
+            )
+        )
+        rows = agg.collect()  # k rows — bounded driver reduce per round
+        centroids = [r["centroid"] for r in sorted(rows, key=lambda r: r["cl"])]
+        out = agg
+    return out.select(
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+        F.round("centroid", 6).alias("centroid"),
+        "doc_count",
+    ).orderBy("centroid")

@@ -8730,6 +8730,56 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# ES variable_width_histogram — deterministic 1-D Lloyd variant (quantile
+# init, 2 unrolled rounds; ES's own streaming approximation is
+# shard-order-dependent and irreproducible)
+
+
+def q_variable_width_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.variable_width_histogram(events, "value", buckets=4, rounds=2)
+
+
+def _vwh_assign(src: str, cents: str) -> str:
+    d = [f"abs(v - {cents}.c{i})" for i in range(4)]
+    return f"""
+  SELECT v,
+         CASE WHEN {d[0]} <= {d[1]} AND {d[0]} <= {d[2]} AND {d[0]} <= {d[3]} THEN 0
+              WHEN {d[1]} <= {d[2]} AND {d[1]} <= {d[3]} THEN 1
+              WHEN {d[2]} <= {d[3]} THEN 2 ELSE 3 END AS cl
+  FROM {src}, {cents}
+"""
+
+
+SQL_variable_width_histogram = f"""
+WITH vals AS (SELECT CAST(value AS DOUBLE) AS v FROM events),
+c0 AS (
+  SELECT q[1] AS c0, q[2] AS c1, q[3] AS c2, q[4] AS c3 FROM (
+    SELECT quantile_cont(v, [0.125, 0.375, 0.625, 0.875]) AS q FROM vals)
+),
+a1 AS ({_vwh_assign("vals", "c0")}),
+m1 AS (
+  SELECT cl,
+         CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(*) AS DOUBLE)) AS c
+  FROM a1 GROUP BY cl
+),
+c1r AS (
+  SELECT max(CASE WHEN cl = 0 THEN c END) AS c0,
+         max(CASE WHEN cl = 1 THEN c END) AS c1,
+         max(CASE WHEN cl = 2 THEN c END) AS c2,
+         max(CASE WHEN cl = 3 THEN c END) AS c3
+  FROM m1
+),
+a2 AS ({_vwh_assign("vals", "c1r")})
+SELECT round(min(v), 6) AS "min", round(max(v), 6) AS "max",
+       round(CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * CAST(count(*) AS DOUBLE)), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM a2 GROUP BY cl ORDER BY centroid
+"""
+
+
 # Scheduler health gauges: Jain fairness of the politeness cap, and
 # per-host Spearman deviation of priority order from discovery order
 
@@ -9339,6 +9389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "variable_width_histogram": q_variable_width_histogram,
     "budget_fairness": q_budget_fairness,
     "schedule_order_correlation": q_schedule_order_correlation,
     "semantic_decontaminate": q_semantic_decontaminate,
@@ -9541,6 +9592,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "variable_width_histogram": SQL_variable_width_histogram,
     "budget_fairness": SQL_budget_fairness,
     "schedule_order_correlation": SQL_schedule_order_correlation,
     "semantic_decontaminate": SQL_semantic_decontaminate,
