@@ -2063,3 +2063,21 @@ def test_variable_width_histogram_separated_clusters(spark):
     # deterministic across reruns (ES's own streaming agg is not)
     again = variable_width_histogram(df, "value", buckets=4, rounds=2).collect()
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_vocab_growth_first_occurrence_attribution(spark):
+    from webcrawler_spark.operators.textstats import vocab_growth
+
+    df = spark.createDataFrame(
+        [
+            ("a", "cat dog"),
+            ("a", "dog bird"),       # dog counted once per group
+            ("b", "dog fish"),       # only fish is new in b
+            ("c", "cat dog bird"),   # nothing new in c
+        ],
+        ["source", "text"],
+    )
+    rows = vocab_growth(df, by="source").collect()
+    got = [(r["source"], r["n_terms"], r["n_new_terms"], r["cum_vocab"])
+           for r in rows]
+    assert got == [("a", 3, 3, 3), ("b", 2, 1, 4), ("c", 3, 0, 4)]

@@ -514,3 +514,43 @@ def term_pmi(
         .select("bigram", "n_ab", "pmi")
     )
     return out.orderBy(F.desc("pmi"), F.asc("bigram")).limit(k)
+
+
+def vocab_growth(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps-law vocabulary-growth gauge across an ordered corpus axis
+    (sources, crawl epochs, dump snapshots): per group — its distinct
+    term count, the terms appearing for the FIRST time (attributed to the
+    lexicographically-first group containing each term), and the running
+    cumulative vocabulary. The planning signal for tokenizer vocab sizing
+    and for "is another crawl epoch still buying new language?".
+
+    100 TB shape: one distinct-(group, term) explode + two hash-aggs
+    (term → first group; group → counts); the cumulative sum windows over
+    the GROUP axis only (bounded). No joins on the data axis."""
+    terms = docs.select(
+        F.col(by), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+    ).distinct()
+    per_group = terms.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms")
+    )
+    first = terms.groupBy("t").agg(F.min(by).alias(by))
+    news = first.groupBy(F.col(by)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_terms")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(by).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_group.join(news, by, "left")
+        .select(
+            F.col(by),
+            "n_terms",
+            F.coalesce("n_new_terms", F.lit(0)).cast("long").alias("n_new_terms"),
+        )
+        .withColumn("cum_vocab", F.sum("n_new_terms").over(w).cast("long"))
+        .orderBy(by)
+    )

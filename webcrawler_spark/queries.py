@@ -8730,6 +8730,40 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Heaps-law vocabulary growth across the source axis
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.vocab_growth(docs, by="source")
+
+
+SQL_vocab_growth = f"""
+WITH terms AS (
+  SELECT DISTINCT source, unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                       x -> x <> ''))) AS t
+  FROM documents
+),
+per_group AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_terms
+  FROM terms GROUP BY source
+),
+first AS (SELECT t, min(source) AS source FROM terms GROUP BY t),
+news AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_new_terms
+  FROM first GROUP BY source
+)
+SELECT p.source, p.n_terms,
+       CAST(coalesce(n.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+       CAST(sum(coalesce(n.n_new_terms, 0))
+            OVER (ORDER BY p.source ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_vocab
+FROM per_group p LEFT JOIN news n ON p.source = n.source
+ORDER BY p.source
+"""
+
+
 # ES variable_width_histogram — deterministic 1-D Lloyd variant (quantile
 # init, 2 unrolled rounds; ES's own streaming approximation is
 # shard-order-dependent and irreproducible)
@@ -9389,6 +9423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "vocab_growth": q_vocab_growth,
     "variable_width_histogram": q_variable_width_histogram,
     "budget_fairness": q_budget_fairness,
     "schedule_order_correlation": q_schedule_order_correlation,
@@ -9592,6 +9627,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "vocab_growth": SQL_vocab_growth,
     "variable_width_histogram": SQL_variable_width_histogram,
     "budget_fairness": SQL_budget_fairness,
     "schedule_order_correlation": SQL_schedule_order_correlation,
