@@ -2081,3 +2081,22 @@ def test_vocab_growth_first_occurrence_attribution(spark):
     got = [(r["source"], r["n_terms"], r["n_new_terms"], r["cum_vocab"])
            for r in rows]
     assert got == [("a", 3, 3, 3), ("b", 2, 1, 4), ("c", 3, 0, 4)]
+
+
+def test_search_synonyms_concept_collapse(spark):
+    from webcrawler_spark.operators.search import search_synonyms
+
+    syn = {"car": "car", "automobile": "car", "auto": "car"}
+    df = spark.createDataFrame(
+        [
+            (1, "the automobile is red"),       # synonym hit
+            (2, "car and automobile and auto"), # whole group counts ONCE
+            (3, "car plus a boat"),             # literal hit + second concept
+            (4, "nothing relevant"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["score"] for r in
+           search_synonyms(df, ["car", "boat"], syn).collect()}
+    assert out[1] == 1 and out[2] == 1       # no double-counting
+    assert out[3] == 2 and 4 not in out

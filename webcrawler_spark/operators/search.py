@@ -1677,3 +1677,45 @@ def variable_width_histogram(
         F.round("centroid", 6).alias("centroid"),
         "doc_count",
     ).orderBy("centroid")
+
+
+def search_synonyms(
+    df: DataFrame,
+    query_tokens: list[str],
+    synonyms: dict[str, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """ES synonym-filter analyzer semantics: terms mapping to the same
+    synonym GROUP count as one concept, on both the document and the
+    query side — "car" matches a doc saying "automobile" with the same
+    weight as a literal hit, and a doc containing both "car" and
+    "automobile" scores the concept ONCE (the analyzer's
+    position-collapsing behavior, which naive OR-expansion gets wrong by
+    double-counting). Score = distinct query CONCEPTS present.
+
+    100 TB shape: the synonym table folds into a literal map expression
+    (codegen element_at per token — no join at all; a >10^5-entry
+    production synonym set becomes a broadcast dim join on the exploded
+    token, same shape as percolate); scoring stays one projection +
+    TakeOrderedAndProject."""
+    m = F.create_map(
+        *[x for t, g in sorted(synonyms.items()) for x in (F.lit(t), F.lit(g))]
+    )
+    to_groups = lambda arr: F.array_distinct(  # noqa: E731
+        F.transform(arr, lambda t: F.coalesce(m[t], t))
+    )
+    qgroups = sorted({synonyms.get(t, t) for t in query_tokens})
+    score = F.size(
+        F.array_intersect(
+            to_groups(tokens(F.col(text_col))),
+            F.array(*[F.lit(g) for g in qgroups]),
+        )
+    )
+    return (
+        df.select(F.col(id_col), score.alias("score"))
+        .filter(F.col("score") >= 1)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -8730,6 +8730,40 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# ES synonym-filter analyzer: group-collapsed concept matching
+
+_SYN = {
+    "customer": "client", "client": "client",
+    "window": "window", "pane": "window",
+    "batch": "batch", "bulk": "batch",
+}
+
+
+def q_search_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_synonyms(docs, _QUERY_TOKENS, _SYN, "text", "doc_id", k=20)
+
+
+SQL_search_synonyms = f"""
+WITH m AS (
+  SELECT MAP {{{", ".join(f"'{t}': '{g}'" for t, g in sorted(_SYN.items()))}}} AS syn
+),
+s AS (
+  SELECT doc_id,
+         len(list_intersect(
+           list_distinct(list_transform(
+             list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                         x -> x <> ''),
+             t -> coalesce(m.syn[t][1], t))),
+           [{", ".join(f"'{g}'" for g in sorted({_SYN.get(t, t) for t in _QUERY_TOKENS}))}]))
+           AS score
+  FROM documents, m
+)
+SELECT doc_id, CAST(score AS INTEGER) AS score FROM s
+WHERE score >= 1 ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 # Heaps-law vocabulary growth across the source axis
 
 
@@ -9423,6 +9457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "search_synonyms": q_search_synonyms,
     "vocab_growth": q_vocab_growth,
     "variable_width_histogram": q_variable_width_histogram,
     "budget_fairness": q_budget_fairness,
@@ -9627,6 +9662,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "search_synonyms": SQL_search_synonyms,
     "vocab_growth": SQL_vocab_growth,
     "variable_width_histogram": SQL_variable_width_histogram,
     "budget_fairness": SQL_budget_fairness,
