@@ -2100,3 +2100,23 @@ def test_search_synonyms_concept_collapse(spark):
            search_synonyms(df, ["car", "boat"], syn).collect()}
     assert out[1] == 1 and out[2] == 1       # no double-counting
     assert out[3] == 2 and 4 not in out
+
+
+def test_span_near_order_and_slop(spark):
+    from webcrawler_spark.operators.search import search_span_near
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha x beta"),          # gap 1 <= slop
+            (2, "alpha x y z beta"),      # gap 3 > slop 2
+            (3, "beta alpha"),            # wrong order
+            (4, "alpha beta alpha beta"), # pairs: (1,2),(1,4),(3,4) = 3 spans
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_spans"] for r in search_span_near(
+        df, "alpha", "beta", slop=2, in_order=True).collect()}
+    assert out == {4: 3, 1: 1}
+    un = {r["doc_id"]: r["n_spans"] for r in search_span_near(
+        df, "alpha", "beta", slop=2, in_order=False).collect()}
+    assert un[3] == 1 and un[1] == 1   # reversed order matches unordered

@@ -1719,3 +1719,52 @@ def search_synonyms(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def span_near_count(
+    text: Column,
+    first: str,
+    second: str,
+    slop: int = 2,
+    in_order: bool = True,
+) -> Column:
+    """ES `span_near` (two-clause form): count of position pairs where
+    `second` occurs within `slop` intervening tokens of `first`
+    (in_order: first strictly before second; unordered: either side).
+    Pure higher-order array math over the token stream — per-row cost
+    bounded by tf(first)×tf(second), no explode, no shuffle."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    pa = F.filter(idx, lambda i: F.element_at(toks, i) == first)
+    pb = F.filter(idx, lambda i: F.element_at(toks, i) == second)
+    if in_order:
+        ok = lambda i, j: (j > i) & (j - i - 1 <= slop)  # noqa: E731
+    else:
+        ok = lambda i, j: (j != i) & (F.abs(j - i) - 1 <= slop)  # noqa: E731
+    pairs = F.transform(pa, lambda i: F.size(F.filter(pb, lambda j: ok(i, j))))
+    return F.when(F.size(toks) < 1, F.lit(0)).otherwise(
+        F.aggregate(pairs, F.lit(0), lambda acc, x: acc + x)
+    )
+
+
+def search_span_near(
+    df: DataFrame,
+    first: str,
+    second: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    slop: int = 2,
+    in_order: bool = True,
+    k: int = 20,
+) -> DataFrame:
+    """ES `span_near` query: docs where the two clauses co-occur within
+    `slop`, scored by span count, deterministic top-k (the proximity
+    tier between match_phrase slop — which requires ALL terms — and
+    plain bool OR)."""
+    n = span_near_count(F.col(text_col), first, second, slop, in_order)
+    return (
+        df.select(F.col(id_col), n.cast("int").alias("n_spans"))
+        .filter(F.col("n_spans") >= 1)
+        .orderBy(F.desc("n_spans"), F.asc(id_col))
+        .limit(k)
+    )

@@ -8730,6 +8730,43 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# ES span_near query — bounded-window proximity between two terms
+
+
+def q_search_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_span_near(
+        docs, "batch", "window", "text", "doc_id", slop=3, in_order=True, k=20
+    )
+
+
+SQL_search_span_near = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(toks)),
+                     i -> toks[i] = 'batch') AS pa,
+         list_filter(generate_series(1, len(toks)),
+                     i -> toks[i] = 'window') AS pb
+  FROM t
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(pa,
+              i -> len(list_filter(pb, j -> j > i AND j - i - 1 <= 3))))
+            AS INTEGER) AS n_spans
+FROM p
+WHERE len(pa) > 0 AND len(pb) > 0
+  AND list_sum(list_transform(pa,
+        i -> len(list_filter(pb, j -> j > i AND j - i - 1 <= 3)))) >= 1
+ORDER BY n_spans DESC, doc_id ASC LIMIT 20
+"""
+
+
 # ES synonym-filter analyzer: group-collapsed concept matching
 
 _SYN = {
@@ -9457,6 +9494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "search_span_near": q_search_span_near,
     "search_synonyms": q_search_synonyms,
     "vocab_growth": q_vocab_growth,
     "variable_width_histogram": q_variable_width_histogram,
@@ -9662,6 +9700,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "search_span_near": SQL_search_span_near,
     "search_synonyms": SQL_search_synonyms,
     "vocab_growth": SQL_vocab_growth,
     "variable_width_histogram": SQL_variable_width_histogram,
