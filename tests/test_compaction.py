@@ -226,3 +226,39 @@ def test_recompaction_reclaims_old_base(spark, tmp_path_factory):
     assert os.path.exists(root / "seen" / "compact=2")
     assert not os.path.exists(root / "seen" / "compact=0")  # superseded base reclaimed
     assert sorted(r["x"] for r in cat.read_delta_union("seen", 2).collect()) == [0, 10, 20]
+
+
+def test_snapshot_diff_changelog(spark, pages_df, seeds_df, robots_df, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "diffcat"))
+    E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 3, CFG)
+
+    d = cat.snapshot_diff("frontier", 1, 2)
+    rows = d.collect()
+    kinds = {r["change_type"] for r in rows}
+    # epoch 2 both resolves earlier deferred keys (update) and discovers
+    # new ones (insert)
+    assert kinds == {"insert", "update"}
+    for r in rows:
+        if r["change_type"] == "insert":
+            assert r["before"] is None
+        else:
+            # the payload moved — seq-only touches are filtered out
+            assert (r["before"]["status"], r["before"]["priority"],
+                    r["before"]["depth"]) !=                    (r["after"]["status"], r["after"]["priority"],
+                    r["after"]["depth"])
+    # every changed key's after-state matches the resolved to_epoch state
+    resolved = {r["url_fp"]: r for r in cat.read_merged("frontier", 2).collect()}
+    for r in rows:
+        assert r["after"]["status"] == resolved[r["url_fp"]]["status"]
+    # touched-but-payload-identical keys are omitted (net changelog): the
+    # changed set is strictly smaller than the touched set
+    touched = cat.read_incremental("frontier", 1, 2).count()
+    assert len(rows) < touched
+    # append-only tables have no merge changelog — their changelog IS
+    # read_incremental
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cat.snapshot_diff("seen", 1, 2)
+    # empty range -> None
+    assert cat.snapshot_diff("frontier", 2, 2) is None

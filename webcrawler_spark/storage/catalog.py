@@ -383,6 +383,68 @@ class Catalog:
                 shutil.rmtree(old)
         return n
 
+    def snapshot_diff(
+        self, table: str, from_epoch: int, to_epoch: int
+    ) -> DataFrame | None:
+        """Iceberg changelog view (`create_changelog_view` analog) between
+        two committed states of a MERGE table: one row per key whose
+        resolved state changed in (from_epoch, to_epoch], classified
+        'insert' (key absent at from_epoch) or 'update', with the before
+        and after rows carried as structs.
+
+        Shape at 10^10 keys: the candidate set is read_incremental's NET
+        change (keys TOUCHED in the range — O(epoch delta), never the
+        table), and the before-state lookup joins those candidates against
+        the resolved from_epoch state on the merge key — the same
+        bucket-partitioned key both sides store under, so the join is
+        storage-partitioned; the accumulated table streams through it
+        once and only candidate keys survive the probe. None if nothing
+        in the range touched the table."""
+        from pyspark.sql import functions as F
+
+        if table not in MERGE_TABLES:
+            raise ValueError(
+                f"snapshot_diff is a merge-table changelog; {table} is "
+                "append-only — its changelog IS read_incremental"
+            )
+        after = self.read_incremental(table, from_epoch, to_epoch)
+        if after is None:
+            return None
+        key, seq = _MERGE_KEY[table], _EPOCH_COL[table]
+        # the seq column moves on every touch; "changed" means the PAYLOAD
+        # moved, so the identity compare excludes it
+        payload = [c for c in after.columns if c != seq]
+        before = self.read_merged(table, from_epoch)
+        a = after.select(F.col(key), F.struct(*after.columns).alias("after"))
+        if before is None:
+            return a.select(
+                key, F.lit("insert").alias("change_type"),
+                F.lit(None).cast(a.schema["after"].dataType).alias("before"),
+                "after",
+            )
+        b = before.select(F.col(key), F.struct(*before.columns).alias("before"))
+        return (
+            a.join(b, key, "left")
+            .select(
+                key,
+                F.when(F.col("before").isNull(), F.lit("insert"))
+                .otherwise(F.lit("update"))
+                .alias("change_type"),
+                "before",
+                "after",
+            )
+            # touched-but-identical keys are not "changes" (Iceberg's net
+            # changelog omits them): compare the payload columns, not the
+            # seq column, which moves on every touch
+            .filter(
+                F.col("before").isNull()
+                | (
+                    F.struct(*[F.col(f"before.{c}") for c in payload])
+                    != F.struct(*[F.col(f"after.{c}") for c in payload])
+                )
+            )
+        )
+
     def expire_deltas_before(self, table: str, epoch: int) -> int:
         """Delete a delta table's per-epoch directories <= epoch (Iceberg
         ``expire_snapshots``). Only legal below an existing compaction point
