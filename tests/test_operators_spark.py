@@ -2120,3 +2120,32 @@ def test_span_near_order_and_slop(spark):
     un = {r["doc_id"]: r["n_spans"] for r in search_span_near(
         df, "alpha", "beta", slop=2, in_order=False).collect()}
     assert un[3] == 1 and un[1] == 1   # reversed order matches unordered
+
+
+def test_magic_sniff_signatures_and_no_udf(spark):
+    from webcrawler_spark.operators.multimodal import sniff_media_type
+
+    cases = [
+        (b"%PDF-1.4", "application/pdf"),
+        (b"\x89PNG\r\n\x1a\n....", "image/png"),
+        (b"GIF87a..", "image/gif"),
+        (b"\xff\xd8\xff\xdb", "image/jpeg"),
+        (b"PK\x03\x04zip", "application/zip"),
+        (b"\x1f\x8b\x08gz", "application/gzip"),
+        (b"RIFF1234WAVEfmt", "audio/wav"),
+        (b"RIFF1234AVI LIST", "application/octet-stream"),
+        (b"\xef\xbb\xbf <!DOCTYPE HTML>", "text/html"),
+        (b"  <html>", "text/html"),
+        (b"\x00\x01\x02junk", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, (d, _) in enumerate(cases)], "i long, data binary"
+    )
+    out = {r["i"]: r["mt"] for r in df.select(
+        "i", sniff_media_type(F.col("data")).alias("mt")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
+    # pure codegen: no Python UDF in the plan
+    plan = df.select(sniff_media_type(F.col("data")))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

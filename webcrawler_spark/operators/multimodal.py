@@ -234,3 +234,48 @@ def resize_media(
             yield out
 
     return staged.mapInPandas(_resample, schema=RESIZE_SCHEMA)
+
+
+def sniff_media_type(data: Column) -> Column:
+    """Magic-byte content sniffing over an opaque binary column — the
+    gate a mixed 100 TB crawl runs BEFORE routing bytes to parsers
+    (servers lie in Content-Type; the reference trusts headers). Fully
+    JVM-native: hex-prefix equality against the published signatures
+    (PDF, PNG, GIF, JPEG, ZIP, GZIP, RIFF/WAVE) plus an HTML check on
+    the latin-1-decoded head (never throws on arbitrary bytes; optional
+    UTF-8 BOM and leading whitespace tolerated). Unknown -> octet-stream.
+
+    100 TB shape: one codegen projection over the first ≤64 bytes of
+    each blob — fuses into whatever scan already reads the binary
+    column; no UDF, no shuffle."""
+    hx = F.hex(F.substring(data, 1, 12))
+    head = F.lower(
+        F.ltrim(
+            F.regexp_replace(
+                F.decode(F.substring(data, 1, 64), "ISO-8859-1"),
+                "^\\ufeff|^ï»¿",
+                "",
+            )
+        )
+    )
+    return (
+        F.when(hx.startswith("255044462D"), F.lit("application/pdf"))
+        .when(hx.startswith("89504E470D0A1A0A"), F.lit("image/png"))
+        .when(
+            hx.startswith("474946383761") | hx.startswith("474946383961"),
+            F.lit("image/gif"),
+        )
+        .when(hx.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(hx.startswith("504B0304"), F.lit("application/zip"))
+        .when(hx.startswith("1F8B"), F.lit("application/gzip"))
+        .when(
+            hx.startswith("52494646")
+            & (F.hex(F.substring(data, 9, 4)) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(
+            head.startswith("<!doctype html") | head.startswith("<html"),
+            F.lit("text/html"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )

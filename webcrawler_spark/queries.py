@@ -8730,6 +8730,71 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Magic-byte media sniffing over binary blobs (fixture covers every
+# signature branch; the operator is pure codegen over any bytes)
+
+_SNIFF_FIXTURE: list[tuple[int, bytes]] = [
+    (1, b"%PDF-1.7 rest"),
+    (2, b"\x89PNG\r\n\x1a\nrest"),
+    (3, b"GIF89a rest"),
+    (4, b"\xff\xd8\xff\xe0 jpeg"),
+    (5, b"PK\x03\x04 zipped"),
+    (6, b"\x1f\x8b\x08 gz"),
+    (7, b"RIFF\x00\x01\x02\x03WAVEfmt "),
+    (8, b"\xef\xbb\xbf  <!DOCTYPE html><html>"),
+    (9, b"<html lang='en'>"),
+    (10, b"RIFF\x00\x01\x02\x03AVI LIST"),  # RIFF but not WAVE
+    (11, b"plain text bytes"),
+]
+
+
+def q_magic_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal as MM
+
+    df = spark.createDataFrame(_SNIFF_FIXTURE, "id long, data binary")
+    return df.select(
+        "id", MM.sniff_media_type(F.col("data")).alias("media_type")
+    ).orderBy("id")
+
+
+_SNIFF_VALS = ",\n  ".join(
+    "({}, '{}'::BLOB)".format(
+        i, "".join(f"\\x{b:02X}" for b in data)
+    )
+    for i, data in _SNIFF_FIXTURE
+)
+
+SQL_magic_sniff = f"""
+WITH fx(id, data) AS (VALUES
+  {_SNIFF_VALS}
+),
+h AS (
+  SELECT id, data, left(hex(data), 24) AS hx,
+         hex(data)[17:24] AS riff_kind
+  FROM fx
+)
+SELECT CAST(id AS BIGINT) AS id, CASE
+  WHEN starts_with(hx, '255044462D') THEN 'application/pdf'
+  WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'image/png'
+  WHEN starts_with(hx, '474946383761') OR starts_with(hx, '474946383961')
+    THEN 'image/gif'
+  WHEN starts_with(hx, 'FFD8FF') THEN 'image/jpeg'
+  WHEN starts_with(hx, '504B0304') THEN 'application/zip'
+  WHEN starts_with(hx, '1F8B') THEN 'application/gzip'
+  WHEN starts_with(hx, '52494646') AND riff_kind = '57415645' THEN 'audio/wav'
+  -- CASE short-circuit: decode() only runs on rows no binary signature
+  -- claimed (the fixture keeps those UTF-8-decodable; the Spark operator
+  -- itself uses latin-1 and never throws)
+  WHEN starts_with(lower(trim(regexp_replace(decode(data),
+         '^' || chr(65279), ''))), '<!doctype html')
+    OR starts_with(lower(trim(regexp_replace(decode(data),
+         '^' || chr(65279), ''))), '<html')
+    THEN 'text/html'
+  ELSE 'application/octet-stream' END AS media_type
+FROM h ORDER BY id
+"""
+
+
 # ES span_near query — bounded-window proximity between two terms
 
 
@@ -9494,6 +9559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "magic_sniff": q_magic_sniff,
     "search_span_near": q_search_span_near,
     "search_synonyms": q_search_synonyms,
     "vocab_growth": q_vocab_growth,
@@ -9700,6 +9766,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "magic_sniff": SQL_magic_sniff,
     "search_span_near": SQL_search_span_near,
     "search_synonyms": SQL_search_synonyms,
     "vocab_growth": SQL_vocab_growth,
