@@ -2149,3 +2149,37 @@ def test_magic_sniff_signatures_and_no_udf(spark):
     plan = df.select(sniff_media_type(F.col("data")))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_lang_hint_precedence(spark):
+    from webcrawler_spark.functions.columns import url_lang_hint
+
+    cases = [
+        ("https://example.com/de/page", "de"),        # path segment
+        ("https://example.com/pt-br/page", "pt"),     # path with region
+        ("https://fr.example.com/page", "fr"),        # subdomain
+        ("https://example.de/page", "de"),            # ccTLD
+        ("https://example.co.jp/page", "ja"),         # ccTLD mapped
+        ("https://de.example.com/fr/page", "fr"),     # path beats subdomain
+        ("https://example.com/delta/page", None),     # 'delta' is not /de/
+        ("https://example.com/page", None),           # no evidence
+        ("https://example.ch/page", None),            # ambiguous ccTLD omitted
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    out = dict(
+        df.select("url", url_lang_hint(F.col("url")).alias("h")).collect()
+    )
+    for u, want in cases:
+        assert out[u] == want, (u, out[u], want)
+
+
+def test_percentile_ranks_exact(spark):
+    from webcrawler_spark.operators.search import percentile_ranks
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], ["grp", "v"]
+    )
+    r = percentile_ranks(df, "v", [3.0, 10.0, 0.5], by="grp").collect()[0]
+    assert r["rank_3_0"] == pytest.approx(30.0)
+    assert r["rank_10_0"] == pytest.approx(100.0)
+    assert r["rank_0_5"] == pytest.approx(0.0)

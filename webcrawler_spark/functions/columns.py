@@ -425,3 +425,43 @@ def registered_domain_col(host: Column) -> Column:
             F.concat_ws(".", sld, tld)
         )
     )
+
+
+# ccTLD -> language default for the URL language hint (deliberately small,
+# unambiguous subset; multilingual ccTLDs like .ch/.be are omitted rather
+# than guessed)
+CCTLD_LANG = {
+    "de": "de", "fr": "fr", "es": "es", "it": "it", "nl": "nl",
+    "pt": "pt", "ru": "ru", "jp": "ja", "cn": "zh", "kr": "ko",
+}
+
+_PATH_LANGS = ("de", "en", "es", "fr", "it", "ja", "ko", "nl", "pt", "ru", "zh")
+
+
+def url_lang_hint(url: Column) -> Column:
+    """Pre-fetch language hint from URL structure alone — the routing
+    signal a language-targeted crawl applies BEFORE spending fetch budget
+    (the reference detects language only after parsing). Precedence:
+
+    1. leading path segment `/xx/` or `/xx-yy/` with a known primary
+       subtag (`/de/`, `/pt-br/docs` -> pt);
+    2. language-code subdomain (`de.example.com`);
+    3. unambiguous ccTLD (`.de` -> de, `.jp` -> ja);
+    4. NULL (no structural evidence — fetch-side lang-id decides).
+
+    Pure codegen regexp_extract over the URL — fuses into the frontier
+    scan; no UDF, no shuffle."""
+    alts = "|".join(_PATH_LANGS)
+    path_seg = F.regexp_extract(
+        url, rf"^[a-z]+://[^/]+/({alts})(?:-[a-z]{{2}})?(?:[/?#]|$)", 1
+    )
+    sub = F.regexp_extract(url, rf"^[a-z]+://({alts})\.", 1)
+    tld_code = F.regexp_extract(url, r"^[a-z]+://[^/]*\.([a-z]{2})(?::\d+)?(?:[/?#]|$)", 1)
+    tld = F.element_at(
+        F.create_map(
+            *[x for c, l in sorted(CCTLD_LANG.items()) for x in (F.lit(c), F.lit(l))]
+        ),
+        tld_code,
+    )
+    nn = lambda c: F.when(c != "", c)  # noqa: E731
+    return F.coalesce(nn(path_seg), nn(sub), tld)

@@ -1768,3 +1768,38 @@ def search_span_near(
         .orderBy(F.desc("n_spans"), F.asc(id_col))
         .limit(k)
     )
+
+
+def percentile_ranks(
+    df: DataFrame,
+    value_col: str,
+    values: list[float],
+    by: str | None = None,
+) -> DataFrame:
+    """ES `percentile_ranks` aggregation (the inverse of `percentiles`):
+    for each probe value, the percentage of documents with value <= probe.
+    EXACT — one conditional-count pass per probe folded into a single
+    hash-agg (ES uses TDigest interpolation; the documented trade is the
+    same as the percentiles entry). Output: one row per (bucket,) with
+    rank_<i> columns, 6dp percentages.
+
+    100 TB shape: one map-side-combined hash-agg, probes are literals —
+    no second scan, no join."""
+    grp = [F.col(by)] if by else []
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    for i, v in enumerate(values):
+        aggs.append(
+            F.sum(F.when(F.col(value_col) <= float(v), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_le{i}")
+        )
+    agg = df.groupBy(*grp).agg(*aggs)
+    keep = grp + [F.col("doc_count")] + [
+        F.round(
+            F.lit(100.0) * F.col(f"_le{i}").cast("double")
+            / F.col("doc_count").cast("double"),
+            6,
+        ).alias(f"rank_{str(v).replace('.', '_')}")
+        for i, v in enumerate(values)
+    ]
+    return agg.select(*keep)

@@ -8730,6 +8730,92 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# ES percentile_ranks aggregation (inverse percentiles, exact)
+
+
+def q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return SE.percentile_ranks(
+        events, "value", [50.0, 245.0, 480.0], by="event_type"
+    ).orderBy("event_type")
+
+
+SQL_percentile_ranks = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS doc_count,
+       round(100.0 * CAST(sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS rank_50_0,
+       round(100.0 * CAST(sum(CASE WHEN value <= 245.0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS rank_245_0,
+       round(100.0 * CAST(sum(CASE WHEN value <= 480.0 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS rank_480_0
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# Pre-fetch URL language hint (path segment > subdomain > ccTLD)
+
+
+def q_url_lang_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import columns as C
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey").cast("string")
+    url = (
+        F.when(F.col("o_orderkey") % 6 == 0,
+               F.concat(F.lit("https://example.de/item/"), k))
+        .when(F.col("o_orderkey") % 6 == 1,
+              F.concat(F.lit("https://shop.example.com/fr/item/"), k))
+        .when(F.col("o_orderkey") % 6 == 2,
+              F.concat(F.lit("https://de.example.com/item/"), k))
+        .when(F.col("o_orderkey") % 6 == 3,
+              F.concat(F.lit("https://example.com/pt-br/item/"), k))
+        .when(F.col("o_orderkey") % 6 == 4,
+              F.concat(F.lit("https://example.co.jp/item/"), k))
+        .otherwise(F.concat(F.lit("https://example.com/item/"), k))
+    )
+    urls = orders.select(url.alias("url"))
+    return urls.select("url", C.url_lang_hint(F.col("url")).alias("lang_hint")) \
+        .orderBy("url")
+
+
+SQL_url_lang_hint = """
+WITH urls AS (
+  SELECT CASE o_orderkey % 6
+    WHEN 0 THEN 'https://example.de/item/' || o_orderkey
+    WHEN 1 THEN 'https://shop.example.com/fr/item/' || o_orderkey
+    WHEN 2 THEN 'https://de.example.com/item/' || o_orderkey
+    WHEN 3 THEN 'https://example.com/pt-br/item/' || o_orderkey
+    WHEN 4 THEN 'https://example.co.jp/item/' || o_orderkey
+    ELSE 'https://example.com/item/' || o_orderkey END AS url
+  FROM orders
+),
+x AS (
+  SELECT url,
+         regexp_extract(url,
+           '^[a-z]+://[^/]+/(de|en|es|fr|it|ja|ko|nl|pt|ru|zh)(?:-[a-z]{2})?(?:[/?#]|$)',
+           1) AS path_seg,
+         regexp_extract(url,
+           '^[a-z]+://(de|en|es|fr|it|ja|ko|nl|pt|ru|zh)\\.', 1) AS sub,
+         regexp_extract(url,
+           '^[a-z]+://[^/]*\\.([a-z]{2})(?::\\d+)?(?:[/?#]|$)', 1) AS tldc
+  FROM urls
+)
+SELECT url,
+       coalesce(
+         CASE WHEN path_seg <> '' THEN path_seg END,
+         CASE WHEN sub <> '' THEN sub END,
+         CASE tldc WHEN 'de' THEN 'de' WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es'
+                   WHEN 'it' THEN 'it' WHEN 'nl' THEN 'nl' WHEN 'pt' THEN 'pt'
+                   WHEN 'ru' THEN 'ru' WHEN 'jp' THEN 'ja' WHEN 'cn' THEN 'zh'
+                   WHEN 'kr' THEN 'ko' ELSE NULL END
+       ) AS lang_hint
+FROM x ORDER BY url
+"""
+
+
 # Magic-byte media sniffing over binary blobs (fixture covers every
 # signature branch; the operator is pure codegen over any bytes)
 
@@ -9559,6 +9645,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "percentile_ranks": q_percentile_ranks,
+    "url_lang_hint": q_url_lang_hint,
     "magic_sniff": q_magic_sniff,
     "search_span_near": q_search_span_near,
     "search_synonyms": q_search_synonyms,
@@ -9766,6 +9854,8 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "percentile_ranks": SQL_percentile_ranks,
+    "url_lang_hint": SQL_url_lang_hint,
     "magic_sniff": SQL_magic_sniff,
     "search_span_near": SQL_search_span_near,
     "search_synonyms": SQL_search_synonyms,
