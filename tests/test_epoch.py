@@ -864,3 +864,61 @@ def test_detect_soft404_gates_index_and_links(spark, tmp_path_factory):
     assert "soft404_dropped" not in c_off[0]
     assert n_off == 13
     assert any("from-error" in t for t in g_off)
+
+
+def test_target_langs_gate(spark, tmp_path):
+    """Focused-language crawl: URLs structurally declaring a non-target
+    language never enter the frontier; hint-less URLs crawl normally."""
+    from datetime import datetime, timezone
+
+    from webcrawler_spark.functions.htmllib import extract_text
+    from webcrawler_spark.storage.catalog import Catalog
+
+    host = "site.test"
+    de_url, fr_url = f"https://{host}/de/a", f"https://{host}/fr/b"
+    root_html = (
+        f'<html lang="en"><body><a href="{de_url}">A</a>'
+        f'<a href="{fr_url}">B</a> root body text here</body></html>'
+    )
+    def leaf(tag):
+        return ('<html lang="en"><body>' + (f"{tag} page body words ") * 12
+                + "</body></html>")
+
+    de_html, fr_html = leaf("de unique"), leaf("fr autre")
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            (f"https://{host}/", ts, root_html.encode(), extract_text(root_html), "en"),
+            (de_url, ts, de_html.encode(), extract_text(de_html), "de"),
+            (fr_url, ts, fr_html.encode(), extract_text(fr_html), "fr"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    seeds = spark.createDataFrame(
+        [(f"https://{host}/", 10, 0)], "url string, priority int, depth int"
+    )
+    robots = spark.createDataFrame(
+        [(host, [], [], 0.1, 0)],
+        "host string, allow_prefixes array<string>, "
+        "disallow_prefixes array<string>, crawl_delay double, fetched_epoch int",
+    )
+    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=2,
+                      target_langs=("de", "en"))
+    cat = Catalog(spark, str(tmp_path / "langcat"))
+    E.run_epochs(spark, cat, pages, seeds, robots, 2, cfg)
+    frontier = cat.read_merged("frontier", 1)
+    urls = {r["url_norm"]: r["status"] for r in frontier.collect()}
+    assert any(u.endswith("/de/a") for u in urls)            # target fetched
+    assert not any("/fr/" in u for u in urls)                # gated pre-frontier
+    content = cat.read_delta_union("web_content", 1)
+    fetched = {r["url_norm"] for r in content.select("url_norm").collect()}
+    assert any(u.endswith("/de/a") for u in fetched)
+    assert not any("/fr/" in u for u in fetched)
+
+    # gate off -> the fr page crawls (parity: the gate is opt-in)
+    cat2 = Catalog(spark, str(tmp_path / "langcat2"))
+    E.run_epochs(spark, cat2, pages, seeds, robots, 2,
+                 CrawlConfig(epoch_seconds=60, hot_host_salt=2))
+    fetched2 = {r["url_norm"] for r in
+                cat2.read_delta_union("web_content", 1).select("url_norm").collect()}
+    assert any("/fr/" in u for u in fetched2)

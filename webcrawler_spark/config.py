@@ -125,6 +125,14 @@ class CrawlConfig:
     # url_norm before the seen anti-join, so the fetch never happens. Off by
     # default (byte-parity: no url_norm rewrite).
     mine_dust: bool = False
+
+    # language-targeted crawling: candidates whose URL STRUCTURE declares a
+    # language outside the target set (path segment /fr/, language
+    # subdomain, unambiguous ccTLD — columns.url_lang_hint) never enter the
+    # frontier, so the fetch budget is spent before language is even
+    # detectable. URLs with no structural evidence (hint NULL) pass — the
+    # post-fetch lang-id decides for them. None = off (reference parity).
+    target_langs: tuple[str, ...] | None = None
     dust_min_groups: int = 3
 
     # soft-404 template defense (operators/traps.soft404_signals): a host

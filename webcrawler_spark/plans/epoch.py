@@ -92,6 +92,14 @@ def ingest_candidates(
     """Entry point A (SURVEY §3.1): normalize -> batch-dedup -> seen anti-join
     -> priority. Returns new frontier rows."""
     canon = D.canonicalize(candidates)
+    if cfg.target_langs:
+        # focused-language gate (cfg.target_langs): a URL structurally
+        # declaring a non-target language (path /fr/, fr. subdomain,
+        # unambiguous ccTLD) is dropped pre-frontier; hint-less URLs pass
+        # and the post-fetch lang-id owns them. Pure codegen — rides the
+        # canonicalize projection.
+        hint = C.url_lang_hint(F.col("url_norm"))
+        canon = canon.filter(hint.isNull() | hint.isin(*cfg.target_langs))
     if cfg.strip_tracking:
         # campaign-tag dedup: strip utm_*/click-ids from the normalized URL
         # and re-fingerprint so variants collapse in the within-batch merge
