@@ -560,6 +560,7 @@ def main() -> None:
             politeness_by_registrable=True, build_index=True,
             recrawl=True, adaptive_salt=True,
             mine_dust=True, detect_soft404=True,
+            target_langs=("en", "de", "fr", "es"),
         ),
     )
 

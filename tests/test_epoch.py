@@ -562,6 +562,9 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         adaptive_salt=True,
         mine_dust=True,
         detect_soft404=True,
+        # synth URLs carry no structural language hints, so this gate is a
+        # proven no-op here — included to pin composition
+        target_langs=("en", "de", "fr", "es"),
     )
 
     def run(tag):
