@@ -363,3 +363,56 @@ def test_stream_cms_merges_to_batch_sketch(spark, dirs, tmp_path):
     # the flooding host is identifiable from the sketch alone
     top = max(est, key=lambda r: r["est_cnt"])
     assert top["true_cnt"] == max(r["true_cnt"] for r in est)
+
+
+def test_streaming_trending_terms_windows_and_late_drop(spark, tmp_path):
+    """Sliding-window term counts over a text stream: counts land in the
+    right event-time windows, a late-but-inside-watermark row still
+    counts, and a window only emits once the watermark closes it
+    (append mode — the emission batch is the one AFTER the watermark
+    passes)."""
+    from datetime import datetime
+
+    from webcrawler_spark.streaming import ingest as I
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    os.makedirs(in_dir)
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "text"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(f"{in_dir}/{name}")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("ts timestamp, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            I.streaming_trending_terms(stream, window_seconds=60,
+                                       watermark_seconds=30)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = lambda s_: datetime(2024, 1, 1, 0, 0, s_)  # noqa: E731
+    _write("b1.parquet", [(t(5), "spark spark crawl"), (t(50), "crawl")])
+    _run()   # watermark commits at 50-30=20s; window [0,60) still open
+    # t=30 is LATE (event time < max seen) but above the 20s watermark ->
+    # must still count; the 02:00 row pushes the watermark past 60s
+    _write("b2.parquet", [(t(30), "spark"),
+                          (datetime(2024, 1, 1, 0, 2, 0), "closer words")])
+    _run()
+    _write("b3.parquet", [(datetime(2024, 1, 1, 0, 4, 0), "flusher")])
+    _run()   # this batch emits the closed [0,60) window
+    out = spark.read.parquet(out_dir)
+    rows = {(60 * r["window_start"].minute + r["window_start"].second,
+             r["term"]): r["n"] for r in out.collect()}
+    assert rows[(0, "spark")] == 3   # 2 from b1 + 1 late-but-in-watermark
+    assert rows[(0, "crawl")] == 2

@@ -357,3 +357,47 @@ def merged_cms(cat, upto: int, table: str = "cms_cells") -> DataFrame:
     (CMS merge) of the per-batch deltas."""
     df = cat.read_delta_union(table, upto)
     return df.groupBy("r", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def streaming_trending_terms(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window_seconds: int = 60,
+    slide_seconds: int | None = None,
+    watermark_seconds: int = 120,
+    min_count: int = 1,
+) -> DataFrame:
+    """Windowed term-frequency stream — the "trending now" feed over
+    freshly crawled text (per sliding event-time window: term counts,
+    late data bounded by the watermark). Downstream takes per-window
+    top-k either in the sink's foreachBatch (bounded: one window's terms)
+    or by reading the append-mode output after window close.
+
+    100 TB shape: explode → watermarked windowed hash-agg — Spark keeps
+    ONE partial aggregate per (window, term) in state, not per row;
+    state size is |active windows| × |vocab-in-window|, evicted at the
+    watermark. The same plan as the batch keywords_global, lifted to
+    event time."""
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import tokens
+
+    slide = slide_seconds or window_seconds
+    return (
+        docs.withWatermark(ts_col, f"{watermark_seconds} seconds")
+        .select(
+            F.window(F.col(ts_col), f"{window_seconds} seconds",
+                     f"{slide} seconds").alias("win"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("win", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "term",
+            "n",
+        )
+    )
