@@ -262,3 +262,19 @@ def test_snapshot_diff_changelog(spark, pages_df, seeds_df, robots_df, tmp_path)
         cat.snapshot_diff("seen", 1, 2)
     # empty range -> None
     assert cat.snapshot_diff("frontier", 2, 2) is None
+
+
+def test_file_stats_tracks_compaction(compact_cat, spark):
+    cat, _before = compact_cat
+    stats = {(r["kind"], r["epoch"]): (r["n_files"], r["total_bytes"])
+             for r in cat.file_stats("seen").collect()}
+    # compacted base for epochs <= 1 plus the two post-compaction deltas
+    assert ("base", 1) in stats
+    assert any(k == "delta" and e >= 2 for k, e in stats)
+    assert all(n >= 1 and b > 0 for n, b in stats.values())
+    # the base absorbed epochs 0-1: no delta rows remain at or below it
+    # unless their dirs still exist pre-expiry (they may); after expiry
+    # they must be gone
+    cat.expire_deltas_before("seen", 1)
+    after = {(r["kind"], r["epoch"]) for r in cat.file_stats("seen").collect()}
+    assert not any(k == "delta" and e <= 1 for k, e in after)

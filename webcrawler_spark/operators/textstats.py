@@ -554,3 +554,41 @@ def vocab_growth(
         .withColumn("cum_vocab", F.sum("n_new_terms").over(w).cast("long"))
         .orderBy(by)
     )
+
+
+def pii_density(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Host/source-level PII risk triage (the rollup over `pii_scrub`'s
+    per-doc counts a compliance review starts from): per group — docs,
+    docs containing ANY PII, per-type totals, and matches per 10k chars
+    (the density that makes a 50-doc host comparable to a 5M-doc one).
+    One codegen projection + one map-side-combined hash-agg."""
+    per = docs.select(
+        F.col(by),
+        F.length(text_col).cast("long").alias("n_chars"),
+        *[
+            pii_count(F.col(text_col), kind).cast("long").alias(f"n_{kind}")
+            for kind in PII_PATTERNS
+        ],
+    )
+    total = sum((F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0).cast("long"))
+    per = per.withColumn("n_any", total)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_any") > 0, 1).otherwise(0)).cast("long")
+        .alias("docs_with_pii"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    ] + [
+        F.sum(f"n_{k}").cast("long").alias(f"n_{k}") for k in PII_PATTERNS
+    ]
+    out = per.groupBy(F.col(by)).agg(*aggs)
+    dens = sum(
+        (F.col(f"n_{k}") for k in PII_PATTERNS), F.lit(0).cast("long")
+    ).cast("double") * 10_000.0 / F.greatest(
+        F.col("n_chars").cast("double"), F.lit(1.0)
+    )
+    return out.withColumn("pii_per_10k_chars", F.round(dens, 6))

@@ -8730,6 +8730,71 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Host-level PII density rollup (compliance triage over pii_scrub counts)
+
+
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (k % 90 + 10).cast("int"),
+        ((k * 7) % 900 + 100).cast("int"),
+        ((k * 13) % 900 + 100).cast("int"),
+        ((k * 31) % 9000 + 1000).cast("int"),
+    )
+    email = F.concat(
+        F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "."),
+        F.lit("@example.com"),
+    )
+    text = F.concat(
+        F.col("c_mktsegment"),
+        F.lit(" segment contact "),
+        F.when(k % 3 == 0, phone).otherwise(F.lit("clean")),
+        F.when(k % 2 == 0, F.concat(F.lit(" or "), email)).otherwise(F.lit("")),
+    )
+    corpus = cust.select(
+        F.concat(F.lit("host"), (k % 7).cast("string")).alias("host"),
+        text.alias("text"),
+    )
+    return TS.pii_density(corpus, by="host").orderBy("host")
+
+
+SQL_pii_density = """
+WITH corpus AS (
+  SELECT 'host' || CAST(c_custkey % 7 AS VARCHAR) AS host,
+         c_mktsegment || ' segment contact ' ||
+         CASE WHEN c_custkey % 3 = 0
+              THEN printf('%02d-%03d-%03d-%04d',
+                     c_custkey % 90 + 10, (c_custkey * 7) % 900 + 100,
+                     (c_custkey * 13) % 900 + 100, (c_custkey * 31) % 9000 + 1000)
+              ELSE 'clean' END ||
+         CASE WHEN c_custkey % 2 = 0
+              THEN ' or ' || regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g') || '@example.com'
+              ELSE '' END AS text
+  FROM customer WHERE c_custkey <= 500),
+per AS (
+  SELECT host, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{EMAIL}')) AS BIGINT) AS n_email,
+         CAST(len(regexp_extract_all(text, '{PHONE}')) AS BIGINT) AS n_phone,
+         CAST(len(regexp_extract_all(text, '{IPV4}')) AS BIGINT) AS n_ipv4
+  FROM corpus)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_email + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(n_ipv4) AS BIGINT) AS n_ipv4,
+       round(CAST(sum(n_email) + sum(n_phone) + sum(n_ipv4) AS DOUBLE)
+             * 10000.0 / greatest(CAST(sum(n_chars) AS DOUBLE), 1.0), 6)
+         AS pii_per_10k_chars
+FROM per GROUP BY host ORDER BY host
+""".replace("{EMAIL}", _SQL_EMAIL_RE).replace("{PHONE}", _SQL_PHONE_RE).replace(
+    "{IPV4}", _SQL_IPV4_RE
+)
+
+
 # ES percentile_ranks aggregation (inverse percentiles, exact)
 
 
@@ -9645,6 +9710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "pii_density": q_pii_density,
     "percentile_ranks": q_percentile_ranks,
     "url_lang_hint": q_url_lang_hint,
     "magic_sniff": q_magic_sniff,
@@ -9854,6 +9920,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "pii_density": SQL_pii_density,
     "percentile_ranks": SQL_percentile_ranks,
     "url_lang_hint": SQL_url_lang_hint,
     "magic_sniff": SQL_magic_sniff,

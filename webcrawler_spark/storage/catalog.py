@@ -445,6 +445,44 @@ class Catalog:
             )
         )
 
+    def file_stats(self, table: str, as_of_epoch: int | None = None) -> DataFrame:
+        """Small-files monitor (Iceberg `files` metadata-table analog): one
+        row per committed epoch directory — file count and bytes — plus
+        the compacted base if present (kind='base'). The gauge that sets
+        `CrawlConfig.compact_every`: a delta table read unions one dir per
+        epoch, and thousands of tiny files is the classic failure this
+        catalog's compaction exists to prevent. Driver-side directory walk
+        over the manifest's epoch list — bounded by epoch count (KBs),
+        never data-sized."""
+        if as_of_epoch is None:
+            as_of_epoch = self.last_committed_epoch()
+        rows: list[tuple] = []
+
+        def _du(path: str) -> tuple[int, int]:
+            n = b = 0
+            for root, _, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n += 1
+                        b += os.path.getsize(os.path.join(root, f))
+            return n, b
+
+        if as_of_epoch is not None:
+            for e in self._committed_epochs(table, as_of_epoch):
+                path = self._epoch_dir(table, e)
+                if os.path.exists(path):
+                    n, b = _du(path)
+                    rows.append(("delta", e, n, b))
+        comp = self.read_manifest().get("compactions", {}).get(table)
+        if comp is not None:
+            base = os.path.join(self.root, table, f"compact={comp['as_of']}")
+            if os.path.exists(base):
+                n, b = _du(base)
+                rows.append(("base", comp["as_of"], n, b))
+        return self.spark.createDataFrame(
+            rows, "kind string, epoch int, n_files long, total_bytes long"
+        )
+
     def expire_deltas_before(self, table: str, epoch: int) -> int:
         """Delete a delta table's per-epoch directories <= epoch (Iceberg
         ``expire_snapshots``). Only legal below an existing compaction point
