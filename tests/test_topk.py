@@ -69,3 +69,39 @@ def test_null_scores_match_nulls_last_semantics(spark):
     # all-null scores
     allnull = spark.createDataFrame([(1, None), (2, None)], "rid int, score double")
     assert _ours(allnull, "score", 1, "rid") == [(1, None)]
+
+
+def test_zorder_value_interleave_and_locality(spark):
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.topk import zorder_layout_stats, zorder_value
+
+    # hand-checked Morton codes: z(a,b) interleaves a into even bits,
+    # b into odd bits
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (3, 3)], ["a", "b"]
+    )
+    out = {(r["a"], r["b"]): r["z"] for r in df.select(
+        "a", "b", zorder_value(F.col("a"), F.col("b"), bits=4).alias("z")
+    ).collect()}
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(1, 1)] == 3 and out[(2, 0)] == 4 and out[(3, 3)] == 15
+    # locality: on a 16x16 grid split into 16 files, z-order bounds BOTH
+    # per-file spans at 3 (a 4x4 tile); a 1-D sort leaves the non-leading
+    # span at the full domain (15)
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(16) for b in range(16)], ["a", "b"]
+    )
+    zstats = zorder_layout_stats(grid, "a", "b", n_files=16, bits=4).collect()
+    assert all(r["a_max"] - r["a_min"] <= 3 and r["b_max"] - r["b_min"] <= 3
+               for r in zstats)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("a", "b")
+    lin = (
+        grid.withColumn("file_id", F.ntile(16).over(w))
+        .groupBy("file_id")
+        .agg((F.max("b") - F.min("b")).alias("bspan"))
+        .collect()
+    )
+    assert all(r["bspan"] == 15 for r in lin)

@@ -64,3 +64,65 @@ def threshold_topk(
         # sketch overshot: step the target rank down by the error margin
         frac = max(0.0, frac - 2 * eps)
     return band.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+
+
+def zorder_value(a: Column, b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of two non-negative integer keys into
+    one 2*bits-bit sort key — the Iceberg `Z-ORDER` layout analog: sorting
+    by the z-value clusters BOTH dimensions, so per-file min/max column
+    stats prune range predicates on either key (a 1-D sort only ever
+    prunes its leading column). Pure integer codegen: bits are extracted
+    and placed with shifts/masks — no UDF.
+
+    100 TB shape: the z-value is a projection; the layout cost is the one
+    repartitionByRange + sortWithinPartitions write the table pays anyway
+    for any clustered layout (cluster_by_surt precedent in the epoch
+    loop). Keys wider than `bits` bits must be range-rank-compressed
+    first (documented; 16 bits cover 65k buckets per dimension — plenty
+    for host-hash x priority)."""
+    za = F.lit(0).cast("long")
+    av = a.cast("long")
+    bv = b.cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(av, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(bv, i).bitwiseAND(F.lit(1))
+        za = (
+            za
+            .bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    return za
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> DataFrame:
+    """Evidence query for the z-order layout: bucket rows into `n_files`
+    equal z-ranges (ntile over the z-value) and report each file's
+    min/max span in BOTH dimensions. Under a 1-D sort the non-leading
+    column's span per file is ~the full domain (no pruning); under
+    z-order both spans shrink toward domain/sqrt(n_files) — the
+    measurable property Iceberg's Z-ORDER buys. The ntile window stands
+    in for the writer's range partitioner at test scale; the production
+    write is repartitionByRange(z) + per-file stats."""
+    from pyspark.sql import Window
+
+    z = zorder_value(F.col(a_col), F.col(b_col), bits)
+    w = Window.orderBy(z, F.col(a_col), F.col(b_col))
+    return (
+        df.select(F.col(a_col), F.col(b_col), z.alias("zv"))
+        .withColumn("file_id", F.ntile(n_files).over(w))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(a_col).alias("a_min"),
+            F.max(a_col).alias("a_max"),
+            F.min(b_col).alias("b_min"),
+            F.max(b_col).alias("b_max"),
+        )
+        .orderBy("file_id")
+    )

@@ -8730,6 +8730,43 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Z-order (Morton) layout evidence — Iceberg Z-ORDER analog
+
+_Z_BITS = 8
+_Z_EXPR_SQL = " | ".join(
+    f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import topk as T
+
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.select(
+        (F.col("o_custkey") % 256).alias("a"),
+        (F.col("o_orderkey") % 256).alias("b"),
+    )
+    return T.zorder_layout_stats(df, "a", "b", n_files=16, bits=_Z_BITS)
+
+
+SQL_zorder_layout = f"""
+WITH d AS (
+  SELECT o_custkey % 256 AS a, o_orderkey % 256 AS b FROM orders
+),
+z AS (
+  SELECT a, b, CAST({_Z_EXPR_SQL} AS BIGINT) AS zv FROM d
+),
+f AS (
+  SELECT a, b, ntile(16) OVER (ORDER BY zv, a, b) AS file_id FROM z
+)
+SELECT CAST(file_id AS INTEGER) AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max
+FROM f GROUP BY file_id ORDER BY file_id
+"""
+
+
 # Host-level PII density rollup (compliance triage over pii_scrub counts)
 
 
@@ -9710,6 +9747,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "zorder_layout": q_zorder_layout,
     "pii_density": q_pii_density,
     "percentile_ranks": q_percentile_ranks,
     "url_lang_hint": q_url_lang_hint,
@@ -9920,6 +9958,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "zorder_layout": SQL_zorder_layout,
     "pii_density": SQL_pii_density,
     "percentile_ranks": SQL_percentile_ranks,
     "url_lang_hint": SQL_url_lang_hint,
