@@ -2183,3 +2183,39 @@ def test_percentile_ranks_exact(spark):
     assert r["rank_3_0"] == pytest.approx(30.0)
     assert r["rank_10_0"] == pytest.approx(100.0)
     assert r["rank_0_5"] == pytest.approx(0.0)
+
+
+def test_search_explain_parts_sum_to_score(spark):
+    from webcrawler_spark.operators.search import search_bm25, search_explain
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma"),
+            (2, "alpha delta"),
+            (3, "beta beta beta"),
+            (4, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    exp = search_explain(df, ["alpha", "beta"], k=3).collect()
+    # contributions regroup to the ranked score (4dp vs 6dp rounding slack)
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    scores = {}
+    for r in exp:
+        sums[r["doc_id"]] += r["term_score"]
+        scores[r["doc_id"]] = r["score"]
+    for d, s in scores.items():
+        assert abs(sums[d] - s) < 1e-3, (d, sums[d], s)
+    # same ranking as the opaque scorer
+    ranked = [r["doc_id"] for r in search_bm25(df, ["alpha", "beta"], k=3).collect()]
+    order = []
+    for r in exp:
+        if r["doc_id"] not in order:
+            order.append(r["doc_id"])
+    assert order == ranked
+    # per-term facts: doc 1 has tf(alpha)=2, dl=4
+    facts = {(r["doc_id"], r["word"]): r for r in exp}
+    assert facts[(1, "alpha")]["tf"] == 2 and facts[(1, "alpha")]["dl"] == 4
+    assert facts[(3, "beta")]["tf"] == 3

@@ -1803,3 +1803,69 @@ def percentile_ranks(
         for i, v in enumerate(values)
     ]
     return agg.select(*keep)
+
+
+def search_explain(
+    df: DataFrame,
+    query_tokens: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """ES `_explain` API for the BM25 scorer: for each of the query's
+    top-`k` hits, one row PER MATCHED TERM with every number the score is
+    built from — tf, df, dl, idf, and the term's contribution — so a
+    relevance engineer can see WHY a doc ranked (the reference exposes
+    only the final `_score`). Rides the identical pipeline as
+    `search_bm25`; the explain fan-out is bounded at k x |query|."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qtf = (
+        toks.filter(F.col("word").isin(*query_tokens))
+        .groupBy("id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = qtf.groupBy("word").agg(F.countDistinct("id").alias("df"))
+    parts = (
+        qtf.join(F.broadcast(dfreq), "word")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    top = (
+        parts.groupBy("id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+    return (
+        parts.join(top.select("id", "score"), "id")
+        .select(
+            F.col("id").alias(id_col),
+            "score",
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("dl").cast("long").alias("dl"),
+            F.round("idf", 6).alias("idf"),
+            F.round("term_score", 6).alias("term_score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col), F.asc("word"))
+    )

@@ -8730,6 +8730,49 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# ES _explain API — per-term BM25 score breakdown for the top hits
+
+
+def q_search_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return SE.search_explain(docs, _QUERY_TOKENS, "text", "doc_id", k=5)
+
+
+SQL_search_explain = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '{_TOKEN_RE}'),
+                                    w -> w != '')) AS word
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+qtf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+        WHERE word IN ({_QT_SQL}) GROUP BY doc_id, word),
+dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM qtf GROUP BY word),
+parts AS (
+  SELECT qtf.doc_id AS doc_id, word, tf, df, dl.dl AS dl,
+         ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) AS idf,
+         ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+           * (tf * 2.2)
+           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS term_score
+  FROM qtf JOIN dfreq USING (word)
+           JOIN dl ON qtf.doc_id = dl.doc_id
+           CROSS JOIN stats
+),
+top AS (
+  SELECT doc_id, round(sum(term_score), 4) AS score
+  FROM parts GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC LIMIT 5
+)
+SELECT parts.doc_id, top.score, word,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(dl AS BIGINT) AS dl,
+       round(idf, 6) AS idf, round(term_score, 6) AS term_score
+FROM parts JOIN top USING (doc_id)
+ORDER BY top.score DESC, parts.doc_id ASC, word ASC
+"""
+
+
 # Z-order (Morton) layout evidence — Iceberg Z-ORDER analog
 
 _Z_BITS = 8
@@ -9747,6 +9790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "search_explain": q_search_explain,
     "zorder_layout": q_zorder_layout,
     "pii_density": q_pii_density,
     "percentile_ranks": q_percentile_ranks,
@@ -9958,6 +10002,7 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "search_explain": SQL_search_explain,
     "zorder_layout": SQL_zorder_layout,
     "pii_density": SQL_pii_density,
     "percentile_ranks": SQL_percentile_ranks,
