@@ -2219,3 +2219,38 @@ def test_search_explain_parts_sum_to_score(spark):
     facts = {(r["doc_id"], r["word"]): r for r in exp}
     assert facts[(1, "alpha")]["tf"] == 2 and facts[(1, "alpha")]["dl"] == 4
     assert facts[(3, "beta")]["tf"] == 3
+
+
+def test_frontier_drain_forecast_bounds(spark):
+    from webcrawler_spark.operators.scheduler import frontier_drain_forecast
+
+    rows = [("hot",)] * 10 + [("h%d" % i,) for i in range(3)]
+    df = spark.createDataFrame(rows, ["host"])
+    out = {r["host"]: r for r in frontier_drain_forecast(
+        df, "host", per_epoch_capacity=2, slots=2).collect()}
+    assert out["hot"]["epochs_to_drain"] == 5    # 10 pending / 2 per epoch
+    assert out["h0"]["epochs_to_drain"] == 1
+    fleet = out[None]
+    assert fleet["pending"] == 13
+    # host bound 5 > fleet-work bound ceil(13/(2*2)) = 4 -> host pins tail
+    assert fleet["epochs_to_drain"] == 5
+    # with ample slots the answer is the host bound; with ONE slot the
+    # fleet-work bound takes over: ceil(13/2) = 7
+    one = {r["host"]: r for r in frontier_drain_forecast(
+        df, "host", per_epoch_capacity=2, slots=1).collect()}[None]
+    assert one["epochs_to_drain"] == 7
+
+
+def test_length_drift_psi_zero_and_shift(spark):
+    from webcrawler_spark.operators.textstats import length_drift_psi
+
+    base = spark.createDataFrame([(v,) for v in [50, 150, 250, 350]], ["n"])
+    # identical distribution -> PSI ~ 0
+    same = length_drift_psi(base, base, "n", [100.0, 200.0, 300.0]).collect()
+    assert abs(same[0]["psi_total"]) < 1e-9
+    # mass shifted entirely into the top bin -> large PSI
+    shifted = spark.createDataFrame([(v,) for v in [350, 360, 370, 380]], ["n"])
+    out = length_drift_psi(base, shifted, "n", [100.0, 200.0, 300.0]).collect()
+    assert out[0]["psi_total"] > 0.25
+    # per-bin terms sum to the total
+    assert abs(sum(r["psi_term"] for r in out) - out[0]["psi_total"]) < 1e-4

@@ -672,3 +672,50 @@ def schedule_order_correlation(
             ).alias("spearman_rho"),
         )
     )
+
+
+def frontier_drain_forecast(
+    frontier: DataFrame,
+    host_col: str,
+    per_epoch_capacity: int,
+    slots: int | None = None,
+) -> DataFrame:
+    """Across-epoch drain forecast (the companion to the within-epoch
+    `politeness_makespan`): per host, pending count and the epochs needed
+    to drain it at `per_epoch_capacity` fetches/host/epoch — plus one
+    fleet row (host NULL) with the binding constraint: the slowest host's
+    epochs vs total work over fleet slots. The capacity-planning query
+    "when does this crawl finish, and which hosts pin the tail?".
+
+    100 TB shape: one map-side-combined hash-agg to the host axis + a
+    one-row global agg unioned on — no data-sized joins or sorts."""
+    per = frontier.groupBy(
+        F.col(host_col).cast("string").alias("host")
+    ).agg(F.count(F.lit(1)).cast("long").alias("pending"))
+    epochs = F.ceil(
+        per["pending"].cast("double") / float(per_epoch_capacity)
+    ).cast("long")
+    hosts = per.select("host", "pending", epochs.alias("epochs_to_drain"))
+    fleet_rows = per.agg(
+        F.sum("pending").cast("long").alias("pending"),
+        F.max(
+            F.ceil(F.col("pending").cast("double") / float(per_epoch_capacity))
+        ).cast("long").alias("host_bound"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+    )
+    if slots:
+        fleet_bound = F.greatest(
+            fleet_rows["host_bound"],
+            F.ceil(
+                fleet_rows["pending"].cast("double")
+                / (float(per_epoch_capacity) * float(slots))
+            ).cast("long"),
+        )
+    else:
+        fleet_bound = fleet_rows["host_bound"]
+    fleet = fleet_rows.select(
+        F.lit(None).cast("string").alias("host"),
+        "pending",
+        fleet_bound.alias("epochs_to_drain"),
+    )
+    return hosts.unionByName(fleet)

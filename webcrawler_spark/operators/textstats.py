@@ -592,3 +592,58 @@ def pii_density(
         F.col("n_chars").cast("double"), F.lit(1.0)
     )
     return out.withColumn("pii_per_10k_chars", F.round(dens, 6))
+
+
+def length_drift_psi(
+    base: DataFrame,
+    target: DataFrame,
+    value_col: str,
+    bin_edges: list[float],
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index between two corpus slices' value
+    distributions (the standard drift gauge: PSI < 0.1 stable, 0.1-0.25
+    moderate, > 0.25 shifted) over FIXED bin edges, add-`smooth` smoothed
+    so empty bins don't blow up the log. One row per bin with both
+    shares and the bin's PSI term, plus the total riding every row (the
+    driver-friendly shape — no second output frame).
+
+    100 TB shape: each side is one map-side-combined hash-agg onto the
+    literal bin axis; the join and window run on |bins| rows."""
+    edges = sorted(bin_edges)
+
+    def _binned(df: DataFrame, name: str) -> DataFrame:
+        b = F.lit(0)
+        for i, e in enumerate(edges):
+            b = F.when(F.col(value_col) >= float(e), F.lit(i + 1)).otherwise(b)
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    spine = base.sparkSession.range(0, len(edges) + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = (
+        spine.join(F.broadcast(_binned(base, "n_base")), "bin", "left")
+        .join(F.broadcast(_binned(target, "n_target")), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (F.col("n_base") + smooth) / (F.sum("n_base").over(w) + smooth * (len(edges) + 1))
+    q = (F.col("n_target") + smooth) / (F.sum("n_target").over(w) + smooth * (len(edges) + 1))
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.withColumn("p_base", F.round(p, 6))
+        .withColumn("p_target", F.round(q, 6))
+        .withColumn("psi_term", F.round(term, 6))
+        .withColumn("psi_total", F.round(F.sum(term).over(w), 6))
+        .orderBy("bin")
+    )

@@ -8730,6 +8730,98 @@ FROM w WHERE wt IS NOT NULL ORDER BY source
 """
 
 
+# Across-epoch frontier drain forecast (companion to politeness_makespan)
+
+
+def q_frontier_drain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import scheduler as SCH
+
+    orders = _t(spark, sf_dir, "orders")
+    return SCH.frontier_drain_forecast(
+        orders, "o_custkey", per_epoch_capacity=4, slots=64
+    ).orderBy(F.col("host").isNull(), "host")
+
+
+SQL_frontier_drain_forecast = """
+WITH per AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS host,
+         CAST(count(*) AS BIGINT) AS pending
+  FROM orders GROUP BY o_custkey
+),
+hosts AS (
+  SELECT host, pending,
+         CAST(ceil(CAST(pending AS DOUBLE) / 4.0) AS BIGINT)
+           AS epochs_to_drain
+  FROM per
+),
+fleet AS (
+  SELECT CAST(NULL AS VARCHAR) AS host,
+         CAST(sum(pending) AS BIGINT) AS pending,
+         CAST(greatest(
+           max(CAST(ceil(CAST(pending AS DOUBLE) / 4.0) AS BIGINT)),
+           CAST(ceil(CAST(sum(pending) AS DOUBLE) / (4.0 * 64.0)) AS BIGINT)
+         ) AS BIGINT) AS epochs_to_drain
+  FROM per
+)
+SELECT * FROM (SELECT * FROM hosts UNION ALL SELECT * FROM fleet)
+ORDER BY host IS NULL, host
+"""
+
+
+# Corpus drift: PSI between two slices' length distributions
+
+_PSI_EDGES = [100.0, 200.0, 300.0, 400.0, 500.0]
+
+
+def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TS.length_drift_psi(
+        docs.filter(F.col("source").isin("src0", "src1", "src2")),
+        docs.filter(F.col("lang") == "en"),
+        "n_chars",
+        _PSI_EDGES,
+    )
+
+
+SQL_length_drift_psi = """
+WITH spine AS (SELECT unnest(generate_series(0, 5)) AS bin),
+b AS (
+  SELECT CASE WHEN n_chars >= 500 THEN 5 WHEN n_chars >= 400 THEN 4
+              WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 200 THEN 2
+              WHEN n_chars >= 100 THEN 1 ELSE 0 END AS bin,
+         CAST(count(*) AS BIGINT) AS n_base
+  FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+),
+t AS (
+  SELECT CASE WHEN n_chars >= 500 THEN 5 WHEN n_chars >= 400 THEN 4
+              WHEN n_chars >= 300 THEN 3 WHEN n_chars >= 200 THEN 2
+              WHEN n_chars >= 100 THEN 1 ELSE 0 END AS bin,
+         CAST(count(*) AS BIGINT) AS n_target
+  FROM documents WHERE lang = 'en' GROUP BY 1
+),
+j AS (
+  SELECT CAST(spine.bin AS INTEGER) AS bin,
+         CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+         CAST(coalesce(n_target, 0) AS BIGINT) AS n_target
+  FROM spine LEFT JOIN b ON spine.bin = b.bin
+             LEFT JOIN t ON spine.bin = t.bin
+),
+s AS (
+  SELECT bin, n_base, n_target,
+         (CAST(n_base AS DOUBLE) + 0.5)
+           / (sum(CAST(n_base AS DOUBLE)) OVER () + 0.5 * 6) AS p,
+         (CAST(n_target AS DOUBLE) + 0.5)
+           / (sum(CAST(n_target AS DOUBLE)) OVER () + 0.5 * 6) AS q
+  FROM j
+)
+SELECT bin, n_base, n_target,
+       round(p, 6) AS p_base, round(q, 6) AS p_target,
+       round((p - q) * ln(p / q), 6) AS psi_term,
+       round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+FROM s ORDER BY bin
+"""
+
+
 # ES _explain API — per-term BM25 score breakdown for the top hits
 
 
@@ -9790,6 +9882,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "search_function_score": q_search_function_score,
     "top_hits": q_top_hits,
     "histogram_dense": q_histogram_dense,
+    "frontier_drain_forecast": q_frontier_drain_forecast,
+    "length_drift_psi": q_length_drift_psi,
     "search_explain": q_search_explain,
     "zorder_layout": q_zorder_layout,
     "pii_density": q_pii_density,
@@ -10002,6 +10096,8 @@ ORACLE_SQL: dict[str, str] = {
     "search_function_score": SQL_search_function_score,
     "top_hits": SQL_top_hits,
     "histogram_dense": SQL_histogram_dense,
+    "frontier_drain_forecast": SQL_frontier_drain_forecast,
+    "length_drift_psi": SQL_length_drift_psi,
     "search_explain": SQL_search_explain,
     "zorder_layout": SQL_zorder_layout,
     "pii_density": SQL_pii_density,
