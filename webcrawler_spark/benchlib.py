@@ -77,13 +77,22 @@ def frontier_bench(
     hot_hosts: int = 3,
     hot_frac: float = 0.3,
     adaptive: bool = False,
+    schedule_only: bool = False,
 ) -> dict:
     """Timed: canonicalize -> fingerprint -> anti-join dedup -> priority ->
     politeness schedule -> count. Returns urls/sec.
 
     ``salt``/``hot_hosts``/``hot_frac`` parameterize the skew-stress
     variant (50% of URLs on ONE host, salting on vs off); defaults are the
-    standard north-rule frontier."""
+    standard north-rule frontier.
+
+    ``schedule_only``: move canonicalize+dedup+priority into untimed setup
+    (pending pool pre-materialized) so the timed region is ONLY the
+    politeness-scheduling stage. That is the stage hot-host salting exists
+    for — the upstream canonicalize UDF is uniformly parallel regardless of
+    skew, and with it in the timed window the straggler it masks is the
+    whole point of the measurement (the r4 skew block recorded speedup
+    ~0.95 for exactly this reason)."""
     from pyspark.sql import functions as F
 
     import os as _os_cfg
@@ -117,28 +126,38 @@ def frontier_bench(
     candidates = synth_frontier(spark, n_urls, hot_hosts=hot_hosts, hot_frac=hot_frac)
     import os as _os
 
+    def _build_pending():
+        canon = D.canonicalize(candidates)
+        merged = D.merge_candidates(canon)
+        new = D.dedupe_new_urls(merged, seen)
+        return (
+            new.withColumn(
+                "priority",
+                C.url_priority(
+                    F.col("url_norm"), F.col("depth"), F.col("source_priority")
+                ),
+            )
+            .withColumn("discovered_epoch", F.lit(0))
+            .withColumn("attempts", F.lit(0))
+            .drop("source_priority")
+        )
+
+    if schedule_only:
+        # skew-stress shape: the pending pool is setup; ONLY the
+        # politeness-scheduling stage (the salted/unsalted window) is timed
+        pending = _build_pending().persist()
+        pending.count()
     try:
         stat0 = _stat_snap()
     except OSError:
         stat0 = None
     t0 = time.time()
-    canon = D.canonicalize(candidates)
-    merged = D.merge_candidates(canon)
-    new = D.dedupe_new_urls(merged, seen)
-    pending = (
-        new.withColumn(
-            "priority",
-            C.url_priority(F.col("url_norm"), F.col("depth"), F.col("source_priority")),
-        )
-        .withColumn("discovered_epoch", F.lit(0))
-        .withColumn("attempts", F.lit(0))
-        .drop("source_priority")
-    )
-    # materialize the frontier once: the schedule/deferred/rejected split
-    # re-reads the cached rows instead of re-running canonicalize+dedup per
-    # union branch (Spark does not reuse exchanges across union arms here) —
-    # epoch.py does the same with its schedule/fetched persists
-    pending = pending.persist()
+    if not schedule_only:
+        # materialize the frontier once: the schedule/deferred/rejected split
+        # re-reads the cached rows instead of re-running canonicalize+dedup
+        # per union branch (Spark does not reuse exchanges across union arms
+        # here) — epoch.py does the same with its schedule/fetched persists
+        pending = _build_pending().persist()
     schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
     counts = {
         r["st"]: r["n"]
@@ -162,13 +181,18 @@ def frontier_bench(
             )
         except OSError:
             pass
+    # stage throughput context: the rows the politeness windows actually
+    # processed (post-dedup pool). Cached count, untimed (after `elapsed`).
+    n_pending = pending.count() if schedule_only else None
     pending.unpersist()
     seen.unpersist()
     return {
         "n_urls": n_urls,
+        "timed_stage": "schedule" if schedule_only else "full",
         "salt": salt,
         "n_scheduled": n_scheduled,
         "n_deferred": n_deferred,
+        "n_pending": n_pending,
         "seconds": round(elapsed, 3),
         "urls_per_sec": round(n_urls / elapsed, 1),
         "sys_busy_avg": busy,

@@ -153,20 +153,29 @@ def schedule_epoch(
             )
             .withColumn("_pre_rank", F.row_number().over(pre_w))
         )
-        # pre-window overflow is provably past-budget; stamp a sentinel rank
-        # (> host_budget by construction) so it rides the SAME ranked frame
-        # as the window outputs — schedule/deferred then split ONE union
-        # instead of each output re-deriving its own arms (each arm re-runs
-        # the salted window when the caller materializes outputs in
-        # separate jobs; profiled at ~50% of the opt-in crawl's write time)
-        pre_overflow = salted.filter(F.col("_pre_rank") > F.col("host_budget")).withColumn(
-            "rank_in_host", F.col("host_budget") + F.col("_pre_rank")
-        ).drop("_hot", "salt", "_pre_rank")
-        cold_ranked = (
-            salted.filter(F.col("_hot").isNull() & (F.col("_pre_rank") <= F.col("host_budget")))
-            .withColumn("rank_in_host", F.col("_pre_rank"))
+        # TWO arms, not three (r4 profiling: each arm re-runs the pre-window
+        # exchange+sort when consumers materialize in separate jobs — the
+        # three-arm form made the adaptive path 2x SLOWER than blanket
+        # salting, 8.3s vs 3.9s on the 4M-row skew probe). Arm A
+        # pre-finalizes everything whose rank is already known: overflow
+        # rows (sentinel rank > budget, provably deferred) AND cold rows
+        # within budget (their (key, 0) pre-window partition IS the per-key
+        # window, so _pre_rank is the true host rank). Arm B = hot
+        # survivors only, bound for the final bounded window.
+        pre_overflow = (
+            salted.filter(
+                (F.col("_pre_rank") > F.col("host_budget")) | F.col("_hot").isNull()
+            )
+            .withColumn(
+                "rank_in_host",
+                F.when(
+                    F.col("_pre_rank") > F.col("host_budget"),
+                    F.col("host_budget") + F.col("_pre_rank"),
+                ).otherwise(F.col("_pre_rank")),
+            )
             .drop("_hot", "salt", "_pre_rank")
         )
+        cold_ranked = None
         pending = salted.filter(
             F.col("_hot") & (F.col("_pre_rank") <= F.col("host_budget"))
         ).drop("_hot", "salt", "_pre_rank")

@@ -308,14 +308,22 @@ def run_epoch(
     # ---- 2b. crawl-trap defense (opt-in): drop whole suspect hosts from
     # the pool before politeness spends budget on them
     trap_rejected = None
+    suspects = None
     if cfg.detect_traps:
         from ..operators.traps import trap_signals
 
+        # persist+materialize the (tiny) suspect-host dim: every downstream
+        # job whose lineage crosses the trap gate otherwise re-runs the
+        # trap-signal window + broadcast build (r4 leave-one-out profiling:
+        # detect_traps+detect_soft404 accounted for ~147s of the 197s
+        # all-opt-ins two-epoch wall, almost all of it this recompute)
         suspects = (
             trap_signals(pending, url_col="url_norm", min_urls=cfg.trap_min_urls)
             .filter(F.col("is_trap_suspect"))
             .select(F.col("host").alias("_th"))
+            .persist()
         )
+        suspects.count()
         # the signal's host key is surt-derived; join on the same derivation
         keyed = pending.withColumn("_th", C.surt_host(F.col("url_norm")))
         trap_rejected = keyed.join(F.broadcast(suspects), "_th", "left_semi").drop("_th")
@@ -553,8 +561,14 @@ def run_epoch(
     if cfg.recrawl:
         from ..operators import recrawl as RC
 
+        # digest projection comes from `ok` (cached via fetched), NOT from
+        # `docs`: content_hash needs only `text`, and routing through docs
+        # would re-run the extract_metadata python UDF for this consumer
+        # (r4 profiling: the docs lineage re-evaluated once per extra
+        # consumer was the dominant superlinear term in the all-opt-ins
+        # crawl — 409s vs ~30s default at sf0.04, no single flag over +15s)
         recrawl_state = RC.update_recrawl_state(
-            docs.select("url_norm", "content_hash"),
+            ok.select("url_norm", C.content_hash(F.col("text")).alias("content_hash")),
             cat.read_snapshot("recrawl_state", prev),
         )
         hints_dim = None
@@ -570,7 +584,7 @@ def run_epoch(
                 ).cast("int").alias("hint_epochs"),
             )
         revisits = (
-            docs.select(
+            ok.select(
                 "url", "url_norm", "url_fp", "host", "priority", "depth",
                 "source_url", "discovered_epoch",
             )
@@ -644,11 +658,16 @@ def run_epoch(
     if cfg.mine_dust:
         # DUST evidence: EVERY fetched (url_norm, content_hash) — including
         # the duplicate-content aliases the web_content dedup drops, which
-        # are exactly the rows the miner learns from. Two-column projection
-        # of this epoch's docs, no extra computation.
-        to_stage["fetch_digests"] = docs.select("url_norm", "content_hash")
+        # are exactly the rows the miner learns from. Derived from `ok`
+        # (cached fetched rows): content_hash needs only `text`, and the
+        # docs lineage would re-run the extract_metadata python UDF for
+        # this extra consumer (see recrawl note above).
+        to_stage["fetch_digests"] = ok.select(
+            "url_norm", C.content_hash(F.col("text")).alias("content_hash")
+        )
     if recrawl_state is not None:
         to_stage["recrawl_state"] = recrawl_state
+    web_delta_persisted = False
     if cfg.build_index:
         # the ES bulk-index analog (S12): this epoch's indexed docs become a
         # postings delta — deltas are disjoint by doc (the seen set fetches
@@ -656,6 +675,14 @@ def run_epoch(
         # re-index/compaction semantics live in postings.merge_postings
         from ..operators import postings as PO
 
+        # two consumers now read web_delta (the web_content append AND the
+        # postings build) — without the persist each re-runs the doc
+        # pipeline's python metadata UDF + keyword windows (the r4
+        # all-opt-ins superlinearity; see the recrawl note above). Epoch-
+        # bounded rows, freed before return.
+        web_delta = web_delta.persist()
+        web_delta_persisted = True
+        to_stage["web_content"] = web_delta  # re-point at the persisted frame
         to_stage["postings"] = PO.build_postings(
             web_delta.select(
                 F.col("url_norm").alias("doc_id"), F.col("content").alias("text")
@@ -671,6 +698,15 @@ def run_epoch(
     # Spark's scheduler interleaves the jobs across the executor slots.
     schedule.count()  # materializes pending + new_frontier_rows transitively
     fetched.count()
+    # deferred_new is persisted but nothing above materializes it — without
+    # this count the RACING writers below (deferred snapshot, frontier
+    # delta, recrawl revisits) each compute the politeness/salt windows
+    # concurrently before the cache fills (r4 profiling: a large slice of
+    # the all-opt-ins epoch wall)
+    deferred_new.count()
+    if web_delta_persisted:
+        # same race between the web_content append and the postings build
+        web_delta.count()
     from concurrent.futures import ThreadPoolExecutor
 
     # manifest column stats (Iceberg manifest min/max) for the tables whose
@@ -709,6 +745,10 @@ def run_epoch(
     fetched.unpersist()
     pending.unpersist()
     new_frontier_rows.unpersist()
+    if web_delta_persisted:
+        web_delta.unpersist()
+    if suspects is not None:
+        suspects.unpersist()
     if s4_drop is not None:
         s4_drop.unpersist()
     return counters
