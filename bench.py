@@ -570,7 +570,13 @@ def main() -> None:
     # host's single window task is a real straggler (2M rows in one task);
     # the comparison is within-block, best-of-2 each arm.
     spark.catalog.clearCache()
-    n_skew = max(2 * n_urls, 4_000_000)
+    # 8M rows minimum: at 4M the hot host's single-task window sort is ~1s
+    # against a ~3.5s stage and the arms tie within ambient noise; at 8M
+    # (4M pending, ~2M rows on the hot host) the unsalted straggler
+    # dominates the stage and the salted/unsalted separation is decisive
+    # (measured 8.5s vs 4.4s isolated; busy-cores 9.6 vs 17.1 — the
+    # unsalted stage idles 2/3 of the box waiting on one sort task)
+    n_skew = max(4 * n_urls, 8_000_000)
 
     def _skew_arm(salt, adaptive=False):
         # schedule_only: time ONLY the politeness-scheduling stage over a

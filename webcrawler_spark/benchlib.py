@@ -46,10 +46,13 @@ def synth_frontier(
     from pyspark.sql import functions as F
 
     df = spark.range(n_urls)
-    h = F.pmod(F.xxhash64("id"), F.lit(10000))
-    host_id = F.when(h < int(hot_frac * 10000), F.pmod(h, F.lit(hot_hosts))).otherwise(
-        F.pmod(h, F.lit(n_hosts - hot_hosts)) + hot_hosts
-    )
+    # modulus must exceed any realistic n_hosts: pmod(h, n_hosts-hot) can
+    # only reach min(modulus, n_hosts) distinct cold hosts, and the
+    # adaptive-salt scenario needs ~10^5-10^6 cold hosts
+    h = F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+    host_id = F.when(
+        h < int(hot_frac * 1_000_000), F.pmod(h, F.lit(hot_hosts))
+    ).otherwise(F.pmod(h, F.lit(n_hosts - hot_hosts)) + hot_hosts)
     variant = F.pmod(F.xxhash64("id", F.lit(7)), F.lit(5))
     base = F.concat(
         F.lit("https://site"), host_id.cast("string"), F.lit(".com/page-"),
@@ -76,6 +79,7 @@ def frontier_bench(
     salt: int | None = None,
     hot_hosts: int = 3,
     hot_frac: float = 0.3,
+    n_hosts: int = 1000,
     adaptive: bool = False,
     schedule_only: bool = False,
 ) -> dict:
@@ -117,13 +121,15 @@ def frontier_bench(
     # seen set: first half of the id space, canonical fps (setup, untimed)
     seen = (
         D.canonicalize(synth_frontier(spark, n_urls // 2, hot_hosts=hot_hosts,
-                                      hot_frac=hot_frac))
+                                      hot_frac=hot_frac, n_hosts=n_hosts))
         .select("url_fp")
         .persist()
     )
     seen.count()
 
-    candidates = synth_frontier(spark, n_urls, hot_hosts=hot_hosts, hot_frac=hot_frac)
+    candidates = synth_frontier(
+        spark, n_urls, hot_hosts=hot_hosts, hot_frac=hot_frac, n_hosts=n_hosts
+    )
     import os as _os
 
     def _build_pending():

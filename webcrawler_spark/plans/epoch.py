@@ -698,12 +698,16 @@ def run_epoch(
     # Spark's scheduler interleaves the jobs across the executor slots.
     schedule.count()  # materializes pending + new_frontier_rows transitively
     fetched.count()
-    # deferred_new is persisted but nothing above materializes it — without
-    # this count the RACING writers below (deferred snapshot, frontier
-    # delta, recrawl revisits) each compute the politeness/salt windows
+    # deferred_new is persisted but nothing above materializes it — the
+    # RACING writers below (deferred snapshot, frontier delta, recrawl
+    # revisits) otherwise each compute the politeness/salt windows
     # concurrently before the cache fills (r4 profiling: a large slice of
-    # the all-opt-ins epoch wall)
-    deferred_new.count()
+    # the all-opt-ins epoch wall). Only worth a SERIAL pre-pass when the
+    # opt-in stack multiplies the racing consumers — in the parity-default
+    # config the two writers' partial overlap is cheaper than serializing
+    # an extra window pass before the pool.
+    if cfg.recrawl or cfg.detect_traps or cfg.detect_soft404 or cfg.adaptive_salt:
+        deferred_new.count()
     if web_delta_persisted:
         # same race between the web_content append and the postings build
         web_delta.count()
