@@ -533,7 +533,20 @@ def main() -> None:
     # their untimed seen-set setup and any noisy-neighbor stall twice)
     timings["frontier_epoch"] = frontier["seconds"]
 
+    def _jvm_hygiene():
+        # the crawl blocks follow ~20 query phases in the same JVM; leftover
+        # cached relations + an un-GC'd heap roughly DOUBLED the all-opt-ins
+        # crawl in back-to-back measurements (673s in-session vs 292s in a
+        # fresh JVM, identical code+data). Clear caches and nudge a full GC
+        # so each crawl block measures the engine, not the session's heap.
+        spark.catalog.clearCache()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+
     # end-to-end crawl pipeline (reference: 25+ pages/s full pipeline)
+    _jvm_hygiene()
     _wait_quiet(gate_budget)
     crawl = crawl_bench(spark, n_pages=int(20000 * (sf_val or 0.1) / 0.1))
     timings["crawl_pipeline"] = crawl["seconds"]
@@ -547,6 +560,7 @@ def main() -> None:
     # rounds; recorded as its own block.
     from webcrawler_spark.config import CrawlConfig as _CC
 
+    _jvm_hygiene()
     _wait_quiet(gate_budget)
     crawl_optins = crawl_bench(
         spark,
@@ -570,25 +584,24 @@ def main() -> None:
     # host's single window task is a real straggler (2M rows in one task);
     # the comparison is within-block, best-of-2 each arm.
     spark.catalog.clearCache()
-    # 8M rows minimum: at 4M the hot host's single-task window sort is ~1s
-    # against a ~3.5s stage and the arms tie within ambient noise; at 8M
-    # (4M pending, ~2M rows on the hot host) the unsalted straggler
-    # dominates the stage and the salted/unsalted separation is decisive
-    # (measured 8.5s vs 4.4s isolated; busy-cores 9.6 vs 17.1 — the
-    # unsalted stage idles 2/3 of the box waiting on one sort task)
-    n_skew = max(4 * n_urls, 8_000_000)
+    # Directly-synthesized pending pool (skew_schedule_bench): the stage
+    # under test is the politeness window, so canonicalize/dedup move out
+    # of setup entirely and the block can afford 16M rows (8M on the hot
+    # host). Smaller sizes tie on a quiet box — a 2M-row single-task sort
+    # is ~2-3s on fast cores and only contention amplifies it; at 16M the
+    # straggler dominates in every regime (measured quiet: 11.7s unsalted
+    # at 5.8 busy cores — 82% of the box idle behind one sort task — vs
+    # 8.4s salted at 21 busy; both arms share the one unavoidable
+    # 16M-row politeness exchange, which is the local floor).
+    n_skew = max(8 * n_urls, 16_000_000)
 
     def _skew_arm(salt, adaptive=False):
-        # schedule_only: time ONLY the politeness-scheduling stage over a
-        # pre-materialized pending pool — the stage the salting claim is
-        # about. With canonicalize+dedup in the timed region (uniformly
-        # parallel regardless of skew) the hot-host window straggler is
-        # noise against the UDF cost and the comparison measures nothing
-        # (recorded speedup ~0.95 in the earlier whole-pipeline form).
+        from webcrawler_spark.benchlib import skew_schedule_bench
+
         _wait_quiet(gate_budget)
         return max(
-            (frontier_bench(spark, n_skew, salt=salt, hot_hosts=1, hot_frac=0.5,
-                            adaptive=adaptive, schedule_only=True)
+            (skew_schedule_bench(spark, n_skew, salt=salt, hot_hosts=1,
+                                 hot_frac=0.5, adaptive=adaptive)
              for _ in range(2)),
             key=lambda r: r["urls_per_sec"],
         )
@@ -755,7 +768,10 @@ def main() -> None:
         "skew": {"speedup": skew["speedup"],
                  "salted_urls_per_sec": skew["salted_urls_per_sec"],
                  "unsalted_urls_per_sec": skew["unsalted_urls_per_sec"],
-                 "adaptive_urls_per_sec": skew["adaptive_urls_per_sec"]},
+                 "adaptive_urls_per_sec": skew["adaptive_urls_per_sec"],
+                 # the straggler's signature: whole-box busy cores per arm
+                 # (unsalted idles the box behind one hot-host sort task)
+                 "busy": skew["sys_busy_avg"]},
         "full_result": full_path,
     }
     if "scaling" in result:

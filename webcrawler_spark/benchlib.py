@@ -73,6 +73,93 @@ def synth_frontier(
     )
 
 
+def skew_schedule_bench(
+    spark,
+    n_pending: int,
+    salt: int,
+    hot_hosts: int = 1,
+    hot_frac: float = 0.5,
+    n_hosts: int = 1000,
+    adaptive: bool = False,
+) -> dict:
+    """Skew stress of the politeness-scheduling stage alone, at a pending
+    pool size where the hot host's single-task window sort DOMINATES the
+    stage on any box.
+
+    The pending pool is synthesized directly JVM-side (url_norm = url,
+    url_fp = xxhash64) — canonicalize/dedup are irrelevant to the stage
+    under test and synthesizing them let the whole-pipeline variant afford
+    only 8M rows, where a quiet box sorts the 2M hot rows in ~2-3 s and
+    the arms tie within noise. At 16M+ rows (8M on the hot host) the
+    unsalted straggler is unambiguous regardless of ambient regime.
+    Setup (generation + persist) is untimed; the timed region is
+    schedule_epoch + the schedule/deferred count."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.operators import scheduler as S
+
+    cfg = CrawlConfig(epoch_seconds=60, hot_host_salt=salt, adaptive_salt=adaptive)
+    df = spark.range(n_pending)
+    h = F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+    host_id = F.when(
+        h < int(hot_frac * 1_000_000), F.pmod(h, F.lit(hot_hosts))
+    ).otherwise(F.pmod(h, F.lit(n_hosts - hot_hosts)) + hot_hosts)
+    host = F.concat(F.lit("site"), host_id.cast("string"), F.lit(".com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/page-"), F.col("id").cast("string"))
+    pending = df.select(
+        url.alias("url"),
+        url.alias("url_norm"),
+        F.xxhash64("id").alias("url_fp"),
+        host.alias("host"),
+        F.concat(F.lit("/page-"), F.col("id").cast("string")).alias("path"),
+        F.pmod(F.xxhash64("id", F.lit(17)), F.lit(20)).cast("int").alias("priority"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(5)).cast("int").alias("depth"),
+        F.lit(None).cast("string").alias("source_url"),
+        F.lit(0).alias("discovered_epoch"),
+        F.lit(0).alias("attempts"),
+    ).persist()
+    pending.count()
+    try:
+        stat0 = _stat_snap()
+    except OSError:
+        stat0 = None
+    t0 = _t.time()
+    schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
+    counts = {
+        r["st"]: r["n"]
+        for r in schedule.select(F.lit("s").alias("st"))
+        .unionAll(deferred.select(F.lit("d").alias("st")))
+        .groupBy("st")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    elapsed = _t.time() - t0
+    busy = None
+    if stat0 is not None:
+        try:
+            import os as _os
+
+            busy = round(
+                sys_busy_cores_over(stat0, _stat_snap(), _os.cpu_count() or 1), 2
+            )
+        except OSError:
+            pass
+    pending.unpersist()
+    return {
+        "n_pending": n_pending,
+        "timed_stage": "schedule",
+        "salt": salt,
+        "n_scheduled": counts.get("s", 0),
+        "n_deferred": counts.get("d", 0),
+        "seconds": round(elapsed, 3),
+        "urls_per_sec": round(n_pending / elapsed, 1),
+        "sys_busy_avg": busy,
+    }
+
+
 def frontier_bench(
     spark,
     n_urls: int,

@@ -696,21 +696,26 @@ def run_epoch(
     # scheduling dead time. Materialize the shared caches once (so racing
     # writers don't compute a persist twice), then write concurrently —
     # Spark's scheduler interleaves the jobs across the executor slots.
-    schedule.count()  # materializes pending + new_frontier_rows transitively
-    fetched.count()
-    # deferred_new is persisted but nothing above materializes it — the
-    # RACING writers below (deferred snapshot, frontier delta, recrawl
-    # revisits) otherwise each compute the politeness/salt windows
-    # concurrently before the cache fills (r4 profiling: a large slice of
-    # the all-opt-ins epoch wall). Only worth a SERIAL pre-pass when the
-    # opt-in stack multiplies the racing consumers — in the parity-default
-    # config the two writers' partial overlap is cheaper than serializing
-    # an extra window pass before the pool.
+    # Fill ALL the epoch's caches in ONE job (cache population happens
+    # whenever a cached plan segment executes, in whichever job): a union
+    # of one-column projections over each persisted frame. One job instead
+    # of 2-4 sequential counts matters here because the opt-in epoch is
+    # fixed-overhead-dominated (~200 AQE/broadcast stage materializations
+    # per epoch at bench scale — profiled via the status API); each
+    # separate job re-pays scheduling + stage overhead. deferred_new and
+    # web_delta join the probe only under the opt-in combinations that
+    # multiply their racing consumers (recrawl revisits / frontier arms /
+    # postings build) — in the parity-default config the two writers'
+    # partial overlap is cheaper than a serial pre-pass.
+    probes = [schedule, fetched]  # materializes pending + new_frontier_rows
     if cfg.recrawl or cfg.detect_traps or cfg.detect_soft404 or cfg.adaptive_salt:
-        deferred_new.count()
+        probes.append(deferred_new)
     if web_delta_persisted:
-        # same race between the web_content append and the postings build
-        web_delta.count()
+        probes.append(web_delta)
+    probe = probes[0].select(F.lit(1).alias("_p"))
+    for df in probes[1:]:
+        probe = probe.unionAll(df.select(F.lit(1).alias("_p")))
+    probe.count()
     from concurrent.futures import ThreadPoolExecutor
 
     # manifest column stats (Iceberg manifest min/max) for the tables whose
