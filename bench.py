@@ -558,25 +558,48 @@ def main() -> None:
     # postings maintenance, compaction every 2 epochs). Kept OUT of
     # `queries`/`value` so the headline total stays comparable across
     # rounds; recorded as its own block.
-    from webcrawler_spark.config import CrawlConfig as _CC
-
     _jvm_hygiene()
     _wait_quiet(gate_budget)
-    crawl_optins = crawl_bench(
-        spark,
-        n_pages=int(20000 * (sf_val or 0.1) / 0.1),
-        cfg=_CC(
-            epoch_seconds=600, hot_host_salt=4,
-            use_bloom=True, cluster_by_surt=True, strip_tracking=True,
-            detect_traps=True, global_budget=100_000, use_host_rank=True,
-            scrub_pii=True, compact_every=2, respect_meta_robots=True,
-            respect_canonical=True,
-            politeness_by_registrable=True, build_index=True,
-            recrawl=True, adaptive_salt=True,
-            mine_dust=True, detect_soft404=True,
-            target_langs=("en", "de", "fr", "es"),
-        ),
-    )
+    # fresh-JVM child: the opt-in crawl measured 2.3x slower inside this
+    # session's aged JVM than in a fresh one (652s vs 285s, identical
+    # code+data+box; clearCache + System.gc did not close the gap). The
+    # scaling pairs already run in their own JVMs for the same reason —
+    # the record should price the engine, not this session's heap history.
+    # In-session fallback if the child fails, flagged in the record.
+    _repo = os.path.dirname(os.path.abspath(__file__))
+    _child_env = {**os.environ, "PYTHONPATH": _repo}
+    try:
+        _proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(_repo, "scripts", "run_crawl_bench.py"),
+                "--n-pages", str(int(20000 * (sf_val or 0.1) / 0.1)),
+                "--optins",
+            ],
+            capture_output=True, text=True, timeout=3600, env=_child_env,
+            cwd=_repo,
+        )
+        crawl_optins = _parse_child_result(_proc)
+        crawl_optins["jvm"] = "fresh_child"
+    except Exception:
+        from webcrawler_spark.config import CrawlConfig as _CC
+
+        crawl_optins = crawl_bench(
+            spark,
+            n_pages=int(20000 * (sf_val or 0.1) / 0.1),
+            cfg=_CC(
+                epoch_seconds=600, hot_host_salt=4,
+                use_bloom=True, cluster_by_surt=True, strip_tracking=True,
+                detect_traps=True, global_budget=100_000, use_host_rank=True,
+                scrub_pii=True, compact_every=2, respect_meta_robots=True,
+                respect_canonical=True,
+                politeness_by_registrable=True, build_index=True,
+                recrawl=True, adaptive_salt=True,
+                mine_dust=True, detect_soft404=True,
+                target_langs=("en", "de", "fr", "es"),
+            ),
+        )
+        crawl_optins["jvm"] = "in_session_fallback"
 
     # skew stress (SCALE.md §4 evidence): 50% of the frontier on ONE host,
     # salting on (8) vs off (1) — the measured datapoint behind the
