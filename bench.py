@@ -567,7 +567,14 @@ def main() -> None:
     # the record should price the engine, not this session's heap history.
     # In-session fallback if the child fails, flagged in the record.
     _repo = os.path.dirname(os.path.abspath(__file__))
-    _child_env = {**os.environ, "PYTHONPATH": _repo}
+    # PREPEND the repo (don't overwrite): installs that resolve pyspark or
+    # deps via PYTHONPATH would otherwise fail the child import and the
+    # bench would silently degrade to the in-session fallback
+    _prev_pp = os.environ.get("PYTHONPATH", "")
+    _child_env = {
+        **os.environ,
+        "PYTHONPATH": _repo + (os.pathsep + _prev_pp if _prev_pp else ""),
+    }
     try:
         _proc = subprocess.run(
             [

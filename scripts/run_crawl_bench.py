@@ -32,7 +32,10 @@ def main() -> None:
     from webcrawler_spark.session import get_spark
 
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("crawl-bench-child", cores=cores, shuffle_partitions=cores)
+    # 2*cores shuffle partitions — the SAME conf the parent bench session
+    # uses (bench.py main), so child-vs-in-session crawl numbers compare
+    # engine against engine, not config against config
+    spark = get_spark("crawl-bench-child", cores=cores, shuffle_partitions=2 * cores)
     if args.optins:
         cfg = CrawlConfig(
             epoch_seconds=600, hot_host_salt=4,

@@ -279,6 +279,11 @@ def frontier_bench(
     n_pending = pending.count() if schedule_only else None
     pending.unpersist()
     seen.unpersist()
+    # schedule_only times ONLY the politeness stage over the ~n_urls/2
+    # post-dedup pending rows, so its rate divides by n_pending — the same
+    # metric skew_schedule_bench reports, keeping the two schedule-stage
+    # benches comparable. The full pipeline divides by the URLs ingested.
+    rate_rows = n_pending if schedule_only else n_urls
     return {
         "n_urls": n_urls,
         "timed_stage": "schedule" if schedule_only else "full",
@@ -287,7 +292,7 @@ def frontier_bench(
         "n_deferred": n_deferred,
         "n_pending": n_pending,
         "seconds": round(elapsed, 3),
-        "urls_per_sec": round(n_urls / elapsed, 1),
+        "urls_per_sec": round(rate_rows / elapsed, 1),
         "sys_busy_avg": busy,
         # wall-clock window of the TIMED region (same machine clock for all
         # children): lets the concurrent lo∥hi scaling design align the hi

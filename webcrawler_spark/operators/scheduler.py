@@ -123,7 +123,6 @@ def schedule_epoch(
     # ---- W1: per-host top-k under total ordering, optionally salted (skew)
     salt = salt_factor if salt_factor is not None else cfg.hot_host_salt
     pre_overflow = None
-    cold_ranked = None
     if salt and salt > 1 and cfg.adaptive_salt:
         # Adaptive variant: measure per-key pending counts (map-side partial
         # agg -> tiny dim) and salt ONLY keys above hot_host_threshold. Cold
@@ -175,7 +174,6 @@ def schedule_epoch(
             )
             .drop("_hot", "salt", "_pre_rank")
         )
-        cold_ranked = None
         pending = salted.filter(
             F.col("_hot") & (F.col("_pre_rank") <= F.col("host_budget"))
         ).drop("_hot", "salt", "_pre_rank")
@@ -197,11 +195,6 @@ def schedule_epoch(
         )
     w = Window.partitionBy(pol_key).orderBy(*_ORDER())
     ranked = pending.withColumn("rank_in_host", F.row_number().over(w))
-    if cold_ranked is not None:
-        # adaptive path: cold keys finalized in the pre-window (their salt≡0
-        # partition is the whole key, so _pre_rank is the true host rank) —
-        # they bypass the hot-survivor window entirely.
-        ranked = ranked.unionByName(cold_ranked)
     if pre_overflow is not None:
         ranked = ranked.unionByName(pre_overflow)
 
