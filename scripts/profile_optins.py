@@ -41,16 +41,18 @@ VARIANTS: dict[str, dict] = {
     "mine_dust": dict(mine_dust=True),
     "detect_soft404": dict(detect_soft404=True),
     "target_langs": dict(target_langs=("en", "de", "fr", "es")),
-    "all_optins": dict(
-        use_bloom=True, cluster_by_surt=True, strip_tracking=True,
-        detect_traps=True, global_budget=100_000, use_host_rank=True,
-        scrub_pii=True, compact_every=2, respect_meta_robots=True,
-        respect_canonical=True, politeness_by_registrable=True,
-        build_index=True, recrawl=True, adaptive_salt=True,
-        mine_dust=True, detect_soft404=True,
-        target_langs=("en", "de", "fr", "es"),
-    ),
 }
+
+
+def _late_variants() -> None:
+    # the canonical all-opt-ins set comes from config.ALL_OPTINS so this
+    # profiler can never drift from what the bench's crawl_optins block runs
+    from webcrawler_spark.config import ALL_OPTINS
+
+    VARIANTS["all_optins"] = dict(ALL_OPTINS)
+
+
+_late_variants()
 
 
 def main() -> None:

@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--mine-dust", action="store_true",
                     help="learn content-irrelevant URL params from fetch "
                          "evidence and strip them from later candidates")
+    ap.add_argument("--collapse-mirrors", action="store_true",
+                    help="drop hosts proven to mirror a canonical partner's "
+                         "content (cross-host fingerprint roll-up) from the "
+                         "crawl budget")
     ap.add_argument("--respect-canonical", action="store_true",
                     help="honor <link rel=canonical>: suppress non-self-"
                          "canonical pages from the index and crawl the "
@@ -104,6 +108,7 @@ def main() -> None:
         recrawl=args.recrawl,
         adaptive_salt=args.adaptive_salt,
         mine_dust=args.mine_dust,
+        collapse_mirrors=args.collapse_mirrors,
         detect_soft404=args.detect_soft404,
         respect_canonical=args.respect_canonical,
     )

@@ -25,28 +25,21 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--optins", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-aqe", action="store_true")
     args = ap.parse_args()
 
     from bench import crawl_bench
-    from webcrawler_spark.config import CrawlConfig
+    from webcrawler_spark.config import CrawlConfig, all_optins_config
     from webcrawler_spark.session import get_spark
 
     cores = args.cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # 2*cores shuffle partitions — the SAME conf the parent bench session
-    # uses (bench.py main), so child-vs-in-session crawl numbers compare
-    # engine against engine, not config against config
-    spark = get_spark("crawl-bench-child", cores=cores, shuffle_partitions=2 * cores)
+    sp = args.shuffle_partitions or 2 * cores
+    if args.no_aqe:
+        os.environ["SPARK_GRAFT_DISABLE_AQE"] = "1"
+    spark = get_spark("crawl-bench-child", cores=cores, shuffle_partitions=sp)
     if args.optins:
-        cfg = CrawlConfig(
-            epoch_seconds=600, hot_host_salt=4,
-            use_bloom=True, cluster_by_surt=True, strip_tracking=True,
-            detect_traps=True, global_budget=100_000, use_host_rank=True,
-            scrub_pii=True, compact_every=2, respect_meta_robots=True,
-            respect_canonical=True, politeness_by_registrable=True,
-            build_index=True, recrawl=True, adaptive_salt=True,
-            mine_dust=True, detect_soft404=True,
-            target_langs=("en", "de", "fr", "es"),
-        )
+        cfg = all_optins_config()
     else:
         cfg = CrawlConfig(epoch_seconds=600, hot_host_salt=4)
     out = crawl_bench(spark, n_pages=args.n_pages, n_epochs=args.epochs, cfg=cfg)

@@ -321,7 +321,11 @@ def test_surt_clustered_writes_parity_and_file_order(
     counters = E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, N_EPOCHS, cfg)
 
     base_cat, base_counters = crawl_run
-    assert counters == base_counters
+
+    def _sem(cs):  # drop the non-semantic wall-clock/scheduler telemetry
+        return [{k: v for k, v in c.items() if k != "_telemetry"} for c in cs]
+
+    assert _sem(counters) == _sem(base_counters)
 
     # frontier state parity, ignoring the additive surt column
     def state(c):
@@ -562,6 +566,7 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         adaptive_salt=True,
         mine_dust=True,
         detect_soft404=True,
+        collapse_mirrors=True,
         # synth URLs carry no structural language hints, so this gate is a
         # proven no-op here — included to pin composition
         target_langs=("en", "de", "fr", "es"),
@@ -571,6 +576,11 @@ def test_all_optin_features_compose(spark, pages_df, seeds_df, robots_df, tmp_pa
         root = tmp_path_factory.mktemp(tag)
         cat = Catalog(spark, str(root))
         counters = E.run_epochs(spark, cat, pages_df, seeds_df, robots_df, 3, cfg)
+        # _telemetry (wall clock, scheduler ids) is explicitly non-semantic;
+        # everything else must be a deterministic function of the inputs
+        counters = [
+            {k: v for k, v in c.items() if k != "_telemetry"} for c in counters
+        ]
         state = {
             (r["url_fp"], r["status"])
             for r in cat.read_merged("frontier", 2).select("url_fp", "status").collect()

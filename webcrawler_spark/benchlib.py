@@ -73,6 +73,51 @@ def synth_frontier(
     )
 
 
+def plan_shuffle_bytes(df) -> dict | None:
+    """Sum shuffle write/read bytes over an EXECUTED DataFrame's physical
+    plan (SQLMetrics walk, AQE query stages included; ReusedExchange nodes
+    skipped so a reused shuffle counts once). This is the skew bench's
+    exchange-volume evidence: adaptive salting's claim is that its second
+    exchange carries hot survivors only, and that claim needs a measured
+    byte count next to the wall/busy numbers. Returns None if the internal
+    plan API is unreachable (telemetry only, never load-bearing)."""
+    try:
+        seen: set[int] = set()
+        tot = {"w": 0, "r": 0}
+
+        def walk(node):
+            nid = node.id()
+            if nid in seen:
+                return
+            seen.add(nid)
+            if not node.nodeName().startswith("ReusedExchange"):
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    k = kv._1()
+                    if k == "shuffleBytesWritten":
+                        tot["w"] += kv._2().value()
+                    elif k in ("localBytesRead", "remoteBytesRead"):
+                        tot["r"] += kv._2().value()
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            for sub in ("executedPlan", "plan"):
+                try:
+                    walk(getattr(node, sub)())
+                    break
+                except Exception:
+                    pass
+
+        walk(df._jdf.queryExecution().executedPlan())
+        return {
+            "shuffle_write_bytes": int(tot["w"]),
+            "shuffle_read_bytes": int(tot["r"]),
+        }
+    except Exception:
+        return None
+
+
 def skew_schedule_bench(
     spark,
     n_pending: int,
@@ -128,14 +173,13 @@ def skew_schedule_bench(
         stat0 = None
     t0 = _t.time()
     schedule, deferred, rejected = S.schedule_epoch(pending, None, None, 0, cfg)
-    counts = {
-        r["st"]: r["n"]
-        for r in schedule.select(F.lit("s").alias("st"))
+    counts_df = (
+        schedule.select(F.lit("s").alias("st"))
         .unionAll(deferred.select(F.lit("d").alias("st")))
         .groupBy("st")
         .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    )
+    counts = {r["st"]: r["n"] for r in counts_df.collect()}
     elapsed = _t.time() - t0
     busy = None
     if stat0 is not None:
@@ -147,8 +191,12 @@ def skew_schedule_bench(
             )
         except OSError:
             pass
+    # untimed: exchange volumes of the arm just executed (the straggler
+    # argument's second axis — adaptive salting trades wall for exchange
+    # bytes, and SCALE.md §4's extrapolation needs this measured anchor)
+    xbytes = plan_shuffle_bytes(counts_df)
     pending.unpersist()
-    return {
+    out = {
         "n_pending": n_pending,
         "timed_stage": "schedule",
         "salt": salt,
@@ -158,6 +206,9 @@ def skew_schedule_bench(
         "urls_per_sec": round(n_pending / elapsed, 1),
         "sys_busy_avg": busy,
     }
+    if xbytes is not None:
+        out.update(xbytes)
+    return out
 
 
 def frontier_bench(

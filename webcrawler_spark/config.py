@@ -174,6 +174,23 @@ class CrawlConfig:
     recrawl: bool = False
     recrawl_max_interval: int = 8
 
+    # mirror-host collapse (operators/mirrors.py wired into the epoch loop):
+    # a host whose fetched-content fingerprints are >= mirror_overlap
+    # CONTAINED in a canonical partner's set (pair evidence mined per epoch
+    # from the fetch_digests table, the same evidence stream DUST mining
+    # reads) is dropped from the pending pool before politeness spends
+    # budget on it — the cross-host roll-up the per-URL/per-document dedup
+    # tiers cannot see. Containment of the (frozen) loser side, not
+    # Jaccard: the gate stops the mirror while the canonical host keeps
+    # crawling, and Jaccard would dilute below threshold as the canonical
+    # side grows. The lexicographically smaller host of each qualifying
+    # pair is the canonical representative; the larger is the collapsed
+    # mirror. Off = reference parity (no cross-host roll-up).
+    collapse_mirrors: bool = False
+    mirror_min_shared: int = 2
+    mirror_overlap: float = 0.5
+    mirror_max_hosts_per_fp: int = 64
+
     # parser gates (parser/app.py:453,515,534; url_normalizer.py:51)
     min_content_length: int = 100
     min_url_length: int = 10
@@ -183,3 +200,36 @@ class CrawlConfig:
 
 
 DEFAULT_CONFIG = CrawlConfig()
+
+# Every beyond-reference opt-in at once — the configuration a 100-TB deploy
+# would actually run, and the bench's `crawl_optins` block. ONE definition so
+# the bench child, the in-session fallback, and the per-flag profiler can
+# never drift apart.
+ALL_OPTINS: dict = dict(
+    use_bloom=True,
+    cluster_by_surt=True,
+    strip_tracking=True,
+    detect_traps=True,
+    global_budget=100_000,
+    use_host_rank=True,
+    scrub_pii=True,
+    compact_every=2,
+    respect_meta_robots=True,
+    respect_canonical=True,
+    politeness_by_registrable=True,
+    build_index=True,
+    recrawl=True,
+    adaptive_salt=True,
+    mine_dust=True,
+    detect_soft404=True,
+    collapse_mirrors=True,
+    target_langs=("en", "de", "fr", "es"),
+)
+
+
+def all_optins_config(**overrides) -> CrawlConfig:
+    """CrawlConfig with every opt-in enabled (bench parity defaults:
+    epoch_seconds=600, hot_host_salt=4) plus any overrides."""
+    base = dict(epoch_seconds=600, hot_host_salt=4, **ALL_OPTINS)
+    base.update(overrides)
+    return CrawlConfig(**base)

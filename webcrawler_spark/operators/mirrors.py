@@ -94,3 +94,47 @@ def mirror_hosts(
             ).alias("jaccard"),
         )
     )
+
+
+def mirror_losers(
+    digests: DataFrame,
+    url_col: str = "url_norm",
+    hash_col: str = "content_hash",
+    min_shared: int = 2,
+    overlap: float = 0.5,
+    max_hosts_per_fp: int = 64,
+) -> DataFrame:
+    """The epoch loop's mirror-collapse dim: one ``host`` column of hosts to
+    DROP from the pending pool (CrawlConfig.collapse_mirrors).
+
+    Evidence is the accumulated fetch_digests table (url_norm,
+    content_hash) — the same per-fetch stream DUST mining reads, which
+    keeps the duplicate-content rows web_content's dedup drops (exactly
+    the rows mirror evidence lives in). A host is a loser when it is the
+    lexicographically LARGER member (``host_b``) of a pair where the
+    CONTAINMENT of its fingerprint set in the pair, shared/n_b, is >=
+    ``overlap``: containment, not Jaccard, because the gate itself freezes
+    the loser while the canonical host keeps crawling — under Jaccard the
+    canonical side's growth would dilute the score below threshold and
+    resurrect the mirror every few epochs; containment of the frozen side
+    is monotone under canonical growth. The smaller host is the canonical
+    representative, so the rule is deterministic, order-free, and
+    transitively safe — in a mirror clique every host except the minimum
+    appears as some pair's host_b, leaving exactly one representative
+    crawling. Host key is the SURT registrable host
+    (functions/columns.surt_host), matching the trap gate's join key.
+    """
+    from ..functions import columns as C
+
+    d = digests.select(
+        C.surt_host(F.col(url_col)).alias("host"),
+        F.col(hash_col).alias("fp"),
+    )
+    pairs = mirror_hosts(
+        d, "host", "fp", min_shared=min_shared, max_hosts_per_fp=max_hosts_per_fp
+    )
+    return (
+        pairs.filter(F.col("shared") / F.col("n_b") >= overlap)
+        .select(F.col("host_b").alias("host"))
+        .distinct()
+    )

@@ -210,6 +210,71 @@ def apply_global_budget(
     return kept.drop(*drop), bumped
 
 
+class _SectionTimer:
+    """Wall-clock attribution of run_epoch's phases (opt-in via
+    SPARK_GRAFT_EPOCH_TIMING=1; the counters grow a 'sections' dict).
+    With the eager localCheckpoint materialization below, each section's
+    wall includes its own execution, so the split is meaningful — this is
+    how the all-opt-ins bench blow-ups get attributed from the artifact."""
+
+    def __init__(self) -> None:
+        import os as _os
+        import time as _time
+
+        self.enabled = _os.environ.get("SPARK_GRAFT_EPOCH_TIMING") == "1"
+        self._time = _time
+        self.t: dict[str, float] = {}
+        self._last = _time.time()
+
+    def mark(self, name: str) -> None:
+        if not self.enabled:
+            return
+        now = self._time.time()
+        self.t[name] = round(self.t.get(name, 0.0) + (now - self._last), 3)
+        self._last = now
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a shared epoch frame.
+
+    This replaces plain persist() for the frames with multiple consumers
+    (pending/schedule/deferred/fetched/web_delta): persist caches the DATA
+    but keeps the full analyzed lineage, so every downstream transformation
+    re-analyzes a growing tree and every consumer job re-plans (and
+    re-builds broadcast dims on) the un-cached plan arms — profiled at
+    ~45% of the all-opt-ins epoch wall as driver-side gaps with no SQL
+    execution running, plus ~200 broadcast-build jobs per epoch.
+    localCheckpoint truncates the plan to a LogicalRDD over the cached
+    blocks: downstream plans become O(1)-deep, and the concurrent table
+    writes stop re-running politeness windows / broadcast builds per
+    consumer. Same non-reliable-storage caveat as the graph operators'
+    iterative localCheckpoints (documented there); the epoch driver
+    unpersists the epoch's checkpoint blocks after commit."""
+    return df.localCheckpoint(eager=True)
+
+
+def _persistent_rdd_entries(spark: SparkSession):
+    try:
+        return list(
+            spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray()
+        )
+    except Exception:
+        return []
+
+
+def _free_epoch_blocks(spark: SparkSession, pre_ids: set) -> None:
+    """Unpersist every RDD cached since the epoch started (the eager
+    localCheckpoints above + the graph operators' iteration checkpoints),
+    leaving pre-existing caches (pages_prepared) untouched — the epoch
+    loop's block-manager footprint stays O(one epoch)."""
+    for entry in _persistent_rdd_entries(spark):
+        try:
+            if entry.getKey() not in pre_ids:
+                entry.getValue().unpersist(False)
+        except Exception:
+            pass
+
+
 def run_epoch(
     spark: SparkSession,
     cat: Catalog,
@@ -221,8 +286,15 @@ def run_epoch(
     verify_extraction: bool = False,
     sitemap_hints: DataFrame | None = None,
     dust_rules: DataFrame | None = None,
+    mirror_loser_hosts: DataFrame | None = None,
 ) -> dict:
     """Run one crawl epoch and commit its snapshot. Returns the counters.
+
+    ``mirror_loser_hosts``: optional one-column (host) dim from
+    `operators/mirrors.mirror_losers` — with cfg.collapse_mirrors on,
+    pending rows on these hosts are rejected before politeness spends
+    budget on them (run_epochs re-mines the dim per epoch from the
+    accumulated fetch_digests evidence). None = exact prior behavior.
 
     ``dust_rules``: optional (host, dust_params) dim from
     `operators/dust.dust_rules_dim` — learned content-irrelevant query
@@ -236,6 +308,8 @@ def run_epoch(
     cfg.epoch_seconds) instead of the optimistic fastest band; measured
     change rates take over from the second fetch. No-op without
     cfg.recrawl; None = exact prior behavior."""
+    sec = _SectionTimer()
+    _pre_rdd_ids = {e.getKey() for e in _persistent_rdd_entries(spark)}
     prev = epoch - 1
     seen_prev = cat.read_delta_union("seen", prev)
     deferred_prev = cat.read_snapshot("deferred", prev)
@@ -264,15 +338,19 @@ def run_epoch(
             candidates = L.discovered_candidates(links_prev, cfg)
         else:
             candidates = spark.createDataFrame([], _CAND_SCHEMA)
+    sec.mark("read_state")
 
     # materialized once: consumed by the pending pool, the frontier snapshot
-    # AND the seen delta — without the persist each consumer re-runs the full
-    # ingest (canonicalize UDF + anti-join); exchanges are not reused across
-    # plan branches
-    new_frontier_rows = ingest_candidates(
-        spark, candidates, seen_prev, epoch, cfg, bloom=bloom_prev,
-        dust_rules=dust_rules,
-    ).persist()
+    # AND the seen delta — without the materialization each consumer re-runs
+    # the full ingest (canonicalize UDF + anti-join); exchanges are not
+    # reused across plan branches
+    new_frontier_rows = _materialize(
+        ingest_candidates(
+            spark, candidates, seen_prev, epoch, cfg, bloom=bloom_prev,
+            dust_rules=dust_rules,
+        )
+    )
+    sec.mark("ingest")
 
     # ---- 2. pending = new rows ∪ ready deferred
     #
@@ -301,9 +379,10 @@ def run_epoch(
         not_ready = None
 
     # ---- 3. schedule under politeness budget (flagship, W1)
-    # pending feeds three outputs (schedule/deferred/rejected); persist so
-    # the scheduling windows re-read cached rows instead of re-ingesting
-    pending = pending.persist()
+    # pending feeds three outputs (schedule/deferred/rejected); materialize
+    # so the scheduling windows re-read cached rows instead of re-ingesting
+    pending = _materialize(pending)
+    sec.mark("pending")
 
     # ---- 2b. crawl-trap defense (opt-in): drop whole suspect hosts from
     # the pool before politeness spends budget on them
@@ -312,28 +391,45 @@ def run_epoch(
     if cfg.detect_traps:
         from ..operators.traps import trap_signals
 
-        # persist+materialize the (tiny) suspect-host dim: every downstream
-        # job whose lineage crosses the trap gate otherwise re-runs the
+        # materialize the (tiny) suspect-host dim: every downstream job
+        # whose lineage crosses the trap gate otherwise re-runs the
         # trap-signal window + broadcast build (r4 leave-one-out profiling:
         # detect_traps+detect_soft404 accounted for ~147s of the 197s
         # all-opt-ins two-epoch wall, almost all of it this recompute)
-        suspects = (
+        suspects = _materialize(
             trap_signals(pending, url_col="url_norm", min_urls=cfg.trap_min_urls)
             .filter(F.col("is_trap_suspect"))
             .select(F.col("host").alias("_th"))
-            .persist()
         )
-        suspects.count()
         # the signal's host key is surt-derived; join on the same derivation
         keyed = pending.withColumn("_th", C.surt_host(F.col("url_norm")))
         trap_rejected = keyed.join(F.broadcast(suspects), "_th", "left_semi").drop("_th")
         pending = keyed.join(F.broadcast(suspects), "_th", "left_anti").drop("_th")
+
+    # ---- 2c. mirror-host collapse (opt-in): hosts proven to mirror a
+    # canonical partner's content (cross-host fingerprint roll-up over the
+    # fetch_digests evidence) leave the pool the same way trap suspects do
+    # — the canonical partner keeps crawling, the mirror stops costing
+    # fetch budget. Same SURT-host broadcast-gate shape as the trap gate.
+    mirror_rejected = None
+    if mirror_loser_hosts is not None:
+        losers = _materialize(
+            mirror_loser_hosts.select(F.col("host").alias("_mh")).distinct()
+        )
+        keyed_m = pending.withColumn("_mh", C.surt_host(F.col("url_norm")))
+        mirror_rejected = keyed_m.join(
+            F.broadcast(losers), "_mh", "left_semi"
+        ).drop("_mh")
+        pending = keyed_m.join(F.broadcast(losers), "_mh", "left_anti").drop("_mh")
+    sec.mark("traps")
 
     schedule, deferred_new, rejected = S.schedule_epoch(
         pending, robots, host_stats_prev, epoch, cfg
     )
     if trap_rejected is not None:
         rejected = rejected.unionByName(trap_rejected, allowMissingColumns=True)
+    if mirror_rejected is not None:
+        rejected = rejected.unionByName(mirror_rejected, allowMissingColumns=True)
 
     # ---- 3b. global fetch budget (fleet capacity) over the politeness
     # schedule, optionally PageRank-steered (CrawlConfig.global_budget)
@@ -347,17 +443,19 @@ def run_epoch(
             schedule, links_so_far, epoch, cfg, deferred_new.columns
         )
         deferred_new = deferred_new.unionByName(bumped)
-    schedule = schedule.persist()
+    schedule = _materialize(schedule)
     # deferred_new feeds THREE consumers (the deferred snapshot, the
     # frontier delta's 'deferred' arm, and — via unions — their counts);
-    # without the persist each consumer re-runs the politeness windows from
-    # the cached pending pool (profiled: the deferred+frontier writes were
-    # ~50% of the all-opt-ins epoch wall). rejected rides the same frontier
-    # arm but is a cheap filter over cached pending — not persisted.
-    deferred_new = deferred_new.persist()
+    # without the materialization each consumer re-runs the politeness
+    # windows from the cached pending pool (profiled: the deferred+frontier
+    # writes were ~50% of the all-opt-ins epoch wall). rejected rides the
+    # same frontier arm but is a cheap filter over materialized pending.
+    deferred_new = _materialize(deferred_new)
+    sec.mark("schedule")
 
     # ---- 4. "fetch" = equi join against the page table (J5 replaces S10 HTTP)
-    fetched = schedule.join(pages_prepared, "url_norm", "left").persist()
+    fetched = _materialize(schedule.join(pages_prepared, "url_norm", "left"))
+    sec.mark("fetch")
     ok = fetched.filter(F.col("html").isNotNull())
 
     if verify_extraction:
@@ -394,14 +492,14 @@ def run_epoch(
             min_count=cfg.soft404_min_count,
             max_chars=cfg.soft404_max_chars,
         ).select("host", "template_hash")
-        s4_drop = (
+        s4_drop = _materialize(
             sig.join(F.broadcast(tmpl), "host")
             .filter(F.col("s4_hash") == F.col("template_hash"))
             .select(F.col("url").alias("url_norm"))
-            .persist()
         )
         soft404_dropped = s4_drop.count()
         ok = ok.join(s4_drop, "url_norm", "left_anti")
+    sec.mark("soft404")
 
     # ---- 5. parse: links (F16/P2-P4/U2) + docs (F7/F11/F14/F15)
     pages_for_links = ok
@@ -655,18 +753,19 @@ def run_epoch(
     to_stage["links"] = links_df
     to_stage["web_content"] = web_delta
     to_stage["host_stats"] = host_stats_new
-    if cfg.mine_dust:
-        # DUST evidence: EVERY fetched (url_norm, content_hash) — including
-        # the duplicate-content aliases the web_content dedup drops, which
-        # are exactly the rows the miner learns from. Derived from `ok`
-        # (cached fetched rows): content_hash needs only `text`, and the
-        # docs lineage would re-run the extract_metadata python UDF for
-        # this extra consumer (see recrawl note above).
+    if cfg.mine_dust or cfg.collapse_mirrors:
+        # DUST + mirror evidence: EVERY fetched (url_norm, content_hash) —
+        # including the duplicate-content aliases the web_content dedup
+        # drops, which are exactly the rows both miners learn from. Derived
+        # from `ok` (cached fetched rows): content_hash needs only `text`,
+        # and the docs lineage would re-run the extract_metadata python UDF
+        # for this extra consumer (see recrawl note above).
         to_stage["fetch_digests"] = ok.select(
             "url_norm", C.content_hash(F.col("text")).alias("content_hash")
         )
     if recrawl_state is not None:
         to_stage["recrawl_state"] = recrawl_state
+    sec.mark("plan_outputs")
     web_delta_persisted = False
     if cfg.build_index:
         # the ES bulk-index analog (S12): this epoch's indexed docs become a
@@ -676,46 +775,32 @@ def run_epoch(
         from ..operators import postings as PO
 
         # two consumers now read web_delta (the web_content append AND the
-        # postings build) — without the persist each re-runs the doc
+        # postings build) — without the materialization each re-runs the doc
         # pipeline's python metadata UDF + keyword windows (the r4
         # all-opt-ins superlinearity; see the recrawl note above). Epoch-
         # bounded rows, freed before return.
-        web_delta = web_delta.persist()
+        web_delta = _materialize(web_delta)
         web_delta_persisted = True
         to_stage["web_content"] = web_delta  # re-point at the persisted frame
+        # crawled_epoch = the postings delta's lineage column (same role as
+        # web_content's): makes postings a first-class delta table so the
+        # compaction cadence can fold its one-directory-per-epoch layout
+        # and time travel below the compaction point stays a filter
         to_stage["postings"] = PO.build_postings(
             web_delta.select(
                 F.col("url_norm").alias("doc_id"), F.col("content").alias("text")
             ),
             "text",
             "doc_id",
-        )
+        ).withColumn("crawled_epoch", F.lit(epoch))
 
-    # The 7-8 table writes are independent jobs over a handful of shared
-    # cached inputs; writing them from one thread serializes their per-job
-    # scheduling dead time. Materialize the shared caches once (so racing
-    # writers don't compute a persist twice), then write concurrently —
-    # Spark's scheduler interleaves the jobs across the executor slots.
-    # Fill ALL the epoch's caches in ONE job (cache population happens
-    # whenever a cached plan segment executes, in whichever job): a union
-    # of one-column projections over each persisted frame. One job instead
-    # of 2-4 sequential counts matters here because the opt-in epoch is
-    # fixed-overhead-dominated (~200 AQE/broadcast stage materializations
-    # per epoch at bench scale — profiled via the status API); each
-    # separate job re-pays scheduling + stage overhead. deferred_new and
-    # web_delta join the probe only under the opt-in combinations that
-    # multiply their racing consumers (recrawl revisits / frontier arms /
-    # postings build) — in the parity-default config the two writers'
-    # partial overlap is cheaper than a serial pre-pass.
-    probes = [schedule, fetched]  # materializes pending + new_frontier_rows
-    if cfg.recrawl or cfg.detect_traps or cfg.detect_soft404 or cfg.adaptive_salt:
-        probes.append(deferred_new)
-    if web_delta_persisted:
-        probes.append(web_delta)
-    probe = probes[0].select(F.lit(1).alias("_p"))
-    for df in probes[1:]:
-        probe = probe.unionAll(df.select(F.lit(1).alias("_p")))
-    probe.count()
+    # The 7-11 table writes are independent jobs over a handful of shared
+    # materialized inputs; writing them from one thread serializes their
+    # per-job scheduling dead time, so write concurrently — Spark's
+    # scheduler interleaves the jobs across the executor slots. The shared
+    # frames were already eagerly materialized (localCheckpoint) at their
+    # creation points above, so no racing writer ever computes a shared
+    # segment twice and no cache-priming probe job is needed.
     from concurrent.futures import ThreadPoolExecutor
 
     # manifest column stats (Iceberg manifest min/max) for the tables whose
@@ -746,20 +831,14 @@ def run_epoch(
         "pages_fetched": counts["web_content"],
         "links_discovered": counts["links"],
     }
+    sec.mark("stage_writes")
     if cfg.detect_soft404:
         counters["soft404_dropped"] = soft404_dropped
     cat.commit_epoch(epoch, counts, counters)
-    schedule.unpersist()
-    deferred_new.unpersist()
-    fetched.unpersist()
-    pending.unpersist()
-    new_frontier_rows.unpersist()
-    if web_delta_persisted:
-        web_delta.unpersist()
-    if suspects is not None:
-        suspects.unpersist()
-    if s4_drop is not None:
-        s4_drop.unpersist()
+    _free_epoch_blocks(spark, _pre_rdd_ids)
+    sec.mark("commit")
+    if sec.enabled:
+        counters["sections"] = sec.t
     return counters
 
 
@@ -781,6 +860,26 @@ def _mine_dust_rules(cat: Catalog, through_epoch: int, cfg: CrawlConfig):
     )
 
 
+def _mine_mirror_losers(cat: Catalog, through_epoch: int, cfg: CrawlConfig):
+    """(host) loser dim from the fetch_digests evidence committed through
+    ``through_epoch``; None when no fetches exist yet. Same evidence table
+    as DUST mining (and staged whenever either flag is on) — the mirror
+    roll-up needs the duplicate-content rows web_content's dedup drops."""
+    from ..operators.mirrors import mirror_losers
+
+    digests = cat.read_delta_union("fetch_digests", through_epoch)
+    if digests is None:
+        return None
+    return mirror_losers(
+        digests,
+        url_col="url_norm",
+        hash_col="content_hash",
+        min_shared=cfg.mirror_min_shared,
+        overlap=cfg.mirror_overlap,
+        max_hosts_per_fp=cfg.mirror_max_hosts_per_fp,
+    )
+
+
 def run_epochs(
     spark: SparkSession,
     cat: Catalog,
@@ -792,10 +891,30 @@ def run_epochs(
     start_epoch: int | None = None,
     verify_extraction: bool = False,
     sitemap_hints: DataFrame | None = None,
+    pages_prepared: DataFrame | None = None,
 ) -> list[dict]:
     """Run epochs [start..start+n). ``start_epoch=None`` resumes after the
-    last committed epoch (S14: the manifest IS the offset)."""
-    pages_prepared = prepare_pages(pages).persist()
+    last committed epoch (S14: the manifest IS the offset).
+
+    ``pages_prepared``: optional pre-canonicalized page table (the
+    `prepare_pages` output, already persisted+materialized by the caller) —
+    lets the bench keep page prep as untimed setup while still driving THIS
+    loop, maintenance included, instead of a hand-rolled copy of it.
+
+    Each returned counters dict additionally carries per-epoch telemetry
+    (post-commit, never in the manifest): ``wall_seconds`` and — where the
+    scheduler's id counters are reachable — ``jobs``/``stages`` submitted
+    during the epoch (maintenance included)."""
+    import time as _time
+
+    owns_pages = pages_prepared is None
+    if owns_pages:
+        pages_prepared = prepare_pages(pages).persist()
+        # materialize BEFORE the first epoch: the per-epoch block cleanup
+        # frees caches registered during an epoch, so a lazily-registered
+        # cross-epoch cache would be evicted after epoch 0 and
+        # re-canonicalize every epoch
+        pages_prepared.count()
     last = cat.last_committed_epoch()
     start = start_epoch if start_epoch is not None else (0 if last is None else last + 1)
     out = []
@@ -803,7 +922,20 @@ def run_epochs(
     if cfg.mine_dust and start > 0:
         # resume path: re-derive the rules the previous run would have held
         dust_rules = _mine_dust_rules(cat, start - 1, cfg)
+    mirror_dim = None
+    if cfg.collapse_mirrors and start > 0:
+        mirror_dim = _mine_mirror_losers(cat, start - 1, cfg)
+
+    def _sched_ids() -> tuple[int | None, int | None]:
+        try:
+            dag = spark.sparkContext._jsc.sc().dagScheduler()
+            return int(dag.nextJobId()), int(dag.nextStageId())
+        except Exception:
+            return None, None
+
     for epoch in range(start, start + n_epochs):
+        t_e = _time.time()
+        j0, s0 = _sched_ids()
         out.append(
             run_epoch(
                 spark,
@@ -816,8 +948,15 @@ def run_epochs(
                 verify_extraction=verify_extraction,
                 sitemap_hints=sitemap_hints,
                 dust_rules=dust_rules,
+                mirror_loser_hosts=mirror_dim,
             )
         )
+        if cfg.collapse_mirrors:
+            # re-mine from ALL accumulated evidence; the dim engages next
+            # epoch (same cadence discipline as DUST below)
+            mirror_dim = _mine_mirror_losers(cat, epoch, cfg)
+            if mirror_dim is not None:
+                out[-1]["mirror_loser_hosts"] = mirror_dim.count()
         if cfg.mine_dust:
             # re-mine from ALL accumulated evidence (web_content deltas);
             # at 10^10 this job is two hash-aggs over (url_norm, content_
@@ -829,11 +968,26 @@ def run_epochs(
         # periodic delta compaction (Iceberg rewrite_data_files cadence):
         # the seen/links unions otherwise read one directory per prior epoch;
         # the frontier (merge table) additionally re-resolves superseded
-        # status rows on every read until compacted
+        # status rows on every read until compacted. The postings deltas are
+        # on the same cadence: with build_index on, a year of hourly epochs
+        # is otherwise ~9k directories under every BM25 query.
         if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
-            for table in ("seen", "links", "frontier"):
+            tables = ["seen", "links", "frontier"]
+            if cfg.build_index:
+                tables.append("postings")
+            for table in tables:
                 out[-1].setdefault("maintenance", {})[f"compact_{table}"] = (
                     cat.compact_delta(table, epoch)
                 )
-    pages_prepared.unpersist()
+        j1, s1 = _sched_ids()
+        # non-semantic telemetry under ONE underscore key: the crawl's
+        # counters are a deterministic function of the inputs (pinned by the
+        # two-run compose test); wall clock and scheduler ids are not
+        tele = {"wall_seconds": round(_time.time() - t_e, 3)}
+        if j0 is not None and j1 is not None:
+            tele["jobs"] = j1 - j0
+            tele["stages"] = s1 - s0
+        out[-1]["_telemetry"] = tele
+    if owns_pages:
+        pages_prepared.unpersist()
     return out

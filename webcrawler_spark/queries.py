@@ -4732,6 +4732,74 @@ JOIN sizes sb ON sb.host = pairs.host_b
 """
 
 
+# Mirror-collapse gate (the WIRED path: operators/mirrors.mirror_losers ->
+# the same broadcast semi/anti host gate run_epoch applies to the pending
+# pool under CrawlConfig.collapse_mirrors). Loser rule = containment of the
+# lexicographically larger host's fingerprint set (shared/n_b >= overlap);
+# URLs synthesized per doc so surt_host on the Spark side must agree with
+# the oracle's lower(source)||'.com'.
+
+
+def q_mirror_collapse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import columns as C
+    from .operators import mirrors as MI
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".com/doc-"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+        F.md5(F.substring("text", 1, 60)).alias("content_hash"),
+    )
+    losers = MI.mirror_losers(
+        docs, min_shared=1, overlap=0.5, max_hosts_per_fp=8
+    ).select(F.col("host").alias("_mh"))
+    pending = docs.withColumn("_mh", C.surt_host(F.col("url_norm")))
+    kept = pending.join(F.broadcast(losers), "_mh", "left_anti").withColumn(
+        "outcome", F.lit("kept")
+    )
+    dropped = pending.join(F.broadcast(losers), "_mh", "left_semi").withColumn(
+        "outcome", F.lit("dropped")
+    )
+    return (
+        kept.unionByName(dropped)
+        .withColumnRenamed("_mh", "host")
+        .groupBy("host", "outcome")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .orderBy("host", "outcome")
+    )
+
+
+SQL_mirror_collapse_gate = """
+WITH d AS (
+  SELECT lower(source) || '.com' AS host,
+         md5(substr(text, 1, 60)) AS fp
+  FROM documents
+),
+dist AS (SELECT DISTINCT host, fp FROM d),
+eligible AS (SELECT fp FROM dist GROUP BY fp HAVING count(*) BETWEEN 2 AND 8),
+dd AS (SELECT dist.* FROM dist SEMI JOIN eligible USING (fp)),
+pairs AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM dd a JOIN dd b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY 1, 2 HAVING count(*) >= 1
+),
+sizes AS (SELECT host, count(*) AS n_fp FROM dist GROUP BY host),
+losers AS (
+  SELECT DISTINCT host_b AS host
+  FROM pairs JOIN sizes sb ON sb.host = pairs.host_b
+  WHERE shared / CAST(sb.n_fp AS DOUBLE) >= 0.5
+),
+outcomes AS (
+  SELECT d.host,
+         CASE WHEN l.host IS NOT NULL THEN 'dropped' ELSE 'kept' END AS outcome
+  FROM d LEFT JOIN losers l ON l.host = d.host
+)
+SELECT host, outcome, count(*) AS n_urls
+FROM outcomes GROUP BY host, outcome ORDER BY host, outcome
+"""
+
+
 # Sitemap discovery (functions/robots.parse_sitemaps + sitemap_seeds):
 # urllib site_maps()-parity collection of Sitemap: directives -> seed
 # candidates. Bodies synthesized per host; hosts whose last-char codepoint
@@ -9857,6 +9925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdx_index": q_cdx_index,
     "registrable_domains": q_registrable_domains,
     "mirror_hosts": q_mirror_hosts,
+    "mirror_collapse_gate": q_mirror_collapse_gate,
     "dup_ngram_spans": q_dup_ngram_spans,
     "sitemap_discovery": q_sitemap_discovery,
     "sitemap_urlset": q_sitemap_urlset,
@@ -10071,6 +10140,7 @@ ORACLE_SQL: dict[str, str] = {
     "cdx_index": SQL_cdx_index,
     "registrable_domains": SQL_registrable_domains,
     "mirror_hosts": SQL_mirror_hosts,
+    "mirror_collapse_gate": SQL_mirror_collapse_gate,
     "dup_ngram_spans": SQL_dup_ngram_spans,
     "sitemap_discovery": SQL_sitemap_discovery,
     "sitemap_urlset": SQL_sitemap_urlset,
@@ -10242,6 +10312,7 @@ _SAMPLE_FIRST = [
     "content_dedup",
     "postings_bm25",
     # never-driver-sampled: crawl-loop / frontier semantics
+    "mirror_collapse_gate",
     "crawl_epoch0_schedule",
     "crawl_two_epoch_counters",
     "crawl_frontier_status",

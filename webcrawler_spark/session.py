@@ -21,7 +21,12 @@ def session_confs(shuffle_partitions: int) -> dict[str, str]:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
         # AQE: runtime coalesce + skew-join splitting for hot hosts
-        "spark.sql.adaptive.enabled": "true",
+        # (SPARK_GRAFT_DISABLE_AQE=1 turns it off — experiment knob: with
+        # AQE every exchange materializes as its own job, which dominates
+        # fixed-overhead-bound workloads at bench scale)
+        "spark.sql.adaptive.enabled": (
+            "false" if os.environ.get("SPARK_GRAFT_DISABLE_AQE") == "1" else "true"
+        ),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         # runtime bloom filters on shuffle joins (Catalyst-injected)
