@@ -47,11 +47,19 @@ def schedule_epoch(
     epoch: int,
     cfg: CrawlConfig = DEFAULT_CONFIG,
     salt_factor: int | None = None,
+    materialize=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (schedule, deferred_next, rejected).
 
     ``pending`` columns: url, url_norm, url_fp, host, path, priority, depth,
     source_url, discovered_epoch, attempts (0 for fresh frontier rows).
+
+    ``materialize``: optional callable applied to the shared ``ranked``
+    frame (post-window, pre-split). schedule and deferred_next are both
+    filters of ranked, so without it each output's first consumer re-runs
+    the politeness windows; the epoch driver passes its eager
+    localCheckpoint so the windows execute exactly once per epoch.
+    Pure pass-through — output values are identical either way.
     """
     # ---- P10: attempt cap (url-scheduler/app.py:419-425)
     overdrawn = pending.filter(F.col("attempts") > cfg.max_attempts).withColumn(
@@ -197,6 +205,8 @@ def schedule_epoch(
     ranked = pending.withColumn("rank_in_host", F.row_number().over(w))
     if pre_overflow is not None:
         ranked = ranked.unionByName(pre_overflow)
+    if materialize is not None:
+        ranked = materialize(ranked)
 
     schedule = (
         ranked.filter(F.col("rank_in_host") <= F.col("host_budget"))

@@ -424,7 +424,7 @@ def run_epoch(
     sec.mark("traps")
 
     schedule, deferred_new, rejected = S.schedule_epoch(
-        pending, robots, host_stats_prev, epoch, cfg
+        pending, robots, host_stats_prev, epoch, cfg, materialize=_materialize
     )
     if trap_rejected is not None:
         rejected = rejected.unionByName(trap_rejected, allowMissingColumns=True)
