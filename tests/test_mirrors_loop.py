@@ -126,3 +126,21 @@ def test_mirror_collapse_deterministic(spark, tmp_path_factory):
     ]
     assert strip(c1) == strip(c2)
     assert f1 == f2
+
+
+def test_epoch_checkpoint_blocks_freed(spark, tmp_path_factory):
+    """The eager localCheckpoint materialization must not leak: every RDD
+    cached during an epoch (checkpointed frames + graph-iteration
+    checkpoints) is unpersisted after commit, so a long crawl's
+    block-manager footprint stays O(one epoch), not O(epochs)."""
+    from webcrawler_spark.plans.epoch import _persistent_rdd_entries
+
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("blocks")))
+    pages, seeds = _web(spark)
+    cfg = CrawlConfig(epoch_seconds=6, hot_host_salt=2)
+    before = {e.getKey() for e in _persistent_rdd_entries(spark)}
+    E.run_epochs(spark, cat, pages, seeds, None, 3, cfg)
+    after = {e.getKey() for e in _persistent_rdd_entries(spark)}
+    # run_epochs' own pages_prepared persist is unpersisted on exit too;
+    # nothing cached during the crawl may survive it
+    assert len(after - before) == 0, sorted(after - before)
