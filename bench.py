@@ -503,8 +503,14 @@ def main() -> None:
     # quiet-gate each recorded section: co-tenant bursts contaminate the
     # recorded timings exactly like the scaling trials (one contended round
     # recorded the 2M-URL frontier at 26k/s where quiet runs measure ~170k).
-    # Shared bounded budget — on a busy box the bench still completes.
-    gate_budget = [float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))]
+    # PER-PHASE bounded budgets (r4 lesson: one shared budget exhausted by
+    # the early phases left the crawl blocks starting INTO co-tenant
+    # bursts) — on a busy box the bench still completes.
+    _gate_total = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
+    gate_budget = [_gate_total * 0.4]       # headline queries
+    frontier_budget = [_gate_total * 0.2]
+    crawl_budget = [_gate_total * 0.5]      # two blocks x two trials
+    skew_budget = [_gate_total * 0.25]
 
     # headline queries: best-of-2 per query (co-tenant bursts only ever
     # depress a run — BENCH_r03 recorded a uniform 1.2-2.1x ambient tax that
@@ -548,7 +554,7 @@ def main() -> None:
     n_urls = int(2_000_000 * (sf_val or 0.1) / 0.1)
 
     def _gated_frontier():
-        _wait_quiet(gate_budget)
+        _wait_quiet(frontier_budget)
         return frontier_bench(spark, n_urls)
 
     frontier = max(
@@ -611,7 +617,7 @@ def main() -> None:
     def _crawl_block(optins: bool, trials: int = 2) -> dict:
         runs = []
         for _ in range(trials):
-            _wait_quiet(gate_budget)
+            _wait_quiet(crawl_budget)
             cmd = [
                 sys.executable,
                 os.path.join(_repo, "scripts", "run_crawl_bench.py"),
@@ -669,7 +675,7 @@ def main() -> None:
     def _skew_arm(salt, adaptive=False):
         from webcrawler_spark.benchlib import skew_schedule_bench
 
-        _wait_quiet(gate_budget)
+        _wait_quiet(skew_budget)
         return max(
             (skew_schedule_bench(spark, n_skew, salt=salt, hot_hosts=1,
                                  hot_frac=0.875, adaptive=adaptive)
