@@ -807,18 +807,22 @@ def run_epoch(
     # key range bounds later pruned reads; they ride each write's existing
     # Observation, so this costs no extra job
     stats_for = {"frontier": ("url_fp",), "seen": ("url_fp",)}
+    write_secs: dict[str, float] = {}
+
+    def _timed_stage(t: str, df: DataFrame) -> int:
+        import time as _t
+
+        t0 = _t.time()
+        n = cat.stage(
+            t, epoch, df, None, sort_within.get(t),
+            tuple(c for c in stats_for.get(t, ()) if c in df.columns),
+        )
+        write_secs[t] = round(_t.time() - t0, 3)
+        return n
+
     with ThreadPoolExecutor(max_workers=len(to_stage)) as pool:
         futures = {
-            t: pool.submit(
-                cat.stage,
-                t,
-                epoch,
-                df,
-                None,
-                sort_within.get(t),
-                tuple(c for c in stats_for.get(t, ()) if c in df.columns),
-            )
-            for t, df in to_stage.items()
+            t: pool.submit(_timed_stage, t, df) for t, df in to_stage.items()
         }
         for t, fut in futures.items():
             counts[t] = fut.result()
@@ -839,6 +843,9 @@ def run_epoch(
     sec.mark("commit")
     if sec.enabled:
         counters["sections"] = sec.t
+        # per-table write walls (concurrent — they overlap; the max is the
+        # stage_writes critical path, the sum is the scheduler pressure)
+        counters["sections"]["writes"] = write_secs
     return counters
 
 
