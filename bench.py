@@ -505,12 +505,13 @@ def main() -> None:
     # recorded the 2M-URL frontier at 26k/s where quiet runs measure ~170k).
     # PER-PHASE bounded budgets (r4 lesson: one shared budget exhausted by
     # the early phases left the crawl blocks starting INTO co-tenant
-    # bursts) — on a busy box the bench still completes.
+    # bursts). Fractions sum to 1.0 so SPARK_GRAFT_QUIET_WAIT stays the
+    # TOTAL wait bound — on a busy box the bench still completes.
     _gate_total = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT", "600"))
-    gate_budget = [_gate_total * 0.4]       # headline queries
-    frontier_budget = [_gate_total * 0.2]
-    crawl_budget = [_gate_total * 0.5]      # two blocks x two trials
-    skew_budget = [_gate_total * 0.25]
+    gate_budget = [_gate_total * 0.30]      # headline queries
+    frontier_budget = [_gate_total * 0.15]
+    crawl_budget = [_gate_total * 0.35]     # two blocks x two trials
+    skew_budget = [_gate_total * 0.20]
 
     # headline queries: best-of-2 per query (co-tenant bursts only ever
     # depress a run — BENCH_r03 recorded a uniform 1.2-2.1x ambient tax that
@@ -711,6 +712,11 @@ def main() -> None:
             "salted": skew_on.get("shuffle_write_bytes"),
             "unsalted": skew_off.get("shuffle_write_bytes"),
             "adaptive": skew_ad.get("shuffle_write_bytes"),
+        },
+        "shuffle_read_bytes": {
+            "salted": skew_on.get("shuffle_read_bytes"),
+            "unsalted": skew_off.get("shuffle_read_bytes"),
+            "adaptive": skew_ad.get("shuffle_read_bytes"),
         },
     }
     spark.stop()

@@ -40,6 +40,7 @@ VARIANTS: dict[str, dict] = {
     "adaptive_salt": dict(adaptive_salt=True),
     "mine_dust": dict(mine_dust=True),
     "detect_soft404": dict(detect_soft404=True),
+    "collapse_mirrors": dict(collapse_mirrors=True),
     "target_langs": dict(target_langs=("en", "de", "fr", "es")),
 }
 

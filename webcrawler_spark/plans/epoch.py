@@ -262,6 +262,32 @@ def _persistent_rdd_entries(spark: SparkSession):
         return []
 
 
+def _unpersist_ids(spark: SparkSession, ids: set) -> None:
+    if not ids:
+        return
+    for entry in _persistent_rdd_entries(spark):
+        try:
+            if entry.getKey() in ids:
+                entry.getValue().unpersist(False)
+        except Exception:
+            pass
+
+
+def _checkpoint_dim(spark: SparkSession, df: DataFrame, prev_ids: set):
+    """Eagerly checkpoint a freshly mined cross-epoch dim (dust rules,
+    mirror losers) and free the PREVIOUS epoch's dim blocks. Without the
+    checkpoint the mining query executes twice per epoch — once for the
+    telemetry count and again when the next epoch's gate materializes the
+    same lazy frame; without the id bookkeeping each re-mine would leak
+    one (small) checkpointed dim per epoch for the life of the crawl.
+    Returns (checkpointed_df, its_rdd_ids)."""
+    pre = {e.getKey() for e in _persistent_rdd_entries(spark)}
+    out = df.localCheckpoint(eager=True)
+    new_ids = {e.getKey() for e in _persistent_rdd_entries(spark)} - pre
+    _unpersist_ids(spark, prev_ids)
+    return out, new_ids
+
+
 def _free_epoch_blocks(spark: SparkSession, pre_ids: set) -> None:
     """Unpersist every RDD cached since the epoch started (the eager
     localCheckpoints above + the graph operators' iteration checkpoints),
@@ -384,52 +410,58 @@ def run_epoch(
     pending = _materialize(pending)
     sec.mark("pending")
 
-    # ---- 2b. crawl-trap defense (opt-in): drop whole suspect hosts from
-    # the pool before politeness spends budget on them
-    trap_rejected = None
-    suspects = None
+    # ---- 2b/2c. host-level budget gates (opt-in): crawl-trap suspects AND
+    # mirror-loser hosts leave the pool before politeness spends budget on
+    # them. Both dims key on the SURT registrable host, so they share ONE
+    # keying pass over pending and ONE broadcast semi/anti gate (the set
+    # subtraction is order-free, so gating on the union is value-identical
+    # to two sequential gates).
+    gate_rejected = None
+    gate_dims = []
     if cfg.detect_traps:
         from ..operators.traps import trap_signals
 
         # materialize the (tiny) suspect-host dim: every downstream job
-        # whose lineage crosses the trap gate otherwise re-runs the
-        # trap-signal window + broadcast build (r4 leave-one-out profiling:
+        # whose lineage crosses the gate otherwise re-runs the trap-signal
+        # window + broadcast build (r4 leave-one-out profiling:
         # detect_traps+detect_soft404 accounted for ~147s of the 197s
         # all-opt-ins two-epoch wall, almost all of it this recompute)
-        suspects = _materialize(
-            trap_signals(pending, url_col="url_norm", min_urls=cfg.trap_min_urls)
-            .filter(F.col("is_trap_suspect"))
-            .select(F.col("host").alias("_th"))
+        gate_dims.append(
+            _materialize(
+                trap_signals(pending, url_col="url_norm", min_urls=cfg.trap_min_urls)
+                .filter(F.col("is_trap_suspect"))
+                .select(F.col("host").alias("_gh"))
+            )
         )
-        # the signal's host key is surt-derived; join on the same derivation
-        keyed = pending.withColumn("_th", C.surt_host(F.col("url_norm")))
-        trap_rejected = keyed.join(F.broadcast(suspects), "_th", "left_semi").drop("_th")
-        pending = keyed.join(F.broadcast(suspects), "_th", "left_anti").drop("_th")
-
-    # ---- 2c. mirror-host collapse (opt-in): hosts proven to mirror a
-    # canonical partner's content (cross-host fingerprint roll-up over the
-    # fetch_digests evidence) leave the pool the same way trap suspects do
-    # — the canonical partner keeps crawling, the mirror stops costing
-    # fetch budget. Same SURT-host broadcast-gate shape as the trap gate.
-    mirror_rejected = None
     if mirror_loser_hosts is not None:
-        losers = _materialize(
-            mirror_loser_hosts.select(F.col("host").alias("_mh")).distinct()
+        # mirror losers: hosts proven to mirror a canonical partner's
+        # content (cross-host fingerprint roll-up over the fetch_digests
+        # evidence) — the canonical partner keeps crawling, the mirror
+        # stops costing fetch budget. run_epochs hands the dim in already
+        # checkpointed; the cheap re-materialization also covers direct
+        # run_epoch callers passing a lazy frame.
+        gate_dims.append(
+            _materialize(
+                mirror_loser_hosts.select(F.col("host").alias("_gh")).distinct()
+            )
         )
-        keyed_m = pending.withColumn("_mh", C.surt_host(F.col("url_norm")))
-        mirror_rejected = keyed_m.join(
-            F.broadcast(losers), "_mh", "left_semi"
-        ).drop("_mh")
-        pending = keyed_m.join(F.broadcast(losers), "_mh", "left_anti").drop("_mh")
+    if gate_dims:
+        gate_hosts = gate_dims[0]
+        for d in gate_dims[1:]:
+            gate_hosts = gate_hosts.unionByName(d).distinct()
+        # the signals' host key is surt-derived; join on the same derivation
+        keyed = pending.withColumn("_gh", C.surt_host(F.col("url_norm")))
+        gate_rejected = keyed.join(
+            F.broadcast(gate_hosts), "_gh", "left_semi"
+        ).drop("_gh")
+        pending = keyed.join(F.broadcast(gate_hosts), "_gh", "left_anti").drop("_gh")
     sec.mark("traps")
 
     schedule, deferred_new, rejected = S.schedule_epoch(
         pending, robots, host_stats_prev, epoch, cfg, materialize=_materialize
     )
-    if trap_rejected is not None:
-        rejected = rejected.unionByName(trap_rejected, allowMissingColumns=True)
-    if mirror_rejected is not None:
-        rejected = rejected.unionByName(mirror_rejected, allowMissingColumns=True)
+    if gate_rejected is not None:
+        rejected = rejected.unionByName(gate_rejected, allowMissingColumns=True)
 
     # ---- 3b. global fetch budget (fleet capacity) over the politeness
     # schedule, optionally PageRank-steered (CrawlConfig.global_budget)
@@ -759,10 +791,14 @@ def run_epoch(
         # drops, which are exactly the rows both miners learn from. Derived
         # from `ok` (cached fetched rows): content_hash needs only `text`,
         # and the docs lineage would re-run the extract_metadata python UDF
-        # for this extra consumer (see recrawl note above).
+        # for this extra consumer (see recrawl note above). The epoch
+        # lineage column makes it a first-class delta table: the miners
+        # re-read ALL accumulated evidence every epoch, so without the
+        # compaction cadence the mining jobs pay one directory per epoch
+        # for the life of the crawl.
         to_stage["fetch_digests"] = ok.select(
             "url_norm", C.content_hash(F.col("text")).alias("content_hash")
-        )
+        ).withColumn("epoch", F.lit(epoch))
     if recrawl_state is not None:
         to_stage["recrawl_state"] = recrawl_state
     sec.mark("plan_outputs")
@@ -926,12 +962,18 @@ def run_epochs(
     start = start_epoch if start_epoch is not None else (0 if last is None else last + 1)
     out = []
     dust_rules = None
+    dust_ids: set = set()
     if cfg.mine_dust and start > 0:
         # resume path: re-derive the rules the previous run would have held
-        dust_rules = _mine_dust_rules(cat, start - 1, cfg)
+        mined = _mine_dust_rules(cat, start - 1, cfg)
+        if mined is not None:
+            dust_rules, dust_ids = _checkpoint_dim(spark, mined, dust_ids)
     mirror_dim = None
+    mirror_ids: set = set()
     if cfg.collapse_mirrors and start > 0:
-        mirror_dim = _mine_mirror_losers(cat, start - 1, cfg)
+        mined = _mine_mirror_losers(cat, start - 1, cfg)
+        if mined is not None:
+            mirror_dim, mirror_ids = _checkpoint_dim(spark, mined, mirror_ids)
 
     def _sched_ids() -> tuple[int | None, int | None]:
         try:
@@ -960,17 +1002,22 @@ def run_epochs(
         )
         if cfg.collapse_mirrors:
             # re-mine from ALL accumulated evidence; the dim engages next
-            # epoch (same cadence discipline as DUST below)
-            mirror_dim = _mine_mirror_losers(cat, epoch, cfg)
-            if mirror_dim is not None:
+            # epoch (same cadence discipline as DUST below). Checkpointed
+            # once — the count below AND next epoch's gate read the cached
+            # blocks instead of re-running the pair-generation join.
+            mined = _mine_mirror_losers(cat, epoch, cfg)
+            if mined is not None:
+                mirror_dim, mirror_ids = _checkpoint_dim(spark, mined, mirror_ids)
                 out[-1]["mirror_loser_hosts"] = mirror_dim.count()
         if cfg.mine_dust:
-            # re-mine from ALL accumulated evidence (web_content deltas);
+            # re-mine from ALL accumulated evidence (fetch_digests deltas);
             # at 10^10 this job is two hash-aggs over (url_norm, content_
             # hash) projections — run it on the same cadence as compaction
-            # if per-epoch is too hot. Rules engage next epoch.
-            dust_rules = _mine_dust_rules(cat, epoch, cfg)
-            if dust_rules is not None:
+            # if per-epoch is too hot. Rules engage next epoch; checkpointed
+            # once so the count and next epoch's ingest share the blocks.
+            mined = _mine_dust_rules(cat, epoch, cfg)
+            if mined is not None:
+                dust_rules, dust_ids = _checkpoint_dim(spark, mined, dust_ids)
                 out[-1]["dust_rule_hosts"] = dust_rules.count()
         # periodic delta compaction (Iceberg rewrite_data_files cadence):
         # the seen/links unions otherwise read one directory per prior epoch;
@@ -982,6 +1029,8 @@ def run_epochs(
             tables = ["seen", "links", "frontier"]
             if cfg.build_index:
                 tables.append("postings")
+            if cfg.mine_dust or cfg.collapse_mirrors:
+                tables.append("fetch_digests")
             for table in tables:
                 out[-1].setdefault("maintenance", {})[f"compact_{table}"] = (
                     cat.compact_delta(table, epoch)
@@ -997,4 +1046,5 @@ def run_epochs(
         out[-1]["_telemetry"] = tele
     if owns_pages:
         pages_prepared.unpersist()
+    _unpersist_ids(spark, dust_ids | mirror_ids)
     return out

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST = "manifest.json"
 
 # tables whose epoch partition is a *delta* (union across epochs = state)
-DELTA_TABLES = {"seen", "links", "web_content", "schedule", "postings"}
+DELTA_TABLES = {"seen", "links", "web_content", "schedule", "postings", "fetch_digests"}
 # merge-on-read tables (Iceberg MERGE INTO shape): each epoch appends only the
 # rows it TOUCHED; current state = latest row per key. This is what keeps the
 # per-epoch frontier write O(epoch activity) instead of an O(total-frontier)
@@ -50,6 +50,7 @@ _EPOCH_COL = {
     "links": "discovered_epoch",
     "web_content": "crawled_epoch",
     "postings": "crawled_epoch",
+    "fetch_digests": "epoch",
     "frontier": "status_epoch",
 }
 # tables whose epoch partition is a full *snapshot* (latest wins)
